@@ -1,0 +1,130 @@
+"""ctypes bindings for the native host runtime (libmpnative.so).
+
+Exposes:
+  sort_u64(a)              - in-place radix sort matching ksort.h semantics
+  sort_pair(xy)            - in-place pair sort keyed on column 0
+  chain(...)               - anchor chaining (chain.c semantics)
+  dp16(...)                - striped splice/frameshift DP (nasw-sse.c semantics)
+  chn_sc_ungap[_approx]    - ungapped chain rescoring (hit.c:6-30)
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+
+import numpy as np
+
+from .build import ensure_built
+
+_lib = ct.CDLL(ensure_built())
+
+_u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+
+_lib.mx_sort_u64.argtypes = [_u64p, ct.c_int64]
+_lib.mx_sort_pair.argtypes = [_u64p, ct.c_int64]
+_lib.mx_chain.restype = ct.c_int64
+_lib.mx_chain.argtypes = [ct.c_int32] * 7 + [ct.c_float] + [ct.c_int32] * 3 + \
+    [ct.c_int64, _u64p, _u64p, _u64p, ct.POINTER(ct.c_int64)]
+_lib.mx_chn_sc_ungap.restype = ct.c_int32
+_lib.mx_chn_sc_ungap.argtypes = [ct.c_int64, _u64p, ct.c_int32]
+_lib.mx_chn_sc_ungap_approx.restype = ct.c_int32
+_lib.mx_chn_sc_ungap_approx.argtypes = [ct.c_int64, _u64p, ct.c_int32]
+_lib.mx_dp16.argtypes = [
+    _u8p, ct.c_int32, _u8p, ct.c_int32,            # nsq, nl, asq, al
+    ct.c_void_p,                                    # ss (may be None)
+    _i8p, ct.c_int32,                               # mat, asize
+    _u8p, _u8p, _u8p,                               # nt4, aa20, codon
+    _i32p, ct.c_int32,                              # sp[6], sp_null_bonus
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,  # flag, go, ge, io, fs
+    ct.c_int32, ct.c_int32, ct.c_float,             # xdrop, end_bonus, ie_coef
+    ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+    _u32p, ct.POINTER(ct.c_int32),
+]
+
+DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT = 0x1, 0x2, 0x4
+
+
+def sort_u64(a: np.ndarray) -> np.ndarray:
+    """In-place MSD radix sort of a uint64 array (ksort.h radix_sort_mp64)."""
+    assert a.dtype == np.uint64 and a.flags.c_contiguous
+    if len(a) > 1:
+        _lib.mx_sort_u64(a, len(a))
+    return a
+
+
+def sort_pair(xy: np.ndarray) -> np.ndarray:
+    """In-place sort of an (n, 2) uint64 array by column 0, reproducing the
+    unstable permutation of the reference radix sort (radix_sort_mp128x)."""
+    assert xy.dtype == np.uint64 and xy.ndim == 2 and xy.shape[1] == 2 and xy.flags.c_contiguous
+    if len(xy) > 1:
+        _lib.mx_sort_pair(xy.reshape(-1), len(xy))
+    return xy
+
+
+def chain(a: np.ndarray, *, max_dist_x: int, max_dist_y: int, bw: int,
+          max_skip: int, max_iter: int, min_cnt: int, min_sc: int,
+          chn_coef_log: float, is_spliced: bool, kmer: int, bbit: int):
+    """Chain sorted anchors a (u64 = pos<<32|qpos).
+
+    Returns (anchors, u) where anchors holds the selected chains'
+    anchors concatenated in chain order and u[i] = score<<32|count.
+    Mirrors mp_chain (chain.c:160-219).
+    """
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    out_a = np.empty(n, np.uint64)
+    out_u = np.empty(n, np.uint64)
+    n_a_out = ct.c_int64(0)
+    n_u = _lib.mx_chain(max_dist_x, max_dist_y, bw, max_skip, max_iter,
+                        min_cnt, min_sc, chn_coef_log, int(is_spliced),
+                        kmer, bbit, n, a, out_a, out_u, ct.byref(n_a_out))
+    return out_a[:n_a_out.value].copy(), out_u[:n_u].copy()
+
+
+def chn_sc_ungap(a: np.ndarray, kmer: int) -> int:
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    return int(_lib.mx_chn_sc_ungap(len(a), a, kmer))
+
+
+def chn_sc_ungap_approx(a: np.ndarray, kmer: int) -> int:
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    return int(_lib.mx_chn_sc_ungap_approx(len(a), a, kmer))
+
+
+def dp16(nsq: np.ndarray, asq: np.ndarray, *, mat: np.ndarray, nt4: np.ndarray,
+         aa20: np.ndarray, codon: np.ndarray, sp: np.ndarray, sp_null_bonus: int,
+         flag: int, go: int, ge: int, io: int, fs: int, xdrop: int,
+         end_bonus: int, ie_coef: float, ss: np.ndarray | None = None,
+         asize: int = 22):
+    """Splice/frameshift-aware DP (ns_global_gs16b, nasw-sse.c:340-556).
+
+    nsq: nucleotide window (raw bytes or nt4 codes), asq: protein (raw bytes).
+    Returns (score, nt_len, aa_len, cigar[uint32 len<<4|op]).
+    """
+    nsq = np.ascontiguousarray(nsq, dtype=np.uint8)
+    asq = np.ascontiguousarray(asq, dtype=np.uint8)
+    nl, al = len(nsq), len(asq)
+    cig = np.empty(nl + al + 16, np.uint32)
+    sc = ct.c_int32(0)
+    ntl = ct.c_int32(0)
+    aal = ct.c_int32(0)
+    ncig = ct.c_int32(0)
+    ss_ptr = None
+    if ss is not None:
+        ss = np.ascontiguousarray(ss, dtype=np.uint8)
+        ss_ptr = ss.ctypes.data_as(ct.c_void_p)
+    _lib.mx_dp16(nsq, nl, asq, al, ss_ptr,
+                 np.ascontiguousarray(mat.reshape(-1), dtype=np.int8), asize,
+                 nt4, aa20, codon,
+                 np.ascontiguousarray(sp, dtype=np.int32), sp_null_bonus,
+                 flag, go, ge, io, fs, xdrop, end_bonus, ie_coef,
+                 ct.byref(sc), ct.byref(ntl), ct.byref(aal),
+                 cig, ct.byref(ncig))
+    return int(sc.value), int(ntl.value), int(aal.value), cig[:ncig.value].copy()

@@ -1,0 +1,908 @@
+/*
+ * mpnative — native host runtime for miniprot_tpu.
+ *
+ * This library provides the exactness-critical host kernels of the
+ * TPU-native aligner:
+ *
+ *   1. mx_sort_u64 / mx_sort_pair — an in-place MSD radix sort whose
+ *      equal-key permutation behaviour matches the reference tool's
+ *      sorter (ksort.h:112-162).  The reference sorter is NOT stable,
+ *      and downstream tie-breaking (chain selection, region ranking)
+ *      depends on its exact permutation, so output byte-equivalence
+ *      requires replicating the algorithm, not just the ordering.
+ *
+ *   2. mx_chain — minimap2-style 1-D anchor chaining with the splice-
+ *      aware gap cost of the reference (chain.c:112-219), including the
+ *      max_skip/max_iter/rescue heuristics and peak-score backtrack that
+ *      all affect which chains are reported.
+ *
+ *   3. mx_dp16 — the splice/frameshift-aware affine-gap DP ("nasw") in
+ *      the exact striped (Farrar) 8-lane int16 formulation of the
+ *      reference (nasw-sse.c:340-556).  The traceback bit layout depends
+ *      on the striped evaluation order, so the host fallback emulates
+ *      8 int16 lanes with plain C arrays (autovectorized by the
+ *      compiler).  The TPU Pallas kernels (miniprot_tpu/kernels/) are
+ *      the performance path; this is the correctness anchor.
+ *
+ * Everything here is a fresh implementation written from the recurrence
+ * definitions; see docstrings in the Python wrappers for the mapping to
+ * reference file:line.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <assert.h>
+
+#define MX_EXPORT __attribute__((visibility("default")))
+
+/*********************************
+ * MSD radix sort (ksort flavor) *
+ *********************************/
+
+#define MX_RS_MIN 64
+#define MX_RS_BITS 8
+
+typedef struct { uint64_t x, y; } mx_pair_t;
+
+/* --- u64 variant --- */
+
+static void ins_sort_u64(uint64_t *s, uint64_t *e)
+{
+	uint64_t *i;
+	for (i = s + 1; i < e; ++i) {
+		if (*i < *(i - 1)) {
+			uint64_t *j, tmp = *i;
+			for (j = i; j > s && tmp < *(j - 1); --j) *j = *(j - 1);
+			*j = tmp;
+		}
+	}
+}
+
+static void rs_u64(uint64_t *beg, uint64_t *end, int s)
+{
+	uint64_t *i;
+	const int m = (1 << MX_RS_BITS) - 1;
+	struct bkt { uint64_t *b, *e; } b[1 << MX_RS_BITS], *k, *be = b + (1 << MX_RS_BITS);
+	for (k = b; k != be; ++k) k->b = k->e = beg;
+	for (i = beg; i != end; ++i) ++b[*i >> s & m].e;
+	for (k = b + 1; k != be; ++k) k->e += (k - 1)->e - beg, k->b = (k - 1)->e;
+	for (k = b; k != be;) {
+		if (k->b != k->e) {
+			struct bkt *l;
+			if ((l = b + (*k->b >> s & m)) != k) {
+				uint64_t tmp = *k->b, swap;
+				do {
+					swap = tmp; tmp = *l->b; *l->b++ = swap;
+					l = b + (tmp >> s & m);
+				} while (l != k);
+				*k->b++ = tmp;
+			} else ++k->b;
+		} else ++k;
+	}
+	for (b->b = beg, k = b + 1; k != be; ++k) k->b = (k - 1)->e;
+	if (s) {
+		s = s > MX_RS_BITS ? s - MX_RS_BITS : 0;
+		for (k = b; k != be; ++k) {
+			if (k->e - k->b > MX_RS_MIN) rs_u64(k->b, k->e, s);
+			else if (k->e - k->b > 1) ins_sort_u64(k->b, k->e);
+		}
+	}
+}
+
+MX_EXPORT void mx_sort_u64(uint64_t *a, int64_t n)
+{
+	if (n <= MX_RS_MIN) ins_sort_u64(a, a + n);
+	else rs_u64(a, a + n, (8 - 1) * MX_RS_BITS);
+}
+
+/* --- pair variant, keyed on .x --- */
+
+static void ins_sort_pair(mx_pair_t *s, mx_pair_t *e)
+{
+	mx_pair_t *i;
+	for (i = s + 1; i < e; ++i) {
+		if (i->x < (i - 1)->x) {
+			mx_pair_t *j, tmp = *i;
+			for (j = i; j > s && tmp.x < (j - 1)->x; --j) *j = *(j - 1);
+			*j = tmp;
+		}
+	}
+}
+
+static void rs_pair(mx_pair_t *beg, mx_pair_t *end, int s)
+{
+	mx_pair_t *i;
+	const int m = (1 << MX_RS_BITS) - 1;
+	struct bkt { mx_pair_t *b, *e; } b[1 << MX_RS_BITS], *k, *be = b + (1 << MX_RS_BITS);
+	for (k = b; k != be; ++k) k->b = k->e = beg;
+	for (i = beg; i != end; ++i) ++b[i->x >> s & m].e;
+	for (k = b + 1; k != be; ++k) k->e += (k - 1)->e - beg, k->b = (k - 1)->e;
+	for (k = b; k != be;) {
+		if (k->b != k->e) {
+			struct bkt *l;
+			if ((l = b + (k->b->x >> s & m)) != k) {
+				mx_pair_t tmp = *k->b, swap;
+				do {
+					swap = tmp; tmp = *l->b; *l->b++ = swap;
+					l = b + (tmp.x >> s & m);
+				} while (l != k);
+				*k->b++ = tmp;
+			} else ++k->b;
+		} else ++k;
+	}
+	for (b->b = beg, k = b + 1; k != be; ++k) k->b = (k - 1)->e;
+	if (s) {
+		s = s > MX_RS_BITS ? s - MX_RS_BITS : 0;
+		for (k = b; k != be; ++k) {
+			if (k->e - k->b > MX_RS_MIN) rs_pair(k->b, k->e, s);
+			else if (k->e - k->b > 1) ins_sort_pair(k->b, k->e);
+		}
+	}
+}
+
+MX_EXPORT void mx_sort_pair(mx_pair_t *a, int64_t n)
+{
+	if (n <= MX_RS_MIN) ins_sort_pair(a, a + n);
+	else rs_pair(a, a + n, (8 - 1) * MX_RS_BITS);
+}
+
+/************
+ * Chaining *
+ ************/
+
+static inline float mx_log2f(float x) /* fast approx log2; valid for x >= 2 */
+{
+	union { float f; uint32_t i; } z = { x };
+	float log_2 = ((z.i >> 23) & 255) - 128;
+	z.i &= ~(255u << 23);
+	z.i += 127u << 23;
+	log_2 += (-0.34484843f * z.f + 2.02466578f) * z.f - 0.67487759f;
+	return log_2;
+}
+
+#define MX_NEG_INF (-0x7fffffff - 1)
+#define MX_BLOCK_BONUS 2
+
+/* anchor-pair transition score; chain.c:112-151 */
+static inline int32_t chain_sc(uint64_t ai, uint64_t aj, int32_t max_dist_x, int32_t max_dist_y,
+                               int32_t bw, float coef_log, int32_t is_spliced, int32_t bbit, int32_t kmer)
+{
+	int32_t dq = (int32_t)ai - (int32_t)aj, dq3 = dq * 3, dr3, dd, sc, dd_signed = 0;
+	if (dq <= 0 || dq3 > max_dist_x) return MX_NEG_INF;
+	if (dq > max_dist_y) return MX_NEG_INF;
+	if (bbit > 0) {
+		int32_t bs = 1 << bbit;
+		dr3 = ((ai >> 32) - (aj >> 32)) << bbit;
+		if (dq3 >= dr3 - bs && dq3 <= dr3 + bs) dd = dd_signed = 0;
+		else if (dq3 < dr3 - bs) dd = dr3 - bs - dq3, dd_signed = -dd;
+		else dd = dq3 - (dr3 + bs), dd_signed = dd;
+	} else {
+		dr3 = (ai >> 32) - (aj >> 32);
+		if (dr3 == 0) return MX_NEG_INF;
+		dd = dr3 > dq3 ? dr3 - dq3 : dq3 - dr3;
+		dd_signed = dq3 - dr3;
+	}
+	if (dd > bw) return MX_NEG_INF;
+	if (bbit > 0) {
+		sc = kmer < dq ? kmer : dq;
+	} else if (kmer <= dq && kmer * 3 <= dr3) {
+		sc = kmer;
+	} else {
+		int32_t dr = dr3 / 3, q = dr3 - dr * 3;
+		int32_t dg = dr < dq ? dr : dq;
+		sc = dg < kmer ? dg : kmer;
+		if (q != 0) --sc; /* frameshift */
+	}
+	if (dd > 0) {
+		float lin_pen, log_pen;
+		lin_pen = (float)dd * .33334f;
+		log_pen = dd >= 2 ? coef_log * (mx_log2f(dd + 1) - 1.0f) + 1.0f : (float)dd;
+		if (is_spliced) {
+			if (dd_signed < 0) sc -= (int)(lin_pen < log_pen ? lin_pen : log_pen);
+			else sc -= (int)(lin_pen + log_pen);
+		} else sc -= (int)(lin_pen + log_pen);
+	}
+	if (bbit > 0 && ai >> 32 == aj >> 32 && dd == 0) sc += MX_BLOCK_BONUS;
+	return sc;
+}
+
+/* walk one chain from z[k] back to its end anchor, honoring max_drop; chain.c:8-24 */
+static int64_t chain_walk_end(int32_t max_drop, const mx_pair_t *z, const int32_t *f,
+                              const int64_t *p, int32_t *t, int64_t k)
+{
+	int64_t i = z[k].y, end_i = -1, max_i = i;
+	int32_t max_s = 0;
+	if (i < 0 || t[i] != 0) return i;
+	do {
+		int32_t s;
+		t[i] = 2;
+		end_i = i = p[i];
+		s = i < 0 ? (int32_t)z[k].x : (int32_t)z[k].x - f[i];
+		if (s > max_s) max_s = s, max_i = i;
+		else if (max_s - s > max_drop) break;
+	} while (i >= 0 && t[i] == 0);
+	for (i = z[k].y; i >= 0 && i != end_i; i = p[i])
+		t[i] = 0;
+	return max_i;
+}
+
+/*
+ * Chain anchors a[0..n) (sorted u64 = pos<<32|qpos).  Writes the selected
+ * chains' anchors to out_a (capacity n) and score<<32|cnt records to
+ * out_u (capacity n).  Returns the number of chains; *n_a_out gets the
+ * total anchors written.  Mirrors mp_chain + backtrack + compact
+ * (chain.c:26-219).
+ */
+MX_EXPORT int64_t mx_chain(int32_t max_dist_x, int32_t max_dist_y, int32_t bw, int32_t max_skip,
+                           int32_t max_iter, int32_t min_cnt, int32_t min_sc, float coef_log,
+                           int32_t is_spliced, int32_t kmer, int32_t bbit,
+                           int64_t n, const uint64_t *a,
+                           uint64_t *out_a, uint64_t *out_u, int64_t *n_a_out)
+{
+	int32_t *f, *t, *v, mmax_f = 0, max_drop = bw, hf = 0;
+	int64_t *p, i, j, st = 0, hi = -1, n_z, k, n_v, n_u;
+	mx_pair_t *z, *w;
+	uint64_t *b, *u, *u2;
+
+	*n_a_out = 0;
+	if (n == 0) return 0;
+	if (max_dist_x < bw) max_dist_x = bw;
+	if (max_dist_y < bw && !is_spliced) max_dist_y = bw;
+	if (is_spliced) max_drop = 0x7fffffff;
+	p = (int64_t*)malloc(n * 8);
+	f = (int32_t*)malloc(n * 4);
+	v = (int32_t*)malloc(n * 4);
+	t = (int32_t*)calloc(n, 4);
+
+	for (i = 0; i < n; ++i) { /* fill score/backtrack arrays; chain.c:181-209 */
+		int64_t max_j = -1;
+		int32_t max_f = kmer, n_skip = 0;
+		while (st < i && ((a[i] >> 32) - (a[st] >> 32)) << bbit > (uint64_t)max_dist_x) ++st;
+		if (hi >= 0 && hi >= st) { /* rescue heuristic */
+			int32_t sc = hf + chain_sc(a[i], a[hi], max_dist_x, max_dist_y, bw, coef_log, is_spliced, bbit, kmer);
+			if (sc > max_f) max_f = sc, max_j = hi;
+		} else hf = 0, hi = -1;
+		if (i - st > max_iter) st = i - max_iter;
+		for (j = i - 1; j >= st; --j) {
+			int32_t sc = chain_sc(a[i], a[j], max_dist_x, max_dist_y, bw, coef_log, is_spliced, bbit, kmer);
+			if (sc == MX_NEG_INF) continue;
+			sc += f[j];
+			if (sc > max_f) {
+				max_f = sc, max_j = j;
+				if (n_skip > 0) --n_skip;
+			} else if (t[j] == (int32_t)i) {
+				if (++n_skip > max_skip) break;
+			}
+			if (p[j] >= 0) t[p[j]] = i;
+		}
+		f[i] = max_f, p[i] = max_j;
+		v[i] = max_j >= 0 && v[max_j] > max_f ? v[max_j] : max_f;
+		if (mmax_f < max_f) mmax_f = max_f;
+		if (hf < max_f) hf = max_f, hi = i;
+	}
+
+	/* backtrack; chain.c:26-75 */
+	for (i = 0, n_z = 0; i < n; ++i)
+		if (f[i] >= min_sc) ++n_z;
+	if (n_z == 0) { free(p); free(f); free(v); free(t); return 0; }
+	z = (mx_pair_t*)malloc(n_z * sizeof(mx_pair_t));
+	for (i = 0, k = 0; i < n; ++i)
+		if (f[i] >= min_sc) z[k].x = f[i], z[k++].y = i;
+	mx_sort_pair(z, n_z);
+
+	u = (uint64_t*)malloc(n_z * 8); /* at most n_z chains */
+	memset(t, 0, n * 4);
+	for (k = n_z - 1, n_v = n_u = 0; k >= 0; --k) {
+		if (t[z[k].y] == 0) {
+			int64_t n_v0 = n_v, end_i;
+			int32_t sc;
+			end_i = chain_walk_end(max_drop, z, f, p, t, k);
+			for (i = z[k].y; i != end_i; i = p[i])
+				v[n_v++] = i, t[i] = 1;
+			sc = i < 0 ? (int32_t)z[k].x : (int32_t)z[k].x - f[i];
+			if (sc >= min_sc && n_v > n_v0 && n_v - n_v0 >= min_cnt)
+				u[n_u++] = (uint64_t)sc << 32 | (n_v - n_v0);
+			else n_v = n_v0;
+		}
+	}
+	free(z);
+	if (n_u == 0) { free(p); free(f); free(v); free(t); free(u); return 0; }
+
+	/* compact: per-chain anchors in forward order; chain.c:77-110 */
+	b = (uint64_t*)malloc(n_v * 8);
+	for (i = 0, k = 0; i < n_u; ++i) {
+		int64_t k0 = k, ni = (int32_t)u[i];
+		for (j = 0; j < ni; ++j)
+			b[k++] = a[v[k0 + (ni - j - 1)]];
+	}
+	/* sort chains by target start */
+	w = (mx_pair_t*)malloc(n_u * sizeof(mx_pair_t));
+	for (i = k = 0; i < n_u; ++i) {
+		w[i].x = b[k] >> 32, w[i].y = (uint64_t)k << 32 | i;
+		k += (int32_t)u[i];
+	}
+	mx_sort_pair(w, n_u);
+	u2 = (uint64_t*)malloc(n_u * 8);
+	for (i = k = 0; i < n_u; ++i) {
+		int64_t jj = (int32_t)w[i].y, nn = (int32_t)u[jj];
+		u2[i] = u[jj];
+		memcpy(&out_a[k], &b[w[i].y >> 32], nn * 8);
+		k += nn;
+	}
+	memcpy(out_u, u2, n_u * 8);
+	*n_a_out = n_v;
+	free(p); free(f); free(v); free(t); free(u); free(b); free(w); free(u2);
+	return n_u;
+}
+
+/* ungapped chain score at base resolution; hit.c:18-30 */
+MX_EXPORT int32_t mx_chn_sc_ungap(int64_t n_a, const uint64_t *a, int32_t kmer)
+{
+	int64_t i;
+	int32_t x = kmer;
+	for (i = 1; i < n_a; ++i) {
+		const uint64_t a0 = a[i - 1], a1 = a[i];
+		int32_t dq = (int32_t)a1 - (int32_t)a0, dr3 = (a1 >> 32) - (a0 >> 32);
+		int32_t dr = dr3 / 3, q = dr3 - dr * 3, dg;
+		dg = dq < dr ? dq : dr;
+		if (dq >= dr && q != 0) --x;
+		else x += dg < kmer ? dg : kmer;
+	}
+	return x;
+}
+
+/* block-resolution ungapped chain score; hit.c:6-16 */
+MX_EXPORT int32_t mx_chn_sc_ungap_approx(int64_t n_a, const uint64_t *a, int32_t kmer)
+{
+	int64_t i;
+	int32_t x = kmer;
+	for (i = 1; i < n_a; ++i) {
+		const uint64_t a0 = a[i - 1], a1 = a[i];
+		int32_t dq = (int32_t)a1 - (int32_t)a0;
+		x += dq < kmer ? dq : kmer;
+		if (a1 >> 32 == a0 >> 32) x += MX_BLOCK_BONUS;
+	}
+	return x;
+}
+
+/**********************************************
+ * Splice/frameshift-aware striped DP ("nasw") *
+ **********************************************/
+
+/*
+ * Recurrence (nasw-sse.c:15-22 / paper Eq. 5):
+ *   I(i,j) = max{ H(i,j-1) - q, I(i,j-1) } - e
+ *   D(i,j) = max{ H(i-3,j) - q, D(i-3,j) } - e
+ *   A(i,j) = max{ H(i-1,j)   - r - d(i-1), A(i-1,j) }
+ *   B(i,j) = max{ H(i-1,j-1) - r - d(i),   B(i-1,j) }
+ *   C(i,j) = max{ H(i-1,j-1) - r - d(i+1), C(i-1,j) }
+ *   H(i,j) = max{ H(i-3,j-1)+s(i,j), I, D, A-a(i), B-a(i-2), C-a(i-1),
+ *                 H(i-1,j)-f, H(i-2,j)-f, H(i-1,j-1)-f, H(i-2,j-1)-f }
+ *
+ * The 8-lane striped evaluation order (including the lazy-F fixup loop)
+ * determines the traceback bits, so it is reproduced exactly.
+ */
+
+#define VL 8                     /* int16 lanes */
+typedef int16_t v16 __attribute__((vector_size(16), aligned(16)));
+
+#define NEG16 ((int16_t)0x8000)
+
+static inline v16 v_set1(int16_t x) { v16 r = {x, x, x, x, x, x, x, x}; return r; }
+
+static inline v16 v_sadd(v16 a, v16 b)
+{
+	v16 r;
+	int k;
+	for (k = 0; k < VL; ++k) {
+		int32_t s = (int32_t)a[k] + b[k];
+		r[k] = s > 32767 ? 32767 : s < -32768 ? -32768 : (int16_t)s;
+	}
+	return r;
+}
+
+static inline v16 v_ssub(v16 a, v16 b)
+{
+	v16 r;
+	int k;
+	for (k = 0; k < VL; ++k) {
+		int32_t s = (int32_t)a[k] - b[k];
+		r[k] = s > 32767 ? 32767 : s < -32768 ? -32768 : (int16_t)s;
+	}
+	return r;
+}
+
+static inline v16 v_max(v16 a, v16 b)
+{
+	v16 m = a > b;
+	return (a & m) | (b & ~m);
+}
+
+/* z |= bit where a > b (elementwise) */
+static inline v16 v_orbit_gt(v16 z, v16 a, v16 b, int16_t bit)
+{
+	return z | ((a > b) & v_set1(bit));
+}
+
+/* y = a > b ? val : y */
+static inline v16 v_sel_gt(v16 y, v16 a, v16 b, int16_t val)
+{
+	v16 m = a > b;
+	return (m & v_set1(val)) | (~m & y);
+}
+
+static inline int v_all_le(v16 a, v16 b) /* all lanes a <= b */
+{
+	int k;
+	for (k = 0; k < VL; ++k)
+		if (a[k] > b[k]) return 0;
+	return 1;
+}
+
+static inline int16_t v_hmax(v16 a)
+{
+	int16_t m = a[0];
+	int k;
+	for (k = 1; k < VL; ++k)
+		if (a[k] > m) m = a[k];
+	return m;
+}
+
+/* shift lanes up by one (lane k <- lane k-1), filling lane 0 */
+static inline v16 v_shift_up(v16 a, int16_t fill)
+{
+	v16 r;
+	int k;
+	for (k = VL - 1; k > 0; --k) r[k] = a[k - 1];
+	r[0] = fill;
+	return r;
+}
+
+/* CIGAR ops (nasw.h:33-44) */
+#define C_M 0
+#define C_I 1
+#define C_D 2
+#define C_N 3
+#define C_F 10
+#define C_G 11
+#define C_U 12
+#define C_V 13
+
+static int32_t push_cigar(uint32_t *cig, int32_t n, uint32_t op, uint32_t len)
+{
+	if (n == 0 || op != (cig[n - 1] & 0xf) || op == C_F || op == C_G)
+		cig[n++] = len << 4 | op;
+	else cig[n - 1] += len << 4;
+	return n;
+}
+
+/* splice-site penalty track generation; nasw-sse.c:106-155 */
+static void prep_fwd(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const int32_t *sp,
+                     const uint8_t *ss, int32_t io, int32_t sp_null_bonus,
+                     uint8_t *nas, int8_t *donor, int8_t *acceptor)
+{
+	int32_t i, j;
+	for (i = 0; i < nl; ++i) nas[i] = nt4[nsq[i]];
+	for (i = 0; i < nl + 1; ++i) donor[i] = acceptor[i] = sp[3];
+	for (i = 0; i < nl - 3; ++i) {
+		int32_t t = 3;
+		if (nas[i + 1] == 2 && nas[i + 2] == 3)
+			t = i + 3 < nl && (nas[i + 3] == 0 || nas[i + 3] == 2) ? (nas[i] == 2 ? -1 : 4) : 0;
+		else if (nas[i + 1] == 2 && nas[i + 2] == 1 && nas[i] == 2) t = 1;
+		else if (nas[i + 1] == 0 && nas[i + 2] == 3) t = 2;
+		donor[i] = t < 0 ? 0 : sp[t];
+	}
+	for (i = 1; i < nl; ++i) {
+		int32_t t = 3, penY = 0;
+		if (nas[i - 1] == 0 && nas[i] == 2) {
+			t = i >= 2 && (nas[i - 2] == 1 || nas[i - 2] == 3) ? -1 : 0;
+			for (j = i - 4; j >= 0 && j > i - 7; --j)
+				if (nas[j] != 1 && nas[j] != 3) penY += sp[5];
+		} else if (nas[i - 1] == 0 && nas[i] == 1) t = 2;
+		acceptor[i] = t < 0 ? 0 : sp[t];
+		if (t == -1 || t == 0) acceptor[i] += penY;
+	}
+	if (ss) {
+		int32_t max_spsc = (io + 1) / 2 - 1;
+		for (i = 1; i < nl; ++i) {
+			int32_t spsc = (int8_t)(ss[i] >> 1) - 64;
+			if (spsc > max_spsc) spsc = max_spsc;
+			if (ss[i] == 0xff) {
+				donor[i - 1] -= sp_null_bonus;
+				acceptor[i - 1] -= sp_null_bonus;
+			} else if (ss[i] & 1) {
+				acceptor[i - 1] -= spsc;
+			} else {
+				donor[i - 1] -= spsc;
+			}
+		}
+	}
+}
+
+/* reversed-sequence variant for left extension; nasw-sse.c:157-210 */
+static void prep_rev(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const int32_t *sp,
+                     const uint8_t *ss, int32_t io, int32_t sp_null_bonus,
+                     uint8_t *nas, int8_t *donor, int8_t *acceptor)
+{
+	int32_t i, j;
+	for (i = 0; i < nl; ++i) nas[nl - 1 - i] = nt4[nsq[i]];
+	for (i = 0; i < nl + 1; ++i) donor[i] = acceptor[i] = sp[3];
+	for (i = 0; i < nl - 3; ++i) { /* reversed acceptor plays the donor role */
+		int32_t t = 3, penY = 0;
+		if (nas[i + 1] == 2 && nas[i + 2] == 0) {
+			t = i + 3 < nl && (nas[i + 3] == 1 || nas[i + 3] == 3) ? -1 : 0;
+			for (j = i + 5; j < nl && j < i + 8; ++j)
+				if (nas[j] != 1 && nas[j] != 3) penY += sp[5];
+		} else if (nas[i + 1] == 1 && nas[i + 2] == 0) t = 2;
+		donor[i] = t < 0 ? 0 : sp[t];
+		if (t == -1 || t == 0) donor[i] += penY;
+	}
+	for (i = 1; i < nl; ++i) {
+		int32_t t = 3;
+		if (nas[i - 1] == 3 && nas[i] == 2)
+			t = i >= 2 && (nas[i - 2] == 0 || nas[i - 2] == 2) ? (i + 1 < nl && nas[i + 1] == 2 ? -1 : 4) : 0;
+		else if (nas[i - 1] == 1 && nas[i] == 2 && i + 1 < nl && nas[i + 1] == 1) t = 1;
+		else if (nas[i - 1] == 3 && nas[i] == 0) t = 2;
+		acceptor[i] = t < 0 ? 0 : sp[t];
+	}
+	if (ss) {
+		int32_t max_spsc = (io + 1) / 2 - 1;
+		for (i = 0; i < nl; ++i) {
+			int32_t spsc = (int8_t)(ss[i] >> 1) - 64;
+			if (spsc > max_spsc) spsc = max_spsc;
+			if (ss[i] == 0xff) {
+				donor[nl - i - 1] -= sp_null_bonus;
+				acceptor[nl - i - 1] -= sp_null_bonus;
+			} else if (ss[i] & 1) {
+				donor[nl - i - 1] -= spsc;
+			} else {
+				acceptor[nl - i - 1] -= spsc;
+			}
+		}
+	}
+}
+
+/* translate: nas[i] = aa of codon ending at i (or X); nasw-sse.c:91-104 */
+static void prep_nas(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const uint8_t *codon_tab,
+                     uint8_t aa_x, uint8_t *nas)
+{
+	int32_t i, l;
+	uint8_t codon = 0;
+	memset(nas, aa_x, nl);
+	for (i = l = 0; i < nl; ++i) {
+		uint8_t c = nt4[nsq[i]];
+		if (c < 4) {
+			codon = (codon << 2 | c) & 0x3f;
+			if (++l >= 3) nas[i] = codon_tab[codon];
+		} else codon = 0, l = 0;
+	}
+}
+
+/* backtrack over the striped tb matrix; nasw-sse.c:40-89 */
+static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t al, uint32_t *cig)
+{
+	int32_t i = nl - 1, j = al - 1, last = 0, n = 0, k;
+	while (i >= 2 && j >= 0) {
+		const int16_t *tbi = tb + (int64_t)i * slen * VL;
+		int32_t x = tbi[(j % slen) * VL + j / slen];
+		int32_t state, ext;
+		if (x >> 9 & 1) x = 1 | (x >> 4 << 4);
+		state = last == 0 ? x & 0xf : last;
+		ext = state >= 1 && state <= 5 ? x >> (state + 3) & 1 : 0;
+		if (state == 0) n = push_cigar(cig, n, C_M, 1), i -= 3, --j;
+		else if (state == 1) n = push_cigar(cig, n, C_I, 1), --j;
+		else if (state == 2) n = push_cigar(cig, n, C_D, 1), i -= 3;
+		else if (state == 3) n = push_cigar(cig, n, C_N, 1), --i;
+		else if (state == 4) { n = push_cigar(cig, n, C_U, 1), --i; if (!ext) --j; }
+		else if (state == 5) { n = push_cigar(cig, n, C_V, 1), --i; if (!ext) --j; }
+		else if (state == 6) n = push_cigar(cig, n, C_F, 1), --i;
+		else if (state == 7) n = push_cigar(cig, n, C_F, 2), i -= 2;
+		else if (state == 8) n = push_cigar(cig, n, C_G, 1), --i, --j;
+		else if (state == 9) n = push_cigar(cig, n, C_G, 2), i -= 2, --j;
+		last = state >= 1 && state <= 5 && ext ? state : 0;
+	}
+	if (j > 0) n = push_cigar(cig, n, C_I, j);
+	if (i >= 0) {
+		int32_t l = (i + 1) / 3 * 3, t = (i + 1) % 3;
+		if (l > 0) n = push_cigar(cig, n, C_D, l);
+		if (t != 0) n = push_cigar(cig, n, C_F, t);
+	}
+	for (k = 0; k < n >> 1; ++k) { /* reverse */
+		uint32_t tmp = cig[k];
+		cig[k] = cig[n - 1 - k];
+		cig[n - 1 - k] = tmp;
+	}
+	for (k = 0; k < n; ++k) { /* tiny U/V -> G; nasw-sse.c:30-38 */
+		uint32_t op = cig[k] & 0xf;
+		if ((op == C_U || op == C_V) && cig[k] >> 4 < 3)
+			cig[k] = (cig[k] >> 4 << 4) | C_G;
+	}
+	return n;
+}
+
+#define DPF_CIGAR     0x1
+#define DPF_EXT_LEFT  0x2
+#define DPF_EXT_RIGHT 0x4
+
+/*
+ * The main DP entry (16-bit striped).  Mirrors ns_global_gs16b
+ * (nasw-sse.c:340-556) exactly, including the lazy-F loop, traceback bit
+ * layout and the extension-mode end-finding with the log-length penalty
+ * and x-drop.
+ *
+ * nsq/asq: raw byte strings (any chars; converted via nt4/aa20 tables).
+ * ss:      optional per-base splice-score track (0xff = unset), or NULL.
+ * cigar:   caller buffer with room for at least nl + al + 16 entries.
+ */
+MX_EXPORT void mx_dp16(
+	const uint8_t *nsq, int32_t nl, const uint8_t *asq, int32_t al,
+	const uint8_t *ss,
+	const int8_t *mat, int32_t asize,
+	const uint8_t *nt4, const uint8_t *aa20, const uint8_t *codon_tab,
+	const int32_t *sp, int32_t sp_null_bonus,
+	int32_t flag, int32_t go_, int32_t ge_, int32_t io_, int32_t fs_,
+	int32_t xdrop, int32_t end_bonus, float ie_coef,
+	int32_t *out_score, int32_t *out_nt_len, int32_t *out_aa_len,
+	uint32_t *cigar, int32_t *n_cigar)
+{
+	const int32_t is_ext = !!(flag & (DPF_EXT_LEFT | DPF_EXT_RIGHT));
+	const int32_t slen = (al + VL - 1) / VL;
+	const uint8_t aa_x = aa20['X'];
+	int32_t i, j, k;
+	uint8_t *nas, *aas;
+	int8_t *donor, *acceptor;
+	int16_t *prof;   /* asize * slen vectors */
+	v16 *bufH, *H, *H1, *H2, *H3, *Hmax, *D, *D1, *D2, *D3, *A, *B, *C, *tmpv;
+	int16_t *tb = 0;
+	v16 go = v_set1(go_), ge = v_set1(ge_), goe = v_set1(go_ + ge_), io = v_set1(io_), fs = v_set1(fs_);
+
+	*n_cigar = 0;
+	*out_nt_len = nl, *out_aa_len = al, *out_score = MX_NEG_INF;
+
+	nas = (uint8_t*)malloc(nl);
+	aas = (uint8_t*)malloc(al > 0 ? al : 1);
+	donor = (int8_t*)malloc(nl + 1);
+	acceptor = (int8_t*)malloc(nl + 1);
+	if (flag & DPF_EXT_LEFT) { /* reversed input */
+		for (j = 0; j < al; ++j) aas[al - 1 - j] = aa20[asq[j]];
+		prep_rev(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, nas, donor, acceptor);
+		prep_nas(nsq, nl, nt4, codon_tab, aa_x, nas);
+		for (i = 0; i < nl >> 1; ++i) { uint8_t t = nas[i]; nas[i] = nas[nl - 1 - i]; nas[nl - 1 - i] = t; }
+		memmove(nas + 2, nas, nl - 2);
+		nas[0] = nas[1] = aa_x;
+	} else {
+		for (j = 0; j < al; ++j) aas[j] = aa20[asq[j]];
+		prep_fwd(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, nas, donor, acceptor);
+		prep_nas(nsq, nl, nt4, codon_tab, aa_x, nas);
+	}
+
+	/* striped query profile; nasw-sse.c:212-224: vector j lane k = position k*slen+j */
+	prof = (int16_t*)malloc((size_t)asize * slen * VL * 2);
+	{
+		int16_t *t = prof;
+		for (i = 0; i < asize; ++i) {
+			const int8_t *ma = mat + i * asize;
+			for (j = 0; j < slen; ++j)
+				for (k = j; k < slen * VL; k += slen)
+					*t++ = k >= al ? NEG16 : ma[aas[k]];
+		}
+	}
+
+	/* state buffers: 5 x (slen+1) for H/H1/H2/H3/Hmax (index -1 valid), 7 x slen */
+	bufH = (v16*)aligned_alloc(16, ((size_t)(slen + 1) * 5 + (size_t)slen * 7) * 16);
+	H = bufH + 1, H1 = bufH + (slen + 1) + 1, H2 = bufH + (slen + 1) * 2 + 1, H3 = bufH + (slen + 1) * 3 + 1;
+	Hmax = bufH + (slen + 1) * 4 + 1;
+	D = Hmax + slen, D1 = D + slen, D2 = D1 + slen, D3 = D2 + slen;
+	A = D3 + slen, B = A + slen, C = B + slen;
+	for (i = 0; i < (slen + 1) * 5 + slen * 7; ++i)
+		bufH[i] = v_set1(NEG16);
+	H3[-1][0] = 0;
+	H2[-1][0] = -fs_;
+	H1[-1][0] = -fs_;
+
+	if ((flag & DPF_CIGAR) && !is_ext)
+		tb = (int16_t*)malloc((size_t)nl * slen * VL * 2);
+
+	if (tb == 0) { /* score-only / extension path; nasw-sse.c:349-443 */
+		int32_t max_sc = MX_NEG_INF, max_sc_log = MX_NEG_INF, tmp_sc, tmp_sc_log, end_sc, max_i = -1;
+		int32_t pen_len = al * 3;
+		for (i = 2; i < nl; ++i) {
+			v16 I, last_h, maxv, gei;
+			v16 dim1 = v_set1(donor[i - 1]), di = v_set1(donor[i]), dip1 = v_set1(donor[i + 1]);
+			v16 ai = v_set1(acceptor[i]), aim1 = v_set1(acceptor[i - 1]), aim2 = v_set1(acceptor[i - 2]);
+			const int16_t *S = prof + (size_t)nas[i] * slen * VL;
+			gei = nas[i] == 20 ? fs : ge;
+			I = last_h = v_set1(NEG16);
+			if (i > 2) {
+				H3[-1] = v_shift_up(H3[slen - 1], NEG16);
+				H2[-1] = v_shift_up(H2[slen - 1], NEG16);
+				H1[-1] = v_shift_up(H1[slen - 1], NEG16);
+			}
+			maxv = v_set1(NEG16);
+			for (j = 0; j < slen; ++j) {
+				v16 h, t, u, v, Sv;
+				memcpy(&Sv, S + j * VL, 16);
+				h = v_sadd(H3[j - 1], Sv);
+				/* I */
+				t = v_ssub(last_h, go);
+				t = v_max(t, I);
+				I = v_ssub(t, ge);
+				h = v_max(h, I);
+				/* D */
+				u = H3[j]; v = D3[j];
+				t = v_max(v_ssub(u, go), v);
+				t = v_ssub(t, gei);
+				D[j] = t;
+				h = v_max(h, t);
+				/* A */
+				u = v_ssub(H1[j], io); v = A[j];
+				t = v_ssub(u, dim1);
+				t = v_max(t, v);
+				A[j] = t;
+				h = v_max(h, v_ssub(t, ai));
+				/* B */
+				u = v_ssub(H1[j - 1], io); v = B[j];
+				t = v_ssub(u, di);
+				t = v_max(t, v);
+				B[j] = t;
+				h = v_max(h, v_ssub(t, aim2));
+				/* C */
+				v = C[j];
+				t = v_ssub(u, dip1);
+				t = v_max(t, v);
+				C[j] = t;
+				h = v_max(h, v_ssub(t, aim1));
+				/* frameshift transitions */
+				h = v_max(h, v_ssub(H1[j], fs));
+				h = v_max(h, v_ssub(H2[j], fs));
+				h = v_max(h, v_ssub(H1[j - 1], fs));
+				h = v_max(h, v_ssub(H2[j - 1], fs));
+				maxv = v_max(maxv, h);
+				H[j] = h;
+				last_h = h;
+			}
+			I = v_max(v_ssub(last_h, goe), v_ssub(I, ge));
+			for (k = 0; k < VL; ++k) { /* lazy-F */
+				I = v_shift_up(I, NEG16);
+				for (j = 0; j < slen; ++j) {
+					v16 h = H[j];
+					h = v_max(h, I);
+					maxv = v_max(maxv, h);
+					H[j] = h;
+					h = v_ssub(h, goe);
+					I = v_ssub(I, ge);
+					if (v_all_le(I, h)) break;
+				}
+				if (j < slen) break;
+			}
+			tmp_sc = v_hmax(maxv);
+			end_sc = H[(al - 1) % slen][(al - 1) / slen] + end_bonus;
+			tmp_sc = tmp_sc > end_sc ? tmp_sc : end_sc;
+			tmp_sc_log = tmp_sc - (i - pen_len < 2 ? 0 : (int32_t)(ie_coef * mx_log2f(i - pen_len) + .5f));
+			if (tmp_sc_log > max_sc_log) {
+				max_sc = tmp_sc, max_sc_log = tmp_sc_log, max_i = i;
+				memcpy(&Hmax[-1], &H[-1], (size_t)(slen + 1) * 16);
+			}
+			tmpv = H3, H3 = H2, H2 = H1, H1 = H, H = tmpv;
+			tmpv = D3, D3 = D2, D2 = D1, D1 = D, D = tmpv;
+			if (max_sc_log - tmp_sc_log > xdrop) break;
+		}
+		if (is_ext) {
+			for (j = 0; j < al; ++j) {
+				int32_t sc = Hmax[j % slen][j / slen];
+				if (j == al - 1) sc += end_bonus;
+				if (sc == max_sc) break;
+			}
+			*out_nt_len = max_i + 1, *out_aa_len = j + 1, *out_score = max_sc;
+		}
+	} else { /* traceback path; nasw-sse.c:444-541 */
+		for (i = 2; i < nl; ++i) {
+			int16_t *tbi = tb + (int64_t)i * slen * VL;
+			v16 I, last_h, gei;
+			v16 dim1 = v_set1(donor[i - 1]), di = v_set1(donor[i]), dip1 = v_set1(donor[i + 1]);
+			v16 ai = v_set1(acceptor[i]), aim1 = v_set1(acceptor[i - 1]), aim2 = v_set1(acceptor[i - 2]);
+			const int16_t *S = prof + (size_t)nas[i] * slen * VL;
+			gei = nas[i] == 20 ? fs : ge;
+			I = last_h = v_set1(NEG16);
+			if (i > 2) {
+				H3[-1] = v_shift_up(H3[slen - 1], NEG16);
+				H2[-1] = v_shift_up(H2[slen - 1], NEG16);
+				H1[-1] = v_shift_up(H1[slen - 1], NEG16);
+			}
+			for (j = 0; j < slen; ++j) {
+				v16 h, t, u, v, y, z, Sv;
+				memcpy(&Sv, S + j * VL, 16);
+				y = v_set1(0);
+				z = v_set1(0);
+				h = v_sadd(H3[j - 1], Sv);
+				/* I */
+				t = v_ssub(last_h, go);
+				z = v_orbit_gt(z, I, t, 1 << 4);
+				t = v_max(t, I);
+				I = v_ssub(t, ge);
+				y = v_sel_gt(y, I, h, 1);
+				h = v_max(h, I);
+				/* D */
+				u = v_ssub(H3[j], go); v = D3[j];
+				z = v_orbit_gt(z, v, u, 1 << 5);
+				t = v_max(u, v);
+				t = v_ssub(t, gei);
+				D[j] = t;
+				y = v_sel_gt(y, t, h, 2);
+				h = v_max(h, t);
+				/* A */
+				u = v_ssub(H1[j], io); v = A[j];
+				t = v_ssub(u, dim1);
+				z = v_orbit_gt(z, v, t, 1 << 6);
+				t = v_max(t, v);
+				A[j] = t;
+				t = v_ssub(t, ai);
+				y = v_sel_gt(y, t, h, 3);
+				h = v_max(h, t);
+				/* B */
+				u = v_ssub(H1[j - 1], io); v = B[j];
+				t = v_ssub(u, di);
+				z = v_orbit_gt(z, v, t, 1 << 7);
+				t = v_max(t, v);
+				B[j] = t;
+				t = v_ssub(t, aim2);
+				y = v_sel_gt(y, t, h, 4);
+				h = v_max(h, t);
+				/* C */
+				v = C[j];
+				t = v_ssub(u, dip1);
+				z = v_orbit_gt(z, v, t, (int16_t)(1 << 8));
+				t = v_max(t, v);
+				C[j] = t;
+				t = v_ssub(t, aim1);
+				y = v_sel_gt(y, t, h, 5);
+				h = v_max(h, t);
+				/* frameshift transitions */
+				t = v_ssub(H1[j], fs);
+				y = v_sel_gt(y, t, h, 6);
+				h = v_max(h, t);
+				t = v_ssub(H2[j], fs);
+				y = v_sel_gt(y, t, h, 7);
+				h = v_max(h, t);
+				t = v_ssub(H1[j - 1], fs);
+				y = v_sel_gt(y, t, h, 8);
+				h = v_max(h, t);
+				t = v_ssub(H2[j - 1], fs);
+				y = v_sel_gt(y, t, h, 9);
+				h = v_max(h, t);
+				z = z | y;
+				memcpy(tbi + j * VL, &z, 16);
+				H[j] = h;
+				last_h = h;
+			}
+			I = v_max(v_ssub(last_h, goe), v_ssub(I, ge));
+			for (k = 0; k < VL; ++k) { /* lazy-F */
+				I = v_shift_up(I, NEG16);
+				for (j = 0; j < slen; ++j) {
+					v16 h, z;
+					memcpy(&z, tbi + j * VL, 16);
+					h = H[j];
+					z = v_orbit_gt(z, I, h, (int16_t)(1 << 9));
+					h = v_max(h, I);
+					memcpy(tbi + j * VL, &z, 16);
+					H[j] = h;
+					h = v_ssub(h, goe);
+					I = v_ssub(I, ge);
+					if (v_all_le(I, h)) break;
+				}
+				if (j < slen) break;
+			}
+			tmpv = H3, H3 = H2, H2 = H1, H1 = H, H = tmpv;
+			tmpv = D3, D3 = D2, D2 = D1, D1 = D, D = tmpv;
+		}
+	}
+	if (!is_ext) *out_score = H1[(al - 1) % slen][(al - 1) / slen];
+	if (tb) {
+		*n_cigar = dp_backtrack(tb, slen, nl, al, cigar);
+		free(tb);
+	}
+	free(bufH);
+	free(prof);
+	free(nas); free(aas); free(donor); free(acceptor);
+}
