@@ -1,0 +1,159 @@
+"""Genome k-mer index: dense bucket array over modimer hashes.
+
+Mirrors the reference index (index.c): per-(contig,strand) six-frame
+modimer sketching, then a counting sort into a bucket array
+``ki[2^(4k - mod_bit)]`` of int64 start offsets plus ``kb[]`` of uint32
+block ids.  Block ids are global across contig-strands through the
+``bo[]`` offset table; ``block2pos`` recovers (contig,strand) by binary
+search.  The on-disk format is byte-compatible with reference ``.mpi``
+files (magic "MPI\\3"; index.c:189-229) so indexes can be exchanged and
+cross-validated with the reference tool.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import tables
+from .genome import NtDB
+from .options import IdxOpt
+from .sketch import sketch_nt4
+
+IDX_MAGIC = b"MPI\3"
+
+
+@dataclass
+class Index:
+    opt: IdxOpt
+    nt: NtDB
+    bo: np.ndarray        # uint32, 2*n_ctg+1 block offsets (index.c:11-26)
+    ki: np.ndarray        # int64, n_bucket start offsets
+    kb: np.ndarray        # uint32, block ids per bucket
+
+    @property
+    def n_block(self) -> int:
+        return int(self.bo[-1])
+
+    @property
+    def n_kb(self) -> int:
+        return len(self.kb)
+
+    # ---------- build ----------
+
+    @staticmethod
+    def _block_offsets(nt: NtDB, bbit: int) -> np.ndarray:
+        bo = np.zeros(nt.n_ctg * 2 + 1, np.uint32)
+        off = 0
+        for i, c in enumerate(nt.ctg):
+            nblk = (c.len + (1 << bbit) - 1) >> bbit
+            bo[i << 1 | 0] = off
+            off += nblk
+            bo[i << 1 | 1] = off
+            off += nblk
+        assert off < 0xFFFFFFFF
+        bo[nt.n_ctg * 2] = off
+        return bo
+
+    @classmethod
+    def build(cls, fn_or_db, opt: IdxOpt) -> "Index":
+        """Build from a FASTA path or an NtDB (mp_idx_build, index.c:97-136)."""
+        nt = fn_or_db if isinstance(fn_or_db, NtDB) else NtDB.from_fasta(fn_or_db)
+        bo = cls._block_offsets(nt, opt.bbit)
+        parts = []
+        for cid in range(nt.n_ctg):
+            for strand in (0, 1):
+                seq = nt.get(cid, 0, -1, bool(strand))
+                parts.append(sketch_nt4(seq, opt.min_aa_len, opt.kmer,
+                                        opt.mod_bit, opt.bbit,
+                                        int(bo[cid << 1 | strand]),
+                                        opt.trans_code))
+        allv = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        # contig-strand block ranges are disjoint, so a global sort+unique
+        # equals the reference's per-strand dedup + counting sort
+        allv = np.unique(allv)
+        n_bucket = opt.n_bucket
+        counts = np.bincount((allv >> np.uint64(32)).astype(np.int64),
+                             minlength=n_bucket)
+        ki = np.zeros(n_bucket, np.int64)
+        np.cumsum(counts[:-1], out=ki[1:])
+        kb = allv.astype(np.uint32)  # low 32 bits
+        return cls(opt, nt, bo, ki, kb)
+
+    # ---------- queries ----------
+
+    def bucket(self, h: int) -> np.ndarray:
+        """Block ids for hash h."""
+        st = int(self.ki[h])
+        en = int(self.ki[h + 1]) if h + 1 < len(self.ki) else len(self.kb)
+        return self.kb[st:en]
+
+    def bucket_counts(self, hashes: np.ndarray) -> np.ndarray:
+        """Occurrence count per hash (vectorized)."""
+        h = hashes.astype(np.int64)
+        st = self.ki[h]
+        en = np.where(h + 1 < len(self.ki), self.ki[np.minimum(h + 1, len(self.ki) - 1)],
+                      len(self.kb))
+        return en - st
+
+    def block2pos(self, b: int) -> int:
+        """Block id -> contig-strand vid (mp_idx_block2pos, index.c:28-44)."""
+        i = int(np.searchsorted(self.bo, b, side="right")) - 1
+        if i >= self.nt.n_ctg * 2:
+            return -1
+        return i
+
+    def print_stat(self, max_occ: int) -> str:
+        n = len(self.ki)
+        cnt = np.diff(np.concatenate([self.ki, [self.n_kb]]))[: n - 1]
+        occupied = int((cnt > 0).sum())
+        large = cnt > max_occ
+        n_large = int(large.sum())
+        tot = int(cnt[~large].sum())
+        mean = tot / (occupied - n_large) if occupied > n_large else 0.0
+        return (f"{occupied} distinct k-mers; mean occ of infrequent k-mers: "
+                f"{mean:.2f}; {n_large} frequent k-mers accounting for "
+                f"{int(cnt[large].sum())} occurrences")
+
+    # ---------- I/O (.mpi compatible; index.c:189-229) ----------
+
+    def dump(self, fn: str) -> None:
+        with open(fn, "wb") as fp:
+            fp.write(IDX_MAGIC)
+            o = self.opt
+            fp.write(struct.pack("<4iI", o.bbit, o.min_aa_len, o.kmer,
+                                 o.mod_bit, o.trans_code))
+            fp.write(struct.pack("<q", self.n_kb))
+            self.nt.dump(fp)
+            fp.write(self.ki.astype("<i8").tobytes())
+            fp.write(self.kb.astype("<u4").tobytes())
+
+    @classmethod
+    def restore(cls, fn: str) -> "Index":
+        with open(fn, "rb") as fp:
+            magic = fp.read(4)
+            if magic != IDX_MAGIC:
+                raise ValueError(f"{fn}: not an index file")
+            bbit, min_aa_len, kmer, mod_bit, trans_code = struct.unpack("<4iI", fp.read(20))
+            opt = IdxOpt(bbit=bbit, min_aa_len=min_aa_len, kmer=kmer,
+                         mod_bit=mod_bit, trans_code=trans_code)
+            (n_kb,) = struct.unpack("<q", fp.read(8))
+            nt = NtDB.restore(fp)
+            ki = np.frombuffer(fp.read(8 * opt.n_bucket), dtype="<i8").copy()
+            kb = np.frombuffer(fp.read(4 * n_kb), dtype="<u4").copy()
+        bo = cls._block_offsets(nt, opt.bbit)
+        return cls(opt, nt, bo, ki, kb)
+
+    @classmethod
+    def load(cls, fn: str, opt: IdxOpt) -> "Index":
+        """Load a prebuilt .mpi or build from FASTA (mp_idx_load)."""
+        try:
+            with open(fn, "rb") as fp:
+                magic = fp.read(4)
+        except OSError:
+            magic = b""
+        if magic == IDX_MAGIC:
+            return cls.restore(fn)
+        return cls.build(fn, opt)
