@@ -1,0 +1,367 @@
+"""Alignment orchestration: per-region anchored DP with extensions.
+
+Python port of align.c driving the native striped DP (or, on TPU, the
+Pallas kernels): anchor filtering to "tight blocks", left/right
+extension with the cheaper terminal-intron retry, per-gap global DP,
+and the per-CIGAR-op accounting pass that produces alignment statistics
+and per-exon features (mp_align / mp_extra_cal, align.c:82-342).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import native, tables
+from .hits import Extra, Feat, Region
+from .native import DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT
+from .options import MapOpt
+
+C_M, C_I, C_D, C_N, C_F, C_G, C_U, C_V = 0, 1, 2, 3, 10, 11, 12, 13
+CIGAR_STR = "MIDNSHP=XBFGUVE"
+
+
+def filter_seed(a: np.ndarray, max_aa_dist: int, min_cnt: int, kmer2: int,
+                trim_back: int) -> np.ndarray:
+    """Mark (bit 31) anchors inside tight in-frame blocks, trimming the
+    block edges (mp_filter_seed, align.c:6-31).  Returns modified a."""
+    cnt = len(a)
+    av = a.view(np.uint64)
+    i = 0
+    while i < cnt:
+        j = i + 1
+        while j < cnt:
+            x0 = int(av[j - 1] >> np.uint64(32))
+            y0 = int(av[j - 1] & np.uint64(0xFFFFFFFF))
+            x1 = int(av[j] >> np.uint64(32))
+            y1 = int(av[j] & np.uint64(0xFFFFFFFF))
+            if (x1 - x0) % 3 != 0 or x1 - x0 > max_aa_dist * 3 or y1 - y0 > max_aa_dist:
+                break
+            j += 1
+        if j - i >= min_cnt:
+            t = int(av[j - 1] & np.uint64(0xFFFFFFFF))
+            k = j - 2
+            while k >= i:
+                if t - int(av[k] & np.uint64(0xFFFFFFFF)) >= trim_back:
+                    break
+                k -= 1
+            t = int(av[i] & np.uint64(0xFFFFFFFF)) + 1 - kmer2
+            while i < k:
+                if int(av[i] & np.uint64(0xFFFFFFFF)) + 1 - t >= trim_back:
+                    break
+                i += 1
+            while i <= k:
+                av[i] |= np.uint64(1) << np.uint64(31)
+                i += 1
+            i = j - 1
+        i += 1
+    return a
+
+
+def score_ungapped(nseq: np.ndarray, aseq: np.ndarray, opt: MapOpt) -> int:
+    """Frame-0 ungapped rescoring (mp_score_ungapped, align.c:33-43)."""
+    T = tables.get_tables()
+    alen = len(nseq)
+    score = 0
+    mat = opt.mat
+    for i in range(0, alen, 3):
+        n0, n1, n2 = int(nseq[i]), int(nseq[i + 1]), int(nseq[i + 2])
+        if n0 > 3 or n1 > 3 or n2 > 3:
+            nt_aa = tables.AA_X
+        else:
+            nt_aa = int(T.codon[n0 << 4 | n1 << 2 | n2])
+        aa_aa = int(T.aa20[aseq[i // 3]])
+        score += int(mat[nt_aa, aa_aa])
+    return score
+
+
+class DpEnv:
+    """Prepared DP parameters shared across calls for one query batch
+    (mp_map2ns_opt, align.c:50-60)."""
+
+    def __init__(self, opt: MapOpt):
+        T = tables.get_tables()
+        sp = tables.splice_model_scores(opt.sp_model).astype(np.float32)
+        self.sp = (sp * np.float32(opt.sp_scale) + np.float32(0.499)).astype(np.int32)
+        self.kw = dict(mat=opt.mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon,
+                       sp=self.sp, sp_null_bonus=opt.sp_null_bonus,
+                       go=opt.go, ge=opt.ge, fs=opt.fs,
+                       xdrop=opt.xdrop, end_bonus=opt.end_bonus,
+                       ie_coef=opt.ie_coef, asize=opt.asize)
+        self.io = opt.io
+        self.io_end = opt.io_end
+
+    def dp(self, nsq, asq, flag, ss=None, io=None):
+        return native.dp16(nsq, asq, flag=flag, io=self.io if io is None else io,
+                           ss=ss, **self.kw)
+
+
+def push_cigar(cig: list[int], op: int, length: int) -> None:
+    """RLE cigar append; F/G never merge (ns_push_cigar, nasw.h:141-151)."""
+    if not cig or op != (cig[-1] & 0xF) or op == C_F or op == C_G:
+        cig.append(length << 4 | op)
+    else:
+        cig[-1] += length << 4
+
+
+def align_seq(env: DpEnv, opt: MapOpt, nseq: np.ndarray, aseq: np.ndarray,
+              ss, cig: list[int]) -> int:
+    """One anchored gap: trivial all-match shortcut or CIGAR DP
+    (mp_align_seq, align.c:62-80)."""
+    nlen, alen = len(nseq), len(aseq)
+    if nlen == alen * 3 and alen <= opt.kmer2:
+        push_cigar(cig, C_M, alen)
+        return score_ungapped(nseq, aseq, opt)
+    score, _, _, c = env.dp(nseq, aseq, DPF_CIGAR, ss=ss)
+    for op in c:
+        push_cigar(cig, int(op) & 0xF, int(op) >> 4)
+    return score
+
+
+def extra_stop(r: Region, nt: np.ndarray, as_: int, ae: int) -> int:
+    """bp to the next in-frame stop codon downstream (align.c:214-224)."""
+    T = tables.get_tables()
+    j = r.ve
+    while j + 2 < ae:
+        i = j - as_
+        n0, n1, n2 = int(nt[i]), int(nt[i + 1]), int(nt[i + 2])
+        aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
+        if aa == 20:
+            return j - r.ve
+        j += 3
+    return -1
+
+
+def extra_start(r: Region, nt: np.ndarray, as_: int, ae: int) -> int:
+    """bp to the closest upstream in-frame 'M' before a stop (align.c:226-237)."""
+    T = tables.get_tables()
+    j = r.vs
+    while j >= as_ and j + 2 < ae:
+        i = j - as_
+        n0, n1, n2 = int(nt[i]), int(nt[i + 1]), int(nt[i + 2])
+        aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
+        if aa == 20:
+            break
+        if aa == 12:  # Met
+            return r.vs - j
+        j -= 3
+    return -1
+
+
+def extra_cal(r: Region, opt: MapOpt, nt: np.ndarray, l_nt: int,
+              aa: np.ndarray, qlen: int, has_spsc: bool) -> None:
+    """Per-CIGAR-op statistics + per-exon features (mp_extra_cal,
+    align.c:82-201).  nt is the window starting at r.vs; aa starts at r.qs."""
+    T = tables.get_tables()
+    e = r.p
+    mat = opt.mat
+    has_stop = (r.qe == qlen and e.dist_stop == 0)
+    n_intron = sum(1 for c in e.cigar if (int(c) & 0xF) in (C_N, C_U, C_V))
+    r.n_exon = n_intron + 1
+    feats: list[Feat] = []
+
+    e.blen = e.n_iden = e.n_plus = e.n_fs = e.n_stop = e.dp_max = 0
+    blen0 = n_iden0 = score0 = n_fs0 = n_stop0 = 0
+    phase0 = 0
+    vs0, qs0 = r.vs, r.qs
+    acceptor0 = ""
+    nl = al = 0
+    for c in e.cigar:
+        op, ln = int(c) & 0xF, int(c) >> 4
+        ln3 = ln * 3
+        if op == C_M:
+            i, j = nl, al
+            for _ in range(ln):
+                n0, n1, n2 = int(nt[i]), int(nt[i + 1]), int(nt[i + 2])
+                nt_aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
+                aa_aa = int(T.aa20[aa[j]])
+                s = int(mat[nt_aa, aa_aa])
+                e.n_stop += nt_aa == tables.AA_STOP
+                e.n_iden += nt_aa == aa_aa
+                e.n_plus += s > 0
+                e.dp_max += s
+                i += 3
+                j += 1
+            nl += ln3
+            al += ln
+            e.blen += ln3
+        elif op == C_I:
+            e.dp_max -= opt.go + opt.ge * ln
+            al += ln
+            e.blen += ln3
+        elif op == C_D:
+            i = nl
+            for _ in range(ln):
+                n0, n1, n2 = int(nt[i]), int(nt[i + 1]), int(nt[i + 2])
+                nt_aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
+                e.n_stop += nt_aa == tables.AA_STOP
+                i += 3
+            e.dp_max -= opt.go + opt.ge * ln
+            nl += ln3
+            e.blen += ln3
+        elif op == C_F:
+            e.dp_max -= opt.fs
+            nl += ln
+            e.blen += ln
+            e.n_fs += 1
+        elif op == C_G:
+            e.dp_max -= opt.fs
+            nl += ln
+            al += 1
+            e.blen += 3
+            e.n_fs += 1
+        elif op in (C_N, C_U, C_V):
+            if op in (C_U, C_V):  # split codon at a phase-1/2 intron
+                if op == C_U:
+                    n0, n1, n2 = int(nt[nl]), int(nt[nl + ln - 2]), int(nt[nl + ln - 1])
+                else:
+                    n0, n1, n2 = int(nt[nl]), int(nt[nl + 1]), int(nt[nl + ln - 1])
+                nt_aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
+                aa_aa = int(T.aa20[aa[al]])
+                s = int(mat[nt_aa, aa_aa])
+                e.n_stop += nt_aa == tables.AA_STOP
+                e.n_iden += nt_aa == aa_aa
+                e.n_plus += s > 0
+                e.dp_max += s
+                e.blen += 3
+            f = Feat(type=0, vs=vs0, qs=qs0, qe=r.qs + al, phase=phase0)
+            f.blen = e.blen - blen0
+            f.n_iden = e.n_iden - n_iden0
+            f.n_fs = e.n_fs - n_fs0
+            f.n_stop = e.n_stop - n_stop0
+            f.score = e.dp_max - score0
+            if feats:
+                f.acceptor = acceptor0
+            if op == C_N:
+                f.ve = r.vs + nl
+                vs0, phase0 = r.vs + nl + ln, 0
+            elif op == C_U:
+                f.ve = r.vs + nl + 1
+                vs0, phase0 = r.vs + nl + ln - 2, 2
+            else:
+                f.ve = r.vs + nl + 2
+                vs0, phase0 = r.vs + nl + ln - 1, 1
+            d0 = tables.NT_I2C[nt[f.ve - r.vs]] if f.ve - r.vs < l_nt else "."
+            d1 = tables.NT_I2C[nt[f.ve - r.vs + 1]] if f.ve - r.vs + 1 < l_nt else "."
+            f.donor = d0 + d1
+            qs0 = f.qe
+            n_fs0, n_stop0, score0 = e.n_fs, e.n_stop, e.dp_max
+            blen0, n_iden0 = e.blen, e.n_iden
+            a0 = tables.NT_I2C[nt[vs0 - r.vs - 2]] if vs0 - r.vs >= 2 else "."
+            a1 = tables.NT_I2C[nt[vs0 - r.vs - 1]] if vs0 - r.vs >= 1 else "."
+            acceptor0 = a0 + a1
+            feats.append(f)
+            nl += ln
+            al += op != C_N
+    f = Feat(type=0, vs=vs0, ve=r.vs + nl, qs=qs0, qe=r.qs + al, phase=phase0)
+    f.blen = e.blen - blen0
+    f.n_iden = e.n_iden - n_iden0
+    f.n_fs = e.n_fs - n_fs0
+    f.n_stop = e.n_stop - n_stop0
+    f.score = e.dp_max - score0
+    if feats:
+        f.acceptor = acceptor0
+    feats.append(f)
+    if has_stop:
+        ve_mRNA = r.ve + 3
+        feats.append(Feat(type=1, vs=ve_mRNA - 3, ve=ve_mRNA, qs=r.qe + al,
+                          qe=r.qe + al, phase=0, n_fs=0, blen=3, n_iden=0))
+    r.feat = feats
+    if nl != r.ve - r.vs or al != r.qe - r.qs:
+        # only possible with --spsc tiny-UV edge cases (align.c:194-199)
+        r.p = None
+        r.feat = None
+
+
+def align_region(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
+                 r: Region, extl0: int, extr0: int, dbg_more_dp: bool = False) -> None:
+    """Full per-region alignment (mp_align, align.c:239-342).
+
+    aa: full query as raw bytes.  Sets r.p / r.feat, updates coordinates.
+    """
+    assert r.cnt > 0
+    i0 = 0
+    if not dbg_more_dp:
+        filter_seed(r.a, 6, 3, opt.kmer2, opt.kmer2 + 1)
+        marked = (r.a >> np.uint64(31)) & np.uint64(1)
+        nz = np.flatnonzero(marked)
+        if len(nz) == 0:
+            r.a = np.empty(0, np.uint64)
+            return
+        i0 = int(nz[0])
+
+    extl = extr = opt.max_ext
+    if r.qs >= 10:
+        extl = opt.max_intron // 2
+    if qlen - r.qe >= 10:
+        extr = opt.max_intron // 2
+    if extl0 > 0:
+        extl = min(extl, extl0)
+    if extr0 > 0:
+        extr = min(extr, extr0)
+    ctg_len = mi.nt.ctg[r.vid >> 1].len
+    as_ = r.vs - extl if r.vs > extl else 0
+    ae = min(r.ve + extr, ctg_len)
+    nt = mi.nt.get_by_v(r.vid, as_, ae)
+    l_nt = len(nt)
+    assert l_nt == ae - as_
+    ss = mi.nt.spsc_get_by_v(r.vid, as_, ae) if mi.nt.spsc is not None else None
+    vs0 = r.vs
+    cig: list[int] = []
+    score = 0
+
+    # left extension (align.c:280-301)
+    vs1 = vs0 + int(r.a[i0] >> np.uint64(32)) + 1
+    as1 = int(r.a[i0] & np.uint64(0x7FFFFFFF)) + 1
+    _, nt_len, aa_len, _ = env.dp(nt[: vs1 - as_], aa[:as1], DPF_EXT_LEFT, ss=None if ss is None else ss[: vs1 - as_])
+    if aa_len != as1 and nt_len < opt.max_ext and env.io > env.io_end:
+        as_alt = vs1 - opt.max_ext if vs1 - as_ > opt.max_ext else as_
+        _, ntl2, aal2, _ = env.dp(nt[as_alt - as_: vs1 - as_], aa[:as1], DPF_EXT_LEFT,
+                                  ss=None if ss is None else ss[as_alt - as_: vs1 - as_],
+                                  io=env.io_end)
+        if aal2 == as1:
+            nt_len, aa_len = ntl2, aal2
+    r.vs = vs1 - nt_len
+    r.qs = as1 - aa_len
+    ne0 = r.vs - vs0
+    ae0 = r.qs
+
+    if dbg_more_dp:  # debug: one DP over the whole region (align.c:303-305)
+        score = align_seq(env, opt, nt[r.vs - as_: r.ve - as_], aa[ae0: r.qe],
+                          None if ss is None else ss[r.vs - as_: r.ve - as_], cig)
+    else:  # patch gaps between marked anchors (align.c:306-314)
+        for i in range(i0, r.cnt):
+            if not (int(r.a[i]) >> 31) & 1:
+                continue
+            ne1 = int(r.a[i] >> np.uint64(32)) + 1
+            ae1 = int(r.a[i] & np.uint64(0x7FFFFFFF)) + 1
+            score += align_seq(env, opt, nt[ne0 + vs0 - as_: ne1 + vs0 - as_],
+                               aa[ae0:ae1],
+                               None if ss is None else ss[ne0 + vs0 - as_: ne1 + vs0 - as_],
+                               cig)
+            ne0, ae0 = ne1, ae1
+        r.ve = ne0 + vs0
+        r.qe = ae0
+
+    # right extension (align.c:316-333)
+    if r.qe < qlen and r.ve < ae:
+        _, nt_len, aa_len, _ = env.dp(nt[r.ve - as_:], aa[r.qe:], DPF_EXT_RIGHT,
+                                      ss=None if ss is None else ss[r.ve - as_:])
+        if aa_len < qlen - r.qe and nt_len < opt.max_ext and env.io > env.io_end:
+            l_ext = min(ae - r.ve, opt.max_ext)
+            _, ntl2, aal2, _ = env.dp(nt[r.ve - as_: r.ve - as_ + l_ext], aa[r.qe:], DPF_EXT_RIGHT,
+                                      ss=None if ss is None else ss[r.ve - as_: r.ve - as_ + l_ext],
+                                      io=env.io_end)
+            if aal2 == qlen - r.qe:
+                nt_len, aa_len = ntl2, aal2
+        score += align_seq(env, opt, nt[r.ve - as_: r.ve - as_ + nt_len],
+                           aa[r.qe: r.qe + aa_len],
+                           None if ss is None else ss[r.ve - as_: r.ve - as_ + nt_len],
+                           cig)
+        r.ve += nt_len
+        r.qe += aa_len
+
+    r.p = Extra(dp_score=score, cigar=np.array(cig, dtype=np.uint32))
+    r.p.dist_stop = extra_stop(r, nt, as_, ae)
+    r.p.dist_start = extra_start(r, nt, as_, ae)
+    extra_cal(r, opt, nt[r.vs - as_:], l_nt - (r.vs - as_), aa[r.qs:], qlen,
+              mi.nt.spsc is not None)

@@ -1,0 +1,171 @@
+"""Per-query mapping driver: seed -> chain -> refine -> align.
+
+Python port of the mapping engine (map.c:32-240): protein modimer
+lookup against the bucket index with a dynamic per-query occurrence cap,
+two-level chaining (block resolution, then per-region re-seeding with
+all 5-mers at base resolution), and the final anchored DP round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import native
+from .align import DpEnv, align_region
+from .hits import (Region, cal_max_ext, reg_gen_from_block, select_multi_exon,
+                   select_sub, set_parent, sort_reg)
+from .index import Index
+from .options import F_NO_ALIGN, F_NO_PRE_CHAIN, F_NO_SPLICE, MapOpt
+from .sketch import sketch_nt4, sketch_prot
+
+
+def cal_max_occ(mi: Index, sd: np.ndarray) -> int:
+    """Boxplot outlier cap on k-mer occurrences (mp_cal_max_occ,
+    map.c:126-141)."""
+    n = len(sd)
+    cnt = mi.bucket_counts(sd >> np.uint64(32)).astype(np.uint64)
+    native.sort_u64(cnt)
+    q25 = int(cnt[int(n * 0.25 + 0.499)])
+    q75 = int(cnt[int(n * 0.75 + 0.499)])
+    return int(q75 + (q75 - q25) * 1.5 + 10.0)
+
+
+def refine_region(mi: Index, opt: MapOpt, aa: np.ndarray, r: Region,
+                  extl: int, extr: int) -> None:
+    """Second-round re-seeding at base resolution (mp_refine_reg,
+    map.c:32-111).  Clears r.a if no chain survives."""
+    kmer = opt.kmer2
+    is_splice = not (opt.flag & F_NO_SPLICE)
+    ctg_len = mi.nt.ctg[r.vid >> 1].len
+    as_ = r.vs - extl if r.vs > extl else 0
+    ae = min(r.ve + extr, ctg_len)
+    nt = mi.nt.get_by_v(r.vid, as_, ae)
+    sd_g = sketch_nt4(nt, mi.opt.min_aa_len, kmer, 0, 0, 0, mi.opt.trans_code)
+    sd_a = sketch_prot(aa, kmer, 0) | (np.uint64(1) << np.uint64(31))
+    sd = np.concatenate([sd_g, sd_a])
+    native.sort_u64(sd)
+
+    # per-hash cross product of genome x protein positions (map.c:53-79)
+    n = len(sd)
+    hashes = sd >> np.uint64(32)
+    prot_flag = (sd >> np.uint64(31)) & np.uint64(1)
+    pairs = []
+    k = 0
+    for i in range(1, n + 1):
+        if i == n or hashes[k] != hashes[i]:
+            j = k
+            while j < i and not prot_flag[j]:
+                j += 1
+            n1, n2 = j - k, i - j
+            if n1 > 0 and n2 > 0 and n1 * n2 <= opt.max_ava:
+                g = (sd[k:j] & np.uint64(0xFFFFFFFF)) << np.uint64(32)
+                q = sd[j:i] & np.uint64(0x7FFFFFFF)
+                pairs.append((g[:, None] | q[None, :]).reshape(-1))
+            k = i
+    if not pairs:
+        r.a = np.empty(0, np.uint64)
+        return
+    a = np.concatenate(pairs)
+    native.sort_u64(a)
+    a, u = native.chain(a, max_dist_x=opt.max_intron, max_dist_y=opt.max_gap,
+                        bw=opt.bw, max_skip=opt.max_chn_max_skip,
+                        max_iter=opt.max_chn_iter, min_cnt=opt.min_chn_cnt,
+                        min_sc=opt.min_chn_sc, chn_coef_log=opt.chn_coef_log,
+                        is_spliced=is_splice, kmer=kmer, bbit=0)
+    if len(u) == 0:
+        r.a = np.empty(0, np.uint64)
+        return
+    # keep the best chain (first max; map.c:89-96)
+    scores = (u >> np.uint64(32)).astype(np.int64)
+    max_i = int(np.argmax(scores))  # argmax returns first maximum
+    k = int(np.cumsum(u & np.uint64(0xFFFFFFFF))[max_i - 1]) if max_i > 0 else 0
+    n_a = int(u[max_i] & np.uint64(0xFFFFFFFF))
+    ra = a[k:k + n_a].copy()
+    r.chn_sc = int(u[max_i] >> np.uint64(32))
+    r.qs = int(ra[0] & np.uint64(0xFFFFFFFF)) - (kmer - 1)
+    r.qe = int(ra[-1] & np.uint64(0xFFFFFFFF)) + 1
+    r.vs = as_ + int(ra[0] >> np.uint64(32)) + 1 - 3 * kmer
+    r.ve = as_ + int(ra[-1] >> np.uint64(32)) + 1
+    # rebase anchors to region-local nt coordinates (map.c:107-108)
+    nt_off = ((ra >> np.uint64(32)).astype(np.int64) + (as_ - r.vs)).astype(np.uint64)
+    ra = (nt_off << np.uint64(32)) | (ra & np.uint64(0xFFFFFFFF))
+    r.a = ra
+    r.chn_sc_ungap = native.chn_sc_ungap(r.a, kmer)
+
+
+def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
+              env: DpEnv | None = None, dbg: dict | None = None) -> list[Region]:
+    """Map one protein against the index (mp_map, map.c:143-240)."""
+    if not isinstance(seq, np.ndarray):
+        seq = np.frombuffer(seq, dtype=np.uint8)
+    qlen = len(seq)
+    is_splice = not (opt.flag & F_NO_SPLICE)
+    io = mi.opt
+    if env is None:
+        env = DpEnv(opt)
+    dbg = dbg or {}
+
+    sd = sketch_prot(seq, io.kmer, io.mod_bit)
+    native.sort_u64(sd)
+    if len(sd) >= 8:
+        max_occ = min(cal_max_occ(mi, sd), opt.max_occ)
+    else:
+        max_occ = opt.max_occ
+
+    # bucket lookups -> anchors blockId<<32|qpos (map.c:163-177)
+    parts = []
+    for s in sd:
+        h = int(s >> np.uint64(32))
+        blocks = mi.bucket(h)
+        if len(blocks) <= max_occ:
+            parts.append(blocks.astype(np.uint64) << np.uint64(32)
+                         | np.uint64(int(s) & 0xFFFFFFFF))
+    a = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    native.sort_u64(a)
+
+    # pre-chain at block bandwidth (map.c:186-192)
+    if not (opt.flag & F_NO_PRE_CHAIN) and is_splice:
+        w = 1 << io.bbit
+        a, u = native.chain(a, max_dist_x=w, max_dist_y=w, bw=w,
+                            max_skip=opt.max_chn_max_skip, max_iter=opt.max_chn_iter,
+                            min_cnt=2, min_sc=0, chn_coef_log=opt.chn_coef_log,
+                            is_spliced=is_splice, kmer=io.kmer, bbit=io.bbit)
+        native.sort_u64(a)
+
+    # main chain (map.c:194-200)
+    a, u = native.chain(a, max_dist_x=opt.max_intron, max_dist_y=opt.max_gap,
+                        bw=opt.bw, max_skip=opt.max_chn_max_skip,
+                        max_iter=opt.max_chn_iter, min_cnt=opt.min_chn_cnt,
+                        min_sc=opt.min_chn_sc, chn_coef_log=opt.chn_coef_log,
+                        is_spliced=is_splice, kmer=io.kmer, bbit=io.bbit)
+    regs = reg_gen_from_block(mi, u, a)
+    regs = sort_reg(regs)
+    set_parent(opt.mask_level, opt.mask_len, regs, io.kmer, 0)
+    regs = select_sub(opt.pri_ratio * opt.pri_ratio, io.kmer * 2, opt.best_n, regs)
+
+    # refinement round (map.c:205-222)
+    if not dbg.get("no_refine"):
+        ext = cal_max_ext(None, regs, 100, opt.max_ext)
+        kept = []
+        for r, (el, er) in zip(regs, ext):
+            refine_region(mi, opt, seq, r, el, er)
+            if r.cnt > 0:
+                kept.append(r)
+        regs = sort_reg(kept)
+        set_parent(opt.mask_level, opt.mask_len, regs, io.kmer, 0)
+        regs = select_sub(opt.pri_ratio * opt.pri_ratio, io.kmer * 2, opt.best_n, regs)
+
+    # alignment round (map.c:223-237)
+    if not (opt.flag & F_NO_ALIGN):
+        ext = cal_max_ext(mi.nt, regs, 100, opt.max_intron // 2)
+        kept = []
+        for r, (el, er) in zip(regs, ext):
+            align_region(env, opt, mi, qlen, seq, r, el, er,
+                         dbg_more_dp=bool(dbg.get("more_dp")))
+            if r.p is not None:
+                kept.append(r)
+        regs = sort_reg(kept)
+        select_multi_exon(regs, opt.io)
+        set_parent(opt.mask_level, opt.mask_len, regs, io.kmer, 0)
+        regs = select_sub(opt.pri_ratio, io.kmer * 2, opt.best_n, regs)
+    return regs

@@ -1,0 +1,40 @@
+import os
+
+# Run all tests on the CPU backend with a virtual 8-device mesh so
+# multi-chip sharding logic is exercised without TPU hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+
+import pytest
+
+REF_DIR = pathlib.Path("/root/reference")
+REF_BIN = pathlib.Path("/tmp/refbuild/miniprot")
+GENOME = REF_DIR / "test" / "DPP3-hs.gen.fa.gz"
+QUERY = REF_DIR / "test" / "DPP3-mm.pep.fa.gz"
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def dpp3_files():
+    if not GENOME.exists():
+        pytest.skip("reference DPP3 fixtures not available")
+    return str(GENOME), str(QUERY)
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    """Build the reference binary in /tmp if sources are available."""
+    if REF_BIN.exists():
+        return str(REF_BIN)
+    if not REF_DIR.exists():
+        pytest.skip("reference sources not available")
+    subprocess.run(
+        f"mkdir -p /tmp/refbuild && cp -r {REF_DIR}/* /tmp/refbuild/ && "
+        "make -C /tmp/refbuild -j8 >/dev/null 2>&1",
+        shell=True, check=True)
+    return str(REF_BIN)

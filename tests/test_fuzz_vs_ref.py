@@ -1,0 +1,83 @@
+"""Randomized end-to-end parity: synthetic multi-exon genes vs reference."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from miniprot_tpu import tables
+
+
+AA = "ARNDCQEGHILKMFPSTWYV"
+
+
+def make_aa2codons():
+    T = tables.get_tables(1)
+    m = {}
+    for c in range(64):
+        aa = tables.AA_I2C[T.codon[c]]
+        b = "ACGT"[c >> 4] + "ACGT"[(c >> 2) & 3] + "ACGT"[c & 3]
+        m.setdefault(aa, []).append(b)
+    return m
+
+
+def synth(rng, path_fa, path_faa, n_genes=2):
+    aa2c = make_aa2codons()
+    glen = int(rng.integers(15000, 40000))
+    g = list(rng.choice(list("ACGT"), glen))
+    prots = []
+    for _ in range(n_genes):
+        plen = int(rng.integers(60, 250))
+        prot = "".join(rng.choice(list(AA), plen))
+        n_ex = int(rng.integers(1, 5))
+        cuts = sorted(rng.choice(np.arange(1, plen), n_ex - 1,
+                                 replace=False).tolist()) if n_ex > 1 else []
+        bounds = [0] + cuts + [plen]
+        start = int(rng.integers(0, glen - plen * 3 - n_ex * 2600 - 10))
+        pos = start
+        for e in range(n_ex):
+            for ch in prot[bounds[e]:bounds[e + 1]]:
+                cod = aa2c[ch][int(rng.integers(len(aa2c[ch])))]
+                g[pos:pos + 3] = list(cod)
+                pos += 3
+            if e < n_ex - 1:
+                ilen = int(rng.integers(80, 2500))
+                g[pos], g[pos + 1] = "G", "T"
+                g[pos + ilen - 2], g[pos + ilen - 1] = "A", "G"
+                pos += ilen
+        p = list(prot)
+        for _ in range(int(rng.integers(0, max(2, plen // 20)))):
+            p[int(rng.integers(plen))] = AA[int(rng.integers(20))]
+        if rng.random() < 0.3:
+            k = int(rng.integers(1, plen - 1))
+            if rng.random() < 0.5:
+                del p[k]
+            else:
+                p.insert(k, AA[int(rng.integers(20))])
+        prots.append("".join(p))
+    s = "".join(g)
+    with open(path_fa, "w") as f:
+        f.write(">chrT\n")
+        for i in range(0, glen, 60):
+            f.write(s[i:i + 60] + "\n")
+    with open(path_faa, "w") as f:
+        for i, p in enumerate(prots):
+            f.write(f">prot{i}\n{p}\n")
+
+
+@pytest.mark.parametrize("seed,mode", [
+    (101, []), (102, ["--gff"]), (103, ["-j", "2"]), (104, ["--gtf"]),
+    (105, ["--aln"]), (106, ["-u"]),
+])
+def test_fuzz_parity(ref_binary, tmp_path, seed, mode):
+    rng = np.random.default_rng(seed)
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    synth(rng, fa, faa)
+    ref = subprocess.run([ref_binary, "-t1", *mode, fa, faa],
+                         capture_output=True, text=True).stdout
+    import contextlib, io
+    from miniprot_tpu import cli
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main([*mode, fa, faa]) == 0
+    assert buf.getvalue() == ref

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from miniprot_tpu import native, tables
+from miniprot_tpu.native import DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT
+
+
+def dp_kwargs(io=29, fs=23, sp_model=1):
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, fs)
+    return dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon,
+                sp=tables.splice_model_scores(sp_model), sp_null_bonus=-7,
+                go=11, ge=1, io=io, fs=fs, xdrop=100, end_bonus=5, ie_coef=0.5)
+
+
+def test_sort_u64_sorts():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**63, 5000).astype(np.uint64)
+    native.sort_u64(a)
+    assert (np.diff(a.astype(object)) >= 0).all()
+
+
+def test_sort_pair_keyed_on_x():
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 50, 3000).astype(np.uint64)
+    xy = np.stack([x, np.arange(3000, dtype=np.uint64)], axis=1)
+    native.sort_pair(xy)
+    assert (np.diff(xy[:, 0].astype(np.int64)) >= 0).all()
+    # same multiset of payloads
+    assert set(xy[:, 1].tolist()) == set(range(3000))
+
+
+def test_dp_exact_match():
+    # genome encodes MKLV exactly
+    ns = np.frombuffer(b"ATGAAACTTGTT", np.uint8)
+    aa = np.frombuffer(b"MKLV", np.uint8)
+    sc, ntl, aal, cig = native.dp16(ns, aa, flag=DPF_CIGAR, **dp_kwargs())
+    assert cig.tolist() == [4 << 4 | 0]  # 4M
+    m = dp_kwargs()["mat"]
+    T = tables.get_tables(1)
+    exp = sum(int(m[T.aa20[c], T.aa20[c]]) for c in b"MKLV")
+    assert sc == exp
+
+
+def test_dp_intron():
+    # MK <GT..intron..AG> LV with a phase-0 intron
+    exon1, exon2 = b"ATGAAA", b"CTTGTT"
+    intron = b"GTAAGT" + b"T" * 100 + b"TTTCAG"
+    ns = np.frombuffer(exon1 + intron + exon2, np.uint8)
+    aa = np.frombuffer(b"MKLV", np.uint8)
+    sc, _, _, cig = native.dp16(ns, aa, flag=DPF_CIGAR, **dp_kwargs())
+    ops = [(c >> 4, "MIDNSHP=XBFGUVE"[c & 0xF]) for c in cig]
+    assert (112, "N") in ops, ops  # recognized the intron
+
+
+def test_dp_frameshift():
+    # single-base deletion inside a codon run -> frameshift op
+    ns = np.frombuffer(b"ATGAAACTGTTCGT", np.uint8)  # MKL + broken
+    aa = np.frombuffer(b"MKLV", np.uint8)
+    sc, _, _, cig = native.dp16(ns, aa, flag=DPF_CIGAR, **dp_kwargs())
+    assert any((c & 0xF) in (10, 11) for c in cig)  # has F or G
+
+
+def test_dp_extension_stops_early():
+    ns = np.frombuffer(b"ATGAAACTTGTT" + b"CCCCCC" * 30, np.uint8)
+    aa = np.frombuffer(b"MKLV", np.uint8)
+    sc, ntl, aal, _ = native.dp16(ns, aa, flag=DPF_EXT_RIGHT, **dp_kwargs())
+    assert aal == 4 and ntl == 12
+
+
+def test_dp_ext_left_reversed():
+    ns = np.frombuffer(b"ATGAAACTTGTT", np.uint8)
+    aa = np.frombuffer(b"MKLV", np.uint8)
+    sc, ntl, aal, _ = native.dp16(ns, aa, flag=DPF_EXT_LEFT, **dp_kwargs())
+    assert aal == 4 and ntl == 12
+
+
+def test_cigar_consumption_property():
+    """CIGAR must consume exactly (nl-ish, al) as align.c:194-200 asserts."""
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        nl = int(rng.integers(9, 200))
+        al = int(rng.integers(1, 60))
+        ns = rng.choice(list(b"ACGT"), nl).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), al).astype(np.uint8)
+        _, _, _, cig = native.dp16(ns, aa, flag=DPF_CIGAR, **dp_kwargs())
+        n_nt = n_aa = 0
+        for c in cig:
+            op, ln = c & 0xF, int(c) >> 4
+            if op == 0:
+                n_nt += 3 * ln
+                n_aa += ln
+            elif op == 1:
+                n_aa += ln
+            elif op == 2:
+                n_nt += 3 * ln
+            elif op == 3:
+                n_nt += ln
+            elif op in (12, 13):
+                n_nt += ln
+                n_aa += 1
+            elif op == 10:
+                n_nt += ln
+            elif op == 11:
+                n_nt += ln
+                n_aa += 1
+        assert n_nt == nl and n_aa == al, (nl, al, n_nt, n_aa)
+
+
+def test_chain_simple_diagonal():
+    # anchors on one diagonal chain together
+    a = np.sort(np.array([(int(p) << 32) | q for p, q in
+                          [(100, 10), (101, 11), (102, 12), (103, 13)]], dtype=np.uint64))
+    out_a, u = native.chain(a, max_dist_x=256, max_dist_y=256, bw=256,
+                            max_skip=25, max_iter=10**6, min_cnt=3, min_sc=0,
+                            chn_coef_log=0.75, is_spliced=True, kmer=6, bbit=8)
+    assert len(u) == 1
+    assert int(u[0] & 0xFFFFFFFF) == 4
