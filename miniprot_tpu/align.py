@@ -58,18 +58,23 @@ def filter_seed(a: np.ndarray, max_aa_dist: int, min_cnt: int, kmer2: int,
 
 
 def score_ungapped(nseq: np.ndarray, aseq: np.ndarray, opt: MapOpt) -> int:
-    """Frame-0 ungapped rescoring (mp_score_ungapped, align.c:33-43)."""
+    """Frame-0 ungapped rescoring (mp_score_ungapped, align.c:33-43).
+
+    NB: the reference's loop runs ``for (i=0; i < alen; i += 3)`` with
+    alen in aa units, so only ceil(alen/3) codons are scored; this quirk
+    is load-bearing for dp_score parity.
+    """
     T = tables.get_tables()
-    alen = len(nseq)
+    alen = len(aseq)
     score = 0
     mat = opt.mat
-    for i in range(0, alen, 3):
+    for j, i in enumerate(range(0, alen, 3)):
         n0, n1, n2 = int(nseq[i]), int(nseq[i + 1]), int(nseq[i + 2])
         if n0 > 3 or n1 > 3 or n2 > 3:
             nt_aa = tables.AA_X
         else:
             nt_aa = int(T.codon[n0 << 4 | n1 << 2 | n2])
-        aa_aa = int(T.aa20[aseq[i // 3]])
+        aa_aa = int(T.aa20[aseq[j]])
         score += int(mat[nt_aa, aa_aa])
     return score
 
