@@ -1,0 +1,119 @@
+"""Benchmark: sustained GCUPS of the Pallas splice/frameshift DP kernel.
+
+Prints one JSON line:
+  {"metric": "nasw_dp_gcups", "value": N, "unit": "GCUPS", "vs_baseline": R}
+
+vs_baseline is the ratio against one CPU core of the reference
+implementation running its SSE nasw kernel on the same machine
+(measured 0.50 GCUPS here; re-measured live when the reference binary
+is available).  The paper target is >=10x a reference core.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import time
+
+import numpy as np
+
+REF_CORE_GCUPS_FALLBACK = 0.50  # measured: /tmp/refbench 10000 500 50 1
+
+
+def measure_ref_core() -> float:
+    """Measure the reference nasw kernel on one CPU core if available."""
+    try:
+        if not os.path.exists("/tmp/refbuild/libminiprot.a"):
+            if not os.path.isdir("/root/reference"):
+                return REF_CORE_GCUPS_FALLBACK
+            subprocess.run(
+                "mkdir -p /tmp/refbuild && cp -r /root/reference/* /tmp/refbuild/"
+                " && make -C /tmp/refbuild -j8 >/dev/null 2>&1",
+                shell=True, check=True, timeout=120)
+        src = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <time.h>
+#include "nasw.h"
+int main() {
+    int nl = 10000, al = 500, iters = 50;
+    char *ns = malloc(nl), *as = malloc(al);
+    ns_opt_t opt; ns_rst_t r;
+    srand(7);
+    for (int i = 0; i < nl; ++i) ns[i] = "ACGT"[rand()&3];
+    for (int i = 0; i < al; ++i) as[i] = "ARNDCQEGHILKMFPSTWYV"[rand()%20];
+    ns_make_tables(1); ns_opt_init(&opt); opt.flag = NS_F_CIGAR;
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    long cells = 0;
+    for (int it = 0; it < iters; ++it) {
+        ns_rst_init(&r);
+        ns_global_gs16b(0, ns, nl, as, al, &opt, 0, &r);
+        cells += (long)nl * al;
+        if (r.cigar) free(r.cigar);
+    }
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    double dt = (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+    printf("%.4f\n", cells / dt / 1e9);
+    return 0;
+}
+"""
+        with open("/tmp/_refgcups.c", "w") as f:
+            f.write(src)
+        subprocess.run(
+            "gcc -O3 -std=gnu99 -I/tmp/refbuild /tmp/_refgcups.c -o /tmp/_refgcups"
+            " -L/tmp/refbuild -lminiprot -lz -lm -lpthread",
+            shell=True, check=True, timeout=60)
+        out = subprocess.run(["/tmp/_refgcups"], capture_output=True, text=True,
+                             timeout=120, check=True)
+        return float(out.stdout.strip())
+    except Exception:
+        return REF_CORE_GCUPS_FALLBACK
+
+
+def measure_pallas_gcups() -> float:
+    import jax
+
+    from miniprot_tpu.kernels import nasw_pallas as nk
+
+    AL, NL, B = 512, 10240, nk.B_LANES
+    call = nk._compiled_ext(AL, NL, 11, 1, 23, 29, 100, 5,
+                            jax.default_backend() != "tpu")
+    rng = np.random.default_rng(1)
+    nas = rng.integers(0, 20, (NL, B)).astype(np.int32)
+    d = rng.integers(0, 31, (NL, B)).astype(np.int32)
+    logpen = np.zeros((NL, B), np.int32)
+    nlv = np.full((NL, B), NL, np.int32)
+    prof = rng.integers(-4, 12, (22, AL, B)).astype(np.int32)
+    em = np.zeros((AL, B), np.int32)
+    em[AL - 1] = 1
+    args = [jax.device_put(x) for x in
+            (nas, d, d, d, d, d, d, logpen, nlv, prof, em)]
+    r = call(*args)
+    np.asarray(r[0])  # force full execution + transfer (warm-up)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = call(*args)
+    # the device executes queued kernels serially; one host transfer of
+    # the last result bounds all of them (block_until_ready alone can
+    # return early on the relay-backed backend here)
+    np.asarray(r[0])
+    dt = (time.perf_counter() - t0) / iters
+    return NL * AL * B / dt / 1e9
+
+
+def main() -> None:
+    gcups = measure_pallas_gcups()
+    ref = measure_ref_core()
+    print(json.dumps({
+        "metric": "nasw_dp_gcups",
+        "value": round(gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

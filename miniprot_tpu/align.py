@@ -277,11 +277,16 @@ def extra_cal(r: Region, opt: MapOpt, nt: np.ndarray, l_nt: int,
         r.feat = None
 
 
-def align_region(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
-                 r: Region, extl0: int, extr0: int, dbg_more_dp: bool = False) -> None:
-    """Full per-region alignment (mp_align, align.c:239-342).
+def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
+                       r: Region, extl0: int, extr0: int,
+                       dbg_more_dp: bool = False):
+    """Per-region alignment as a generator (mp_align, align.c:239-342).
 
-    aa: full query as raw bytes.  Sets r.p / r.feat, updates coordinates.
+    Yields ("ext", nsq, asq, ss, io, ext_left) extension-DP requests and
+    expects (score, nt_len, aa_len) sent back; this lets the pipeline
+    batch extension DPs across regions/queries onto the TPU Pallas
+    kernel while the host-C path answers each request inline.
+    Gap-patching CIGAR DPs stay synchronous (small rectangles).
     """
     assert r.cnt > 0
     i0 = 0
@@ -317,12 +322,14 @@ def align_region(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     # left extension (align.c:280-301)
     vs1 = vs0 + int(r.a[i0] >> np.uint64(32)) + 1
     as1 = int(r.a[i0] & np.uint64(0x7FFFFFFF)) + 1
-    _, nt_len, aa_len, _ = env.dp(nt[: vs1 - as_], aa[:as1], DPF_EXT_LEFT, ss=None if ss is None else ss[: vs1 - as_])
+    _, nt_len, aa_len = yield ("ext", nt[: vs1 - as_], aa[:as1],
+                               None if ss is None else ss[: vs1 - as_],
+                               env.io, True)
     if aa_len != as1 and nt_len < opt.max_ext and env.io > env.io_end:
         as_alt = vs1 - opt.max_ext if vs1 - as_ > opt.max_ext else as_
-        _, ntl2, aal2, _ = env.dp(nt[as_alt - as_: vs1 - as_], aa[:as1], DPF_EXT_LEFT,
-                                  ss=None if ss is None else ss[as_alt - as_: vs1 - as_],
-                                  io=env.io_end)
+        _, ntl2, aal2 = yield ("ext", nt[as_alt - as_: vs1 - as_], aa[:as1],
+                               None if ss is None else ss[as_alt - as_: vs1 - as_],
+                               env.io_end, True)
         if aal2 == as1:
             nt_len, aa_len = ntl2, aal2
     r.vs = vs1 - nt_len
@@ -349,13 +356,14 @@ def align_region(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
 
     # right extension (align.c:316-333)
     if r.qe < qlen and r.ve < ae:
-        _, nt_len, aa_len, _ = env.dp(nt[r.ve - as_:], aa[r.qe:], DPF_EXT_RIGHT,
-                                      ss=None if ss is None else ss[r.ve - as_:])
+        _, nt_len, aa_len = yield ("ext", nt[r.ve - as_:], aa[r.qe:],
+                                   None if ss is None else ss[r.ve - as_:],
+                                   env.io, False)
         if aa_len < qlen - r.qe and nt_len < opt.max_ext and env.io > env.io_end:
             l_ext = min(ae - r.ve, opt.max_ext)
-            _, ntl2, aal2, _ = env.dp(nt[r.ve - as_: r.ve - as_ + l_ext], aa[r.qe:], DPF_EXT_RIGHT,
-                                      ss=None if ss is None else ss[r.ve - as_: r.ve - as_ + l_ext],
-                                      io=env.io_end)
+            _, ntl2, aal2 = yield ("ext", nt[r.ve - as_: r.ve - as_ + l_ext], aa[r.qe:],
+                                   None if ss is None else ss[r.ve - as_: r.ve - as_ + l_ext],
+                                   env.io_end, False)
             if aal2 == qlen - r.qe:
                 nt_len, aa_len = ntl2, aal2
         score += align_seq(env, opt, nt[r.ve - as_: r.ve - as_ + nt_len],
@@ -370,3 +378,24 @@ def align_region(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     r.p.dist_start = extra_start(r, nt, as_, ae)
     extra_cal(r, opt, nt[r.vs - as_:], l_nt - (r.vs - as_), aa[r.qs:], qlen,
               mi.nt.spsc is not None)
+
+
+def run_steps_host(gen, env: DpEnv) -> None:
+    """Drive an align_region_steps generator with the host-C DP."""
+    try:
+        req = next(gen)
+        while True:
+            _, nsq, asq, ss, io, ext_left = req
+            sc, ntl, aal, _ = env.dp(nsq, asq,
+                                     DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT,
+                                     ss=ss, io=io)
+            req = gen.send((sc, ntl, aal))
+    except StopIteration:
+        pass
+
+
+def align_region(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
+                 r: Region, extl0: int, extr0: int, dbg_more_dp: bool = False) -> None:
+    """Full per-region alignment with inline host-C extensions."""
+    run_steps_host(align_region_steps(env, opt, mi, qlen, aa, r, extl0, extr0,
+                                      dbg_more_dp), env)

@@ -31,8 +31,21 @@ slowest member x-drops.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
+
+# persistent compilation cache: kernel shapes are reused across runs and
+# compile time on this backend is substantial
+_cache_dir = os.environ.get("MINIPROT_TPU_JAX_CACHE",
+                            os.path.expanduser("~/.cache/miniprot_tpu/jax"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -227,96 +240,152 @@ def _compiled_ext(al, n_rows, go, ge, fs, io, xdrop, end_bonus, interpret):
     return jax.jit(call)
 
 
+def _donor_fwd(nt: np.ndarray, sp) -> np.ndarray:
+    """Vectorized forward donor track (nasw-sse.c:120-127)."""
+    nl = len(nt)
+    donor = np.full(nl + 1, sp[3], np.int32)
+    if nl < 4:
+        return donor
+    n0, n1, n2, n3 = nt[:-3], nt[1:-2], nt[2:-1], nt[3:]
+    gt = (n1 == 2) & (n2 == 3)
+    gtr = gt & ((n3 == 0) | (n3 == 2))
+    t = np.full(nl - 3, 3, np.int32)
+    t[(n1 == 0) & (n2 == 3)] = 2                       # AT.
+    t[(n1 == 2) & (n2 == 1) & (n0 == 2)] = 1           # GGC.
+    t[gt & ~gtr] = 0
+    t[gtr & (n0 != 2)] = 4
+    t[gtr & (n0 == 2)] = -1
+    donor[:nl - 3] = np.where(t < 0, 0, sp[np.maximum(t, 0)])
+    return donor
+
+
+def _acceptor_fwd(nt: np.ndarray, sp) -> np.ndarray:
+    """Vectorized forward acceptor track (nasw-sse.c:128-137)."""
+    nl = len(nt)
+    acceptor = np.full(nl + 1, sp[3], np.int32)
+    if nl < 2:
+        return acceptor
+    i = np.arange(1, nl)
+    ag = (nt[i - 1] == 0) & (nt[i] == 2)
+    yag = ag & (i >= 2) & (np.isin(nt[np.maximum(i - 2, 0)], (1, 3)))
+    t = np.full(nl - 1, 3, np.int32)
+    t[(nt[i - 1] == 0) & (nt[i] == 1)] = 2             # .AC
+    t[ag & ~yag] = 0
+    t[yag] = -1
+    notY = (~np.isin(nt, (1, 3))).astype(np.int32) * int(sp[5])
+    pad = np.concatenate([np.zeros(6, np.int32), notY])
+    penY = pad[i + 2] + pad[i + 1] + pad[i]            # j = i-4, i-5, i-6
+    acc = np.where(t < 0, 0, sp[np.maximum(t, 0)])
+    acc = np.where((t == -1) | (t == 0), acc + penY, acc)
+    acceptor[1:nl] = acc
+    return acceptor
+
+
+def _donor_rev(ntr: np.ndarray, sp) -> np.ndarray:
+    """Reversed-sequence donor track (plays the acceptor role;
+    nasw-sse.c:171-180)."""
+    nl = len(ntr)
+    donor = np.full(nl + 1, sp[3], np.int32)
+    if nl < 4:
+        return donor
+    n1, n2, n3 = ntr[1:-2], ntr[2:-1], ntr[3:]
+    ga = (n1 == 2) & (n2 == 0)
+    gay = ga & ((n3 == 1) | (n3 == 3))
+    t = np.full(nl - 3, 3, np.int32)
+    t[(n1 == 1) & (n2 == 0)] = 2                       # CA.
+    t[ga & ~gay] = 0
+    t[gay] = -1
+    notY = (~np.isin(ntr, (1, 3))).astype(np.int32) * int(sp[5])
+    pad = np.concatenate([notY, np.zeros(8, np.int32)])
+    i = np.arange(nl - 3)
+    penY = pad[i + 5] + pad[i + 6] + pad[i + 7]        # j = i+5..i+7, j < nl
+    penY = np.where(i + 5 < nl, pad[i + 5], 0) \
+        + np.where(i + 6 < nl, pad[i + 6], 0) \
+        + np.where(i + 7 < nl, pad[i + 7], 0)
+    dn = np.where(t < 0, 0, sp[np.maximum(t, 0)])
+    dn = np.where((t == -1) | (t == 0), dn + penY, dn)
+    donor[:nl - 3] = dn
+    return donor
+
+
+def _acceptor_rev(ntr: np.ndarray, sp) -> np.ndarray:
+    """Reversed-sequence acceptor track (plays the donor role;
+    nasw-sse.c:181-188)."""
+    nl = len(ntr)
+    acceptor = np.full(nl + 1, sp[3], np.int32)
+    if nl < 2:
+        return acceptor
+    i = np.arange(1, nl)
+    nim1 = ntr[i - 1]
+    ni = ntr[i]
+    nip1 = np.concatenate([ntr[2:], [255]])            # ntr[i+1], guarded
+    tg = (nim1 == 3) & (ni == 2)
+    tg_ok = tg & (i >= 2) & np.isin(ntr[np.maximum(i - 2, 0)], (0, 2))
+    t = np.full(nl - 1, 3, np.int32)
+    t[(nim1 == 3) & (ni == 0)] = 2                     # .TA
+    t[(nim1 == 1) & (ni == 2) & (i + 1 < nl) & (nip1 == 1)] = 1  # .CG(C)
+    t[tg & ~tg_ok] = 0
+    t[tg_ok & ~((i + 1 < nl) & (nip1 == 2))] = 4
+    t[tg_ok & (i + 1 < nl) & (nip1 == 2)] = -1
+    acceptor[1:nl] = np.where(t < 0, 0, sp[np.maximum(t, 0)])
+    return acceptor
+
+
+def _apply_spsc(donor, acceptor, ss, io, sp_null_bonus, rev: bool):
+    """Merge external splice scores (nasw-sse.c:138-152 / 189-202)."""
+    nl = len(ss)
+    max_spsc = (io + 1) // 2 - 1
+    spsc = np.minimum((ss.astype(np.int32) >> 1).astype(np.int8).astype(np.int32) - 64,
+                      max_spsc)
+    unset = ss == 0xFF
+    is_acc = (ss & 1) != 0
+    if not rev:
+        idx = np.arange(1, nl)
+        d_adj = np.where(unset[idx], -sp_null_bonus,
+                         np.where(is_acc[idx], 0, -spsc[idx]))
+        a_adj = np.where(unset[idx], -sp_null_bonus,
+                         np.where(is_acc[idx], -spsc[idx], 0))
+        donor[idx - 1] += d_adj
+        acceptor[idx - 1] += a_adj
+    else:
+        idx = np.arange(nl)
+        d_adj = np.where(unset, -sp_null_bonus, np.where(is_acc, -spsc, 0))
+        a_adj = np.where(unset, -sp_null_bonus, np.where(is_acc, 0, -spsc))
+        donor[nl - 1 - idx] += d_adj[idx]
+        acceptor[nl - 1 - idx] += a_adj[idx]
+    return donor, acceptor
+
+
 def prep_problem(nsq: np.ndarray, asq: np.ndarray, *, sp, sp_null_bonus, io,
                  ext_left: bool, ss=None, trans_code: int = 1):
     """Host-side prep: nas/donor/acceptor tracks for one problem.
 
-    Mirrors ns_prep_seq / ns_prep_seq_left (nasw-sse.c:106-210); returns
-    (nas, aas, donor, acceptor) as int arrays (donor/acceptor len nl+1).
+    Vectorized equivalent of ns_prep_seq / ns_prep_seq_left
+    (nasw-sse.c:106-210); returns (nas, aas, donor, acceptor) with
+    donor/acceptor of length nl+1.  Cross-validated against the C prep
+    in tests/test_pallas.py.
     """
     T = tables.get_tables(trans_code)
     nl = len(nsq)
     nt = T.nt4[nsq]
     aas = T.aa20[asq]
+    sp = np.asarray(sp, np.int32)
     if ext_left:
         aas = aas[::-1].copy()
         ntr = nt[::-1].copy()
-        donor = np.full(nl + 1, sp[3], np.int32)
-        acceptor = np.full(nl + 1, sp[3], np.int32)
-        for i in range(nl - 3):  # reversed acceptor in donor role
-            t = 3
-            penY = 0
-            if ntr[i + 1] == 2 and ntr[i + 2] == 0:
-                t = -1 if (i + 3 < nl and ntr[i + 3] in (1, 3)) else 0
-                for j in range(i + 5, min(nl, i + 8)):
-                    if ntr[j] != 1 and ntr[j] != 3:
-                        penY += sp[5]
-            elif ntr[i + 1] == 1 and ntr[i + 2] == 0:
-                t = 2
-            donor[i] = 0 if t < 0 else sp[t]
-            if t in (-1, 0):
-                donor[i] += penY
-        for i in range(1, nl):
-            t = 3
-            if ntr[i - 1] == 3 and ntr[i] == 2:
-                t = (-1 if (i + 1 < nl and ntr[i + 1] == 2) else 4) \
-                    if (i >= 2 and ntr[i - 2] in (0, 2)) else 0
-            elif ntr[i - 1] == 1 and ntr[i] == 2 and i + 1 < nl and ntr[i + 1] == 1:
-                t = 1
-            elif ntr[i - 1] == 3 and ntr[i] == 0:
-                t = 2
-            acceptor[i] = 0 if t < 0 else sp[t]
+        donor = _donor_rev(ntr, sp)
+        acceptor = _acceptor_rev(ntr, sp)
         if ss is not None:
-            max_spsc = (io + 1) // 2 - 1
-            for i in range(nl):
-                spsc = min(int(np.int8(ss[i] >> 1)) - 64, max_spsc)
-                if ss[i] == 0xFF:
-                    donor[nl - i - 1] -= sp_null_bonus
-                    acceptor[nl - i - 1] -= sp_null_bonus
-                elif ss[i] & 1:
-                    donor[nl - i - 1] -= spsc
-                else:
-                    acceptor[nl - i - 1] -= spsc
-        nas = _translate(nt, T)
-        nas = nas[::-1].copy()
+            donor, acceptor = _apply_spsc(donor, acceptor, np.asarray(ss), io,
+                                          sp_null_bonus, rev=True)
+        nas = _translate(nt, T)[::-1]
         nas = np.concatenate([[21, 21], nas[:-2]]).astype(np.uint8)
     else:
-        donor = np.full(nl + 1, sp[3], np.int32)
-        acceptor = np.full(nl + 1, sp[3], np.int32)
-        for i in range(nl - 3):
-            t = 3
-            if nt[i + 1] == 2 and nt[i + 2] == 3:
-                t = ((-1 if nt[i] == 2 else 4)
-                     if (i + 3 < nl and nt[i + 3] in (0, 2)) else 0)
-            elif nt[i + 1] == 2 and nt[i + 2] == 1 and nt[i] == 2:
-                t = 1
-            elif nt[i + 1] == 0 and nt[i + 2] == 3:
-                t = 2
-            donor[i] = 0 if t < 0 else sp[t]
-        for i in range(1, nl):
-            t = 3
-            penY = 0
-            if nt[i - 1] == 0 and nt[i] == 2:
-                t = -1 if (i >= 2 and nt[i - 2] in (1, 3)) else 0
-                for j in range(i - 4, max(-1, i - 7), -1):
-                    if nt[j] != 1 and nt[j] != 3:
-                        penY += sp[5]
-            elif nt[i - 1] == 0 and nt[i] == 1:
-                t = 2
-            acceptor[i] = 0 if t < 0 else sp[t]
-            if t in (-1, 0):
-                acceptor[i] += penY
+        donor = _donor_fwd(nt, sp)
+        acceptor = _acceptor_fwd(nt, sp)
         if ss is not None:
-            max_spsc = (io + 1) // 2 - 1
-            for i in range(1, nl):
-                spsc = min(int(np.int8(ss[i] >> 1)) - 64, max_spsc)
-                if ss[i] == 0xFF:
-                    donor[i - 1] -= sp_null_bonus
-                    acceptor[i - 1] -= sp_null_bonus
-                elif ss[i] & 1:
-                    acceptor[i - 1] -= spsc
-                else:
-                    donor[i - 1] -= spsc
+            donor, acceptor = _apply_spsc(donor, acceptor, np.asarray(ss), io,
+                                          sp_null_bonus, rev=False)
         nas = _translate(nt, T)
     return nas, aas, donor, acceptor
 
@@ -328,8 +397,8 @@ def _translate(nt: np.ndarray, T) -> np.ndarray:
     if nl >= 3:
         ok = (nt[:-2] < 4) & (nt[1:-1] < 4) & (nt[2:] < 4)
         cod = ((nt[:-2].astype(np.int32) << 4)
-               | (nt[1:-1].astype(np.int32) << 2) | nt[2:]).astype(np.uint8)
-        nas[2:] = np.where(ok, T.codon[cod], 21)
+               | (nt[1:-1].astype(np.int32) << 2) | nt[2:])
+        nas[2:] = np.where(ok, T.codon[np.where(ok, cod, 0)], 21)
     return nas
 
 

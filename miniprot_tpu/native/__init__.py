@@ -128,3 +128,27 @@ def dp16(nsq: np.ndarray, asq: np.ndarray, *, mat: np.ndarray, nt4: np.ndarray,
                  ct.byref(sc), ct.byref(ntl), ct.byref(aal),
                  cig, ct.byref(ncig))
     return int(sc.value), int(ntl.value), int(aal.value), cig[:ncig.value].copy()
+
+
+_lib.mx_prep.argtypes = [
+    _u8p, ct.c_int32, _u8p, _u8p, _i32p, ct.c_int32, ct.c_int32, ct.c_int32,
+    ct.c_void_p, _u8p, _i8p, _i8p,
+]
+
+
+def prep(nsq, *, nt4, codon, sp, sp_null_bonus, io, ext_left, ss=None):
+    """Reference-exact sequence prep (for cross-validating the vectorized
+    Python prep used by the TPU kernels)."""
+    nsq = np.ascontiguousarray(nsq, dtype=np.uint8)
+    nl = len(nsq)
+    nas = np.empty(nl, np.uint8)
+    donor = np.empty(nl + 1, np.int8)
+    acceptor = np.empty(nl + 1, np.int8)
+    ss_ptr = None
+    if ss is not None:
+        ss = np.ascontiguousarray(ss, dtype=np.uint8)
+        ss_ptr = ss.ctypes.data_as(ct.c_void_p)
+    _lib.mx_prep(nsq, nl, nt4, codon,
+                 np.ascontiguousarray(sp, dtype=np.int32), sp_null_bonus, io,
+                 int(ext_left), ss_ptr, nas, donor, acceptor)
+    return nas, donor, acceptor

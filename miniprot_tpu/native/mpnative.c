@@ -906,3 +906,26 @@ MX_EXPORT void mx_dp16(
 	free(prof);
 	free(nas); free(aas); free(donor); free(acceptor);
 }
+
+/* Expose sequence prep for cross-validation of the vectorized Python prep. */
+MX_EXPORT void mx_prep(
+	const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const uint8_t *codon_tab,
+	const int32_t *sp, int32_t sp_null_bonus, int32_t io_, int32_t ext_left,
+	const uint8_t *ss,
+	uint8_t *out_nas, int8_t *out_donor, int8_t *out_acceptor)
+{
+	uint8_t aa_x = 21;
+	if (ext_left) {
+		uint8_t *tmp = (uint8_t*)malloc(nl);
+		int32_t i;
+		prep_rev(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, tmp, out_donor, out_acceptor);
+		prep_nas(nsq, nl, nt4, codon_tab, aa_x, tmp);
+		for (i = 0; i < nl; ++i) out_nas[i] = tmp[nl - 1 - i];
+		memmove(out_nas + 2, out_nas, nl - 2);
+		out_nas[0] = out_nas[1] = aa_x;
+		free(tmp);
+	} else {
+		prep_fwd(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, out_nas, out_donor, out_acceptor);
+		prep_nas(nsq, nl, nt4, codon_tab, aa_x, out_nas);
+	}
+}
