@@ -78,7 +78,7 @@ def measure_pallas_gcups() -> float:
     from miniprot_tpu.kernels import nasw_pallas as nk
 
     AL, NL, B = 512, 10240, nk.B_LANES
-    call = nk._compiled_ext(AL, NL, 11, 1, 23, 29, 100, 5,
+    call = nk._compiled_ext(AL, NL, 11, 1, 23, 100, 5,
                             jax.default_backend() != "tpu")
     rng = np.random.default_rng(1)
     nas = rng.integers(0, 20, (NL, B)).astype(np.int32)

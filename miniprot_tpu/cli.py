@@ -75,7 +75,7 @@ Options:
 """
 
 _LONG_OPTS = {
-    "gff", "gff-only", "gtf", "aln", "trans", "no-cs", "no-pre-chain",
+    "tpu", "gff", "gff-only", "gtf", "aln", "trans", "no-cs", "no-pre-chain",
     "version", "no-kalloc", "dbg-qname", "dbg-no-refine", "dbg-aflt",
     "dbg-anchor", "dbg-chain",
 }
@@ -156,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
                 dbg["no_refine"] = True
             elif key == "dbg-aflt":
                 dbg["more_dp"] = True
+            elif key == "tpu":
+                dbg["use_tpu"] = True
             elif key in _LONG_OPTS:
                 pass  # accepted no-ops (--no-kalloc etc.)
             else:
@@ -271,7 +273,7 @@ def main(argv: list[str] | None = None) -> int:
         max_sc = min(max_sc, mo.io - mo.go, mo.sp_max_bonus)
         mi.nt.read_spsc(fn_spsc, max_sc)
     for fn in pos[1:]:
-        map_file(mi, fn, mo, n_threads)
+        map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")))
     return 0
 
 

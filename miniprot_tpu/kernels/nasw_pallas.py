@@ -78,7 +78,7 @@ def _cummax_sublanes(x):
     return x
 
 
-def _ext_kernel(al, n_rows, go, ge, fs, io, xdrop, end_bonus,
+def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
                 # streamed per-row inputs (ROW_CHUNK, B):
                 nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref, am2_ref,
                 logpen_ref, nl_ref, prof_ref, endmask_ref,
@@ -138,15 +138,15 @@ def _ext_kernel(al, n_rows, go, ge, fs, io, xdrop, end_bonus,
             Dn = jnp.maximum(H3 - go, D3) - gei
             Dst[slot] = Dn
             h = jnp.maximum(h, Dn)
-            # A/B/C intron states
-            An = jnp.maximum(H1 - io - dm1_ref[ii, :][None, :], Aa[0])
+            # A/B/C intron states (the io open penalty is folded into
+            # the donor streams at prep time so io can vary per problem)
+            An = jnp.maximum(H1 - dm1_ref[ii, :][None, :], Aa[0])
             Aa[0] = An
             h = jnp.maximum(h, An - a0_ref[ii, :][None, :])
-            u = H1m1 - io
-            Bn = jnp.maximum(u - d0_ref[ii, :][None, :], Bb[0])
+            Bn = jnp.maximum(H1m1 - d0_ref[ii, :][None, :], Bb[0])
             Bb[0] = Bn
             h = jnp.maximum(h, Bn - am2_ref[ii, :][None, :])
-            Cn = jnp.maximum(u - dp1_ref[ii, :][None, :], Cc[0])
+            Cn = jnp.maximum(H1m1 - dp1_ref[ii, :][None, :], Cc[0])
             Cc[0] = Cn
             h = jnp.maximum(h, Cn - am1_ref[ii, :][None, :])
             # frameshift transitions
@@ -185,9 +185,9 @@ def _ext_kernel(al, n_rows, go, ge, fs, io, xdrop, end_bonus,
     hmax_ref[:] = hmaxv[:]
 
 
-def _make_ext_call(al, n_rows, go, ge, fs, io, xdrop, end_bonus, interpret):
+def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
     n_chunks = (n_rows + ROW_CHUNK - 1) // ROW_CHUNK
-    kernel = functools.partial(_ext_kernel, al, n_rows, go, ge, fs, io,
+    kernel = functools.partial(_ext_kernel, al, n_rows, go, ge, fs,
                                xdrop, end_bonus)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -235,8 +235,8 @@ def _make_ext_call(al, n_rows, go, ge, fs, io, xdrop, end_bonus, interpret):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_ext(al, n_rows, go, ge, fs, io, xdrop, end_bonus, interpret):
-    call = _make_ext_call(al, n_rows, go, ge, fs, io, xdrop, end_bonus, interpret)
+def _compiled_ext(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
+    call = _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret)
     return jax.jit(call)
 
 
@@ -408,7 +408,7 @@ class ExtBatch:
     def __init__(self, al_pad: int, nl_pad: int, mat: np.ndarray, opt_scalars):
         self.al = al_pad
         self.nl = ((nl_pad + ROW_CHUNK - 1) // ROW_CHUNK) * ROW_CHUNK
-        self.go, self.ge, self.fs, self.io, self.xdrop, self.end_bonus, self.ie_coef = opt_scalars
+        self.go, self.ge, self.fs, self.default_io, self.xdrop, self.end_bonus, self.ie_coef = opt_scalars
         self.mat = mat.reshape(22, 22)
         self.nas = np.zeros((self.nl, B_LANES), np.int32)
         self.dm1 = np.zeros((self.nl, B_LANES), np.int32)
@@ -424,12 +424,13 @@ class ExtBatch:
         self.als = np.zeros(B_LANES, np.int32)
         self.n = 0
 
-    def add(self, nas, aas, donor, acceptor):
+    def add(self, nas, aas, donor, acceptor, io=None):
         b = self.n
+        io = self.default_io if io is None else io
         nl, al = len(nas), len(aas)
         assert nl <= self.nl and al <= self.al and b < B_LANES
         self.nas[:nl, b] = nas
-        d = donor.astype(np.int32)
+        d = donor.astype(np.int32) + io
         a = acceptor.astype(np.int32)
         self.dm1[1:nl, b] = d[:nl - 1]
         self.d0[:nl, b] = d[:nl]
@@ -454,7 +455,7 @@ class ExtBatch:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         call = _compiled_ext(self.al, self.nl, self.go, self.ge, self.fs,
-                             self.io, self.xdrop, self.end_bonus, interpret)
+                             self.xdrop, self.end_bonus, interpret)
         max_sc, max_i, hmax = call(
             jnp.asarray(self.nas), jnp.asarray(self.dm1), jnp.asarray(self.d0),
             jnp.asarray(self.dp1), jnp.asarray(self.a0), jnp.asarray(self.am1),

@@ -158,14 +158,31 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
     # alignment round (map.c:223-237)
     if not (opt.flag & F_NO_ALIGN):
         ext = cal_max_ext(mi.nt, regs, 100, opt.max_intron // 2)
-        kept = []
         for r, (el, er) in zip(regs, ext):
             align_region(env, opt, mi, qlen, seq, r, el, er,
                          dbg_more_dp=bool(dbg.get("more_dp")))
-            if r.p is not None:
-                kept.append(r)
-        regs = sort_reg(kept)
-        select_multi_exon(regs, opt.io)
-        set_parent(opt.mask_level, opt.mask_len, regs, io.kmer, 0)
-        regs = select_sub(opt.pri_ratio, io.kmer * 2, opt.best_n, regs)
+        regs = finish_align(mi, opt, regs)
     return regs
+
+
+def pre_align(mi: Index, seq: np.ndarray, opt: MapOpt,
+              dbg: dict | None = None):
+    """Seed + chain + refine rounds; returns (regs, per-region ext caps)
+    ready for the alignment round (map.c:143-226)."""
+    saved = opt.flag
+    opt.flag |= F_NO_ALIGN
+    try:
+        regs = map_query(mi, seq, opt, dbg=dbg)
+    finally:
+        opt.flag = saved
+    ext = cal_max_ext(mi.nt, regs, 100, opt.max_intron // 2)
+    return regs, ext
+
+
+def finish_align(mi: Index, opt: MapOpt, regs: list[Region]) -> list[Region]:
+    """Post-alignment ranking and selection (map.c:229-236)."""
+    kept = [r for r in regs if r.p is not None]
+    kept = sort_reg(kept)
+    select_multi_exon(kept, opt.io)
+    set_parent(opt.mask_level, opt.mask_len, kept, mi.opt.kmer, 0)
+    return select_sub(opt.pri_ratio, mi.opt.kmer * 2, opt.best_n, kept)

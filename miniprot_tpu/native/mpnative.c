@@ -389,10 +389,19 @@ typedef int16_t v16 __attribute__((vector_size(16), aligned(16)));
 
 #define NEG16 ((int16_t)0x8000)
 
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#define V2M(v) ((__m128i)(v))
+#define M2V(m) ((v16)(m))
+#endif
+
 static inline v16 v_set1(int16_t x) { v16 r = {x, x, x, x, x, x, x, x}; return r; }
 
 static inline v16 v_sadd(v16 a, v16 b)
 {
+#if defined(__SSE2__)
+	return M2V(_mm_adds_epi16(V2M(a), V2M(b)));
+#else
 	v16 r;
 	int k;
 	for (k = 0; k < VL; ++k) {
@@ -400,10 +409,14 @@ static inline v16 v_sadd(v16 a, v16 b)
 		r[k] = s > 32767 ? 32767 : s < -32768 ? -32768 : (int16_t)s;
 	}
 	return r;
+#endif
 }
 
 static inline v16 v_ssub(v16 a, v16 b)
 {
+#if defined(__SSE2__)
+	return M2V(_mm_subs_epi16(V2M(a), V2M(b)));
+#else
 	v16 r;
 	int k;
 	for (k = 0; k < VL; ++k) {
@@ -411,12 +424,17 @@ static inline v16 v_ssub(v16 a, v16 b)
 		r[k] = s > 32767 ? 32767 : s < -32768 ? -32768 : (int16_t)s;
 	}
 	return r;
+#endif
 }
 
 static inline v16 v_max(v16 a, v16 b)
 {
+#if defined(__SSE2__)
+	return M2V(_mm_max_epi16(V2M(a), V2M(b)));
+#else
 	v16 m = a > b;
 	return (a & m) | (b & ~m);
+#endif
 }
 
 /* z |= bit where a > b (elementwise) */
@@ -434,10 +452,14 @@ static inline v16 v_sel_gt(v16 y, v16 a, v16 b, int16_t val)
 
 static inline int v_all_le(v16 a, v16 b) /* all lanes a <= b */
 {
+#if defined(__SSE2__)
+	return !_mm_movemask_epi8(_mm_cmpgt_epi16(V2M(a), V2M(b)));
+#else
 	int k;
 	for (k = 0; k < VL; ++k)
 		if (a[k] > b[k]) return 0;
 	return 1;
+#endif
 }
 
 static inline int16_t v_hmax(v16 a)
@@ -452,11 +474,17 @@ static inline int16_t v_hmax(v16 a)
 /* shift lanes up by one (lane k <- lane k-1), filling lane 0 */
 static inline v16 v_shift_up(v16 a, int16_t fill)
 {
+#if defined(__SSE2__)
+	v16 r = M2V(_mm_slli_si128(V2M(a), 2));
+	r[0] = fill;
+	return r;
+#else
 	v16 r;
 	int k;
 	for (k = VL - 1; k > 0; --k) r[k] = a[k - 1];
 	r[0] = fill;
 	return r;
+#endif
 }
 
 /* CIGAR ops (nasw.h:33-44) */

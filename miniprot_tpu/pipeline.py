@@ -45,8 +45,13 @@ def _emit_query(mi: Index, opt: MapOpt, name: str, seq: np.ndarray, regs,
 
 
 def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
-             out=None) -> int:
-    """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343)."""
+             out=None, use_tpu: bool = False) -> int:
+    """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343).
+
+    With use_tpu, the alignment round's extension DPs are batched across
+    all regions of the whole mini-batch and dispatched to the Pallas
+    kernel; output is byte-identical to the host path.
+    """
     out = out or sys.stdout
     reader = BatchReader(fn)
     env = DpEnv(opt)
@@ -54,13 +59,42 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     if opt.flag & F_GFF:
         out.write("##gff-version 3\n")
     n_mapped = 0
+    engine = None
+    if use_tpu:
+        from .device import TpuExtEngine
+        engine = TpuExtEngine(opt)
     while True:
         batch = reader.read_batch(opt.mini_batch_size)
         if not batch:
             break
-        for rec in batch:
-            seq = np.frombuffer(rec.seq, dtype=np.uint8)
-            regs = map_query(mi, seq, opt, env=env)
-            _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
+        if engine is None:
+            for rec in batch:
+                seq = np.frombuffer(rec.seq, dtype=np.uint8)
+                regs = map_query(mi, seq, opt, env=env)
+                _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
+        else:
+            _map_batch_tpu(mi, opt, env, engine, batch, id_counter, out)
         n_mapped += len(batch)
     return n_mapped
+
+
+def _map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
+                   id_counter, out) -> None:
+    """One mini-batch with TPU-batched extension DPs."""
+    from .align import align_region_steps
+    from .device import pump_align_generators
+    from .mapper import finish_align, pre_align
+
+    per_query = []
+    gens = []
+    for rec in batch:
+        seq = np.frombuffer(rec.seq, dtype=np.uint8)
+        regs, ext = pre_align(mi, seq, opt)
+        per_query.append((rec, seq, regs))
+        for r, (el, er) in zip(regs, ext):
+            gens.append(align_region_steps(env, opt, mi, len(seq), seq, r,
+                                           el, er))
+    pump_align_generators(gens, engine)
+    for rec, seq, regs in per_query:
+        regs = finish_align(mi, opt, regs)
+        _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
