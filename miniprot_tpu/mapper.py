@@ -45,27 +45,38 @@ def refine_region(mi: Index, opt: MapOpt, aa: np.ndarray, r: Region,
     sd = np.concatenate([sd_g, sd_a])
     native.sort_u64(sd)
 
-    # per-hash cross product of genome x protein positions (map.c:53-79)
+    # per-hash cross product of genome x protein positions (map.c:53-79);
+    # within one hash the genome entries sort before the bit31-flagged
+    # protein entries, so groups split cleanly.  Ragged outer products
+    # are generated with div/mod index arithmetic (order irrelevant: the
+    # result is value-sorted next).
     n = len(sd)
-    hashes = sd >> np.uint64(32)
-    prot_flag = (sd >> np.uint64(31)) & np.uint64(1)
-    pairs = []
-    k = 0
-    for i in range(1, n + 1):
-        if i == n or hashes[k] != hashes[i]:
-            j = k
-            while j < i and not prot_flag[j]:
-                j += 1
-            n1, n2 = j - k, i - j
-            if n1 > 0 and n2 > 0 and n1 * n2 <= opt.max_ava:
-                g = (sd[k:j] & np.uint64(0xFFFFFFFF)) << np.uint64(32)
-                q = sd[j:i] & np.uint64(0x7FFFFFFF)
-                pairs.append((g[:, None] | q[None, :]).reshape(-1))
-            k = i
-    if not pairs:
+    if n == 0:
         r.a = np.empty(0, np.uint64)
         return
-    a = np.concatenate(pairs)
+    hashes = sd >> np.uint64(32)
+    prot_flag = ((sd >> np.uint64(31)) & np.uint64(1)).astype(bool)
+    grp_start = np.flatnonzero(np.concatenate(
+        [[True], hashes[1:] != hashes[:-1]]))
+    grp_end = np.concatenate([grp_start[1:], [n]])
+    cum_prot = np.concatenate([[0], np.cumsum(prot_flag)])
+    n2 = cum_prot[grp_end] - cum_prot[grp_start]
+    n1 = (grp_end - grp_start) - n2
+    ok = (n1 > 0) & (n2 > 0) & (n1 * n2 <= opt.max_ava)
+    if not ok.any():
+        r.a = np.empty(0, np.uint64)
+        return
+    gs, n1k, n2k = grp_start[ok], n1[ok], n2[ok]
+    sz = n1k * n2k
+    total = int(sz.sum())
+    cum = np.zeros(len(sz), np.int64)
+    np.cumsum(sz[:-1], out=cum[1:])
+    jj = np.arange(total) - np.repeat(cum, sz)
+    grp = np.repeat(np.arange(len(sz)), sz)
+    i1 = gs[grp] + jj // n2k[grp]
+    i2 = gs[grp] + n1k[grp] + jj % n2k[grp]
+    a = ((sd[i1] & np.uint64(0xFFFFFFFF)) << np.uint64(32)) \
+        | (sd[i2] & np.uint64(0x7FFFFFFF))
     native.sort_u64(a)
     a, u = native.chain(a, max_dist_x=opt.max_intron, max_dist_y=opt.max_gap,
                         bw=opt.bw, max_skip=opt.max_chn_max_skip,
@@ -112,15 +123,26 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
     else:
         max_occ = opt.max_occ
 
-    # bucket lookups -> anchors blockId<<32|qpos (map.c:163-177)
-    parts = []
-    for s in sd:
-        h = int(s >> np.uint64(32))
-        blocks = mi.bucket(h)
-        if len(blocks) <= max_occ:
-            parts.append(blocks.astype(np.uint64) << np.uint64(32)
-                         | np.uint64(int(s) & 0xFFFFFFFF))
-    a = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    # bucket lookups -> anchors blockId<<32|qpos (map.c:163-177), ragged
+    # gather vectorized over all of the query's seeds at once
+    if len(sd):
+        h = (sd >> np.uint64(32)).astype(np.int64)
+        ki_ext = mi.ki
+        st = ki_ext[h]
+        en = np.where(h + 1 < len(ki_ext), ki_ext[np.minimum(h + 1, len(ki_ext) - 1)],
+                      mi.n_kb)
+        n = en - st
+        keep = n <= max_occ
+        stk, nk = st[keep], n[keep]
+        total = int(nk.sum())
+        cum = np.zeros(len(nk), np.int64)
+        np.cumsum(nk[:-1], out=cum[1:])
+        base = np.repeat(stk - cum, nk)
+        indices = base + np.arange(total)
+        qpos = np.repeat(sd[keep] & np.uint64(0xFFFFFFFF), nk)
+        a = (mi.kb[indices].astype(np.uint64) << np.uint64(32)) | qpos
+    else:
+        a = np.empty(0, np.uint64)
     native.sort_u64(a)
 
     # pre-chain at block bandwidth (map.c:186-192)
