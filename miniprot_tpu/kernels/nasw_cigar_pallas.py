@@ -1,0 +1,379 @@
+"""Pallas TPU kernel: batched splice/frameshift DP with traceback.
+
+Computes the full-CIGAR variant of the nasw DP for a batch of up to 128
+(genome-window x protein) rectangles — the anchored gap-patching DPs of
+the alignment stage (mp_align_seq, align.c:62-80).
+
+Byte-parity constraint: the reference's traceback bits depend on the
+exact striped (Farrar, 8 x int16) evaluation order *including* the
+lazy-F fixup loop (nasw-sse.c:444-541), so this kernel emulates that
+striping literally:
+
+  lane dim (128)    = problems
+  sublane dim       = the 8 SSE lanes of one stripe vector
+  stripe loop j     = sequential within each genome row
+  lazy-F            = a while_loop running the reference's (k, j)
+                      iteration with a per-problem active mask that
+                      freezes a problem once its `all(I <= H - goe)`
+                      break fires
+
+State per problem mirrors the reference exactly: H ring of 4 rows with
+a [-1] stripe slot, D ring of 3, A/B/C carries.  The traceback word per
+cell (state nibble + extension bits 4..9) is streamed to HBM; the host
+backtracks each problem with the same C routine used by the host DP.
+
+Scores are int32 (the reference saturates at int16; identical whenever
+real path scores stay in range — guaranteed for the small anchored
+rectangles this kernel serves; larger jobs fall back to the host DP).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import nasw_pallas as nk
+
+NEG = -32768   # int16 saturation floor: traceback bit parity requires
+               # emulating the reference's saturating int16 arithmetic
+B = 128
+
+
+def _sadd(a, b):
+    return jnp.clip(a + b, -32768, 32767)
+
+
+def _ssub(a, b):
+    return jnp.clip(a - b, -32768, 32767)
+VL = 8           # SSE lanes per stripe
+ROW_CHUNK = 256
+
+
+def _shift_lanes_up(v, fill):
+    """SSE _mm_slli_si128 by one int16: sublane k <- k-1, row 0 = fill."""
+    r = pltpu.roll(v, shift=1, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    return jnp.where(rows == 0, fill, r)
+
+
+def _cigar_kernel(slen, n_rows, go, ge, fs,
+                  nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref,
+                  am2_ref, nl_ref, prof_ref, endsel_ref,
+                  tb_ref, score_ref,
+                  Hst, Dst, Aa, Bb, Cc, scorev, Srow_s, Iv_s, last_s, act_s):
+    """One grid step of ROW_CHUNK genome rows.
+
+    Hst: (4, (slen+1)*VL, B) — H rows i, i-1, i-2, i-3; stripe j lives at
+         sublanes (j+1)*VL..(j+2)*VL, the [-1] stripe at 0..VL.
+    Dst: (3, slen*VL, B).
+    """
+    chunk = pl.program_id(0)
+
+    @pl.when(chunk == 0)
+    def _init():
+        Hst[:] = jnp.full_like(Hst, NEG)
+        Dst[:] = jnp.full_like(Dst, NEG)
+        Aa[:] = jnp.full_like(Aa, NEG)
+        Bb[:] = jnp.full_like(Bb, NEG)
+        Cc[:] = jnp.full_like(Cc, NEG)
+        scorev[:] = jnp.full_like(scorev, NEG)
+        # boundary stripe [-1]: H(-1,-1)=0 in lane 0 of the i-3 slot,
+        # H(0,-1)=H(1,-1)=-fs in the i-2/i-1 slots (nasw-sse.c:253-258).
+        # At the first computed row i=2: slot(i)=2%4=2 holds H(i-1)=row 1,
+        # slot 1 row 0, slot 0 row -1... we instead write them to the
+        # slots they will be read from at i==2 (see below): H3 slot =
+        # (2+1)%4=3, H2 slot=(2+2)%4=0, H1 slot=(2+3)%4=1.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (VL, B), 0)
+        lane0 = rows == 0
+        Hst[3, 0:VL] = jnp.where(lane0, 0, NEG)
+        Hst[0, 0:VL] = jnp.where(lane0, -fs, NEG)
+        Hst[1, 0:VL] = jnp.where(lane0, -fs, NEG)
+
+    def row_body(ii, _):
+        i = chunk * ROW_CHUNK + ii
+
+        @pl.when(i >= 2)
+        def _():
+            cur = jax.lax.rem(i, 4)
+            s1 = jax.lax.rem(i + 3, 4)
+            s2 = jax.lax.rem(i + 2, 4)
+            s3 = jax.lax.rem(i + 1, 4)
+            d3s = jax.lax.rem(i, 3)
+
+            # stripe [-1] update (nasw-sse.c:267-271): for i>2, the -1
+            # stripe of each history row becomes its last stripe shifted
+            # up one lane with NEG inserted
+            @pl.when(i > 2)
+            def _shift_boundary():
+                for s in (s1, s2, s3):
+                    last = Hst[s, slen * VL:(slen + 1) * VL]
+                    Hst[s, 0:VL] = _shift_lanes_up(last, NEG)
+
+            nas_i = nas_ref[ii, :][None, :]
+            dm1 = dm1_ref[ii, :][None, :]
+            d0 = d0_ref[ii, :][None, :]
+            dp1 = dp1_ref[ii, :][None, :]
+            a0 = a0_ref[ii, :][None, :]
+            am1 = am1_ref[ii, :][None, :]
+            am2 = am2_ref[ii, :][None, :]
+            gei = jnp.where(nas_i == 20, fs, ge)
+
+            # striped profile for this row: select over the alphabet
+            Srow = jnp.full((slen * VL, B), NEG, jnp.int32)
+            for a in range(22):
+                Srow = jnp.where(nas_i == a, prof_ref[a], Srow)
+            Srow_s[:] = Srow  # scratch ref: stripe reads need dynamic offsets
+
+            def stripe_body(j, _c):
+                I = Iv_s[:]
+                last_h = last_s[:]
+                off = (j + 1) * VL
+                H3 = Hst[s3, pl.ds(off, VL)]
+                H3m1 = Hst[s3, pl.ds(off - VL, VL)]
+                H1 = Hst[s1, pl.ds(off, VL)]
+                H1m1 = Hst[s1, pl.ds(off - VL, VL)]
+                H2 = Hst[s2, pl.ds(off, VL)]
+                H2m1 = Hst[s2, pl.ds(off - VL, VL)]
+                D3 = Dst[d3s, pl.ds(j * VL, VL)]
+                S = Srow_s[pl.ds(j * VL, VL)]
+                z = jnp.zeros((VL, B), jnp.int32)
+                h = _sadd(H3m1, S)
+                # I
+                t = _ssub(last_h, go)
+                z = z | jnp.where(I > t, 1 << 4, 0)
+                t = jnp.maximum(t, I)
+                I = _ssub(t, ge)
+                y = jnp.where(I > h, 1, 0)
+                h = jnp.maximum(h, I)
+                # D
+                u = _ssub(H3, go)
+                z = z | jnp.where(D3 > u, 1 << 5, 0)
+                t = _ssub(jnp.maximum(u, D3), gei)
+                Dst[d3s, pl.ds(j * VL, VL)] = t
+                y = jnp.where(t > h, 2, y)
+                h = jnp.maximum(h, t)
+                # A
+                u = _ssub(H1, dm1)
+                v = Aa[0, pl.ds(j * VL, VL)]
+                z = z | jnp.where(v > u, 1 << 6, 0)
+                t = jnp.maximum(u, v)
+                Aa[0, pl.ds(j * VL, VL)] = t
+                t = _ssub(t, a0)
+                y = jnp.where(t > h, 3, y)
+                h = jnp.maximum(h, t)
+                # B
+                u = _ssub(H1m1, d0)
+                v = Bb[0, pl.ds(j * VL, VL)]
+                z = z | jnp.where(v > u, 1 << 7, 0)
+                t = jnp.maximum(u, v)
+                Bb[0, pl.ds(j * VL, VL)] = t
+                t = _ssub(t, am2)
+                y = jnp.where(t > h, 4, y)
+                h = jnp.maximum(h, t)
+                # C
+                u = _ssub(H1m1, dp1)
+                v = Cc[0, pl.ds(j * VL, VL)]
+                z = z | jnp.where(v > u, 1 << 8, 0)
+                t = jnp.maximum(u, v)
+                Cc[0, pl.ds(j * VL, VL)] = t
+                t = _ssub(t, am1)
+                y = jnp.where(t > h, 5, y)
+                h = jnp.maximum(h, t)
+                # frameshift transitions
+                t = _ssub(H1, fs)
+                y = jnp.where(t > h, 6, y)
+                h = jnp.maximum(h, t)
+                t = _ssub(H2, fs)
+                y = jnp.where(t > h, 7, y)
+                h = jnp.maximum(h, t)
+                t = _ssub(H1m1, fs)
+                y = jnp.where(t > h, 8, y)
+                h = jnp.maximum(h, t)
+                t = _ssub(H2m1, fs)
+                y = jnp.where(t > h, 9, y)
+                h = jnp.maximum(h, t)
+                z = z | y
+                tb_ref[ii, pl.ds(j * VL, VL)] = z
+                Hst[cur, pl.ds(off, VL)] = h
+                Iv_s[:] = I
+                last_s[:] = h
+                return 0
+
+            Iv_s[:] = jnp.full((VL, B), NEG, jnp.int32)
+            last_s[:] = jnp.full((VL, B), NEG, jnp.int32)
+            jax.lax.fori_loop(0, slen, stripe_body, 0)
+
+            # lazy-F fixup (nasw-sse.c:521-537) with per-problem break
+            goe = go + ge
+            Iv_s[:] = jnp.maximum(_ssub(last_s[:], goe), _ssub(Iv_s[:], ge))
+            act_s[:] = jnp.ones((1, B), jnp.int32)
+
+            def lf_cond(s):
+                return (s < VL * slen) & jnp.any(act_s[:] != 0)
+
+            def lf_body(s):
+                j = jax.lax.rem(s, slen)
+                active = act_s[:]
+                I = Iv_s[:]
+                # at the start of each k-iteration, shift lanes up
+                I = jnp.where(active != 0,
+                              jnp.where(j == 0, _shift_lanes_up(I, NEG), I), I)
+                off = (j + 1) * VL
+                h = Hst[cur, pl.ds(off, VL)]
+                z = tb_ref[ii, pl.ds(j * VL, VL)]
+                znew = z | jnp.where(I > h, 1 << 9, 0)
+                hnew = jnp.maximum(h, I)
+                tb_ref[ii, pl.ds(j * VL, VL)] = jnp.where(active != 0, znew, z)
+                Hst[cur, pl.ds(off, VL)] = jnp.where(active != 0, hnew, h)
+                h2 = _ssub(hnew, goe)
+                Inew = _ssub(I, ge)
+                allle = jnp.min(jnp.where(Inew <= h2, 1, 0), axis=0,
+                                keepdims=True)
+                Iv_s[:] = jnp.where(active != 0, Inew, I)
+                act_s[:] = active & jnp.where(allle != 0, 0, 1)
+                return s + 1
+
+            jax.lax.while_loop(lf_cond, lf_body, 0)
+
+            # capture the final score at each problem's last row
+            at_last = (i == nl_ref[ii, :][None, :] - 1)
+            hfull = Hst[cur, pl.ds(VL, slen * VL)]
+            endv = jnp.max(jnp.where(endsel_ref[:] != 0, hfull, NEG), axis=0,
+                           keepdims=True)
+            scorev[0] = jnp.where(at_last, endv, scorev[0])
+
+        return 0
+
+    jax.lax.fori_loop(0, ROW_CHUNK, row_body, 0)
+    score_ref[:] = scorev[0]
+
+
+def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
+    n_chunks = (n_rows + ROW_CHUNK - 1) // ROW_CHUNK
+    kernel = functools.partial(_cigar_kernel, slen, n_rows, go, ge, fs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[
+            *[pl.BlockSpec((ROW_CHUNK, B), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM) for _ in range(8)],
+            pl.BlockSpec((22, slen * VL, B), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slen * VL, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROW_CHUNK, slen * VL, B), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, (slen + 1) * VL, B), jnp.int32),
+            pltpu.VMEM((3, slen * VL, B), jnp.int32),
+            pltpu.VMEM((1, slen * VL, B), jnp.int32),
+            pltpu.VMEM((1, slen * VL, B), jnp.int32),
+            pltpu.VMEM((1, slen * VL, B), jnp.int32),
+            pltpu.VMEM((1, 1, B), jnp.int32),
+            pltpu.VMEM((slen * VL, B), jnp.int32),
+            pltpu.VMEM((VL, B), jnp.int32),
+            pltpu.VMEM((VL, B), jnp.int32),
+            pltpu.VMEM((1, B), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks * ROW_CHUNK, slen * VL, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_cigar(slen, n_rows, go, ge, fs, interpret):
+    return jax.jit(_make_cigar_call(slen, n_rows, go, ge, fs, interpret))
+
+
+class CigarBatch:
+    """A padded batch of full-CIGAR DP problems."""
+
+    def __init__(self, al_pad: int, nl_pad: int, mat: np.ndarray, opt_scalars):
+        assert al_pad % VL == 0
+        self.slen = al_pad // VL
+        self.al = al_pad
+        self.nl = ((nl_pad + ROW_CHUNK - 1) // ROW_CHUNK) * ROW_CHUNK
+        (self.go, self.ge, self.fs, self.default_io, self.xdrop,
+         self.end_bonus, self.ie_coef) = opt_scalars
+        self.mat = mat.reshape(22, 22)
+        self.nas = np.zeros((self.nl, B), np.int32)
+        self.dm1 = np.zeros((self.nl, B), np.int32)
+        self.d0 = np.zeros((self.nl, B), np.int32)
+        self.dp1 = np.zeros((self.nl, B), np.int32)
+        self.a0 = np.zeros((self.nl, B), np.int32)
+        self.am1 = np.zeros((self.nl, B), np.int32)
+        self.am2 = np.zeros((self.nl, B), np.int32)
+        self.nlv = np.zeros((self.nl, B), np.int32)
+        self.prof = np.full((22, self.al, B), NEG, np.int32)
+        self.endsel = np.zeros((self.al, B), np.int32)
+        self.dims = []
+        self.n = 0
+
+    def add(self, nas, aas, donor, acceptor, io=None):
+        b = self.n
+        io = self.default_io if io is None else io
+        nl, al = len(nas), len(aas)
+        slen = self.slen
+        assert nl <= self.nl and al <= self.al and b < B
+        self.nas[:nl, b] = nas
+        d = donor.astype(np.int32) + io
+        a = acceptor.astype(np.int32)
+        self.dm1[1:nl, b] = d[:nl - 1]
+        self.d0[:nl, b] = d[:nl]
+        self.dp1[:nl, b] = d[1:nl + 1]
+        self.a0[:nl, b] = a[:nl]
+        self.am1[1:nl, b] = a[:nl - 1]
+        self.am2[2:nl, b] = a[:nl - 2]
+        self.nlv[:, b] = nl
+        # striped profile: sublane r = stripe-lane, position q = lane*slen + stripe
+        # profile row layout here: index p = j*VL + k  <->  q = k*slen + j
+        prof = np.full((22, self.al), NEG, np.int32)
+        q = np.arange(al)
+        p = (q % slen) * VL + q // slen
+        prof[:, p] = self.mat[:, aas].astype(np.int32)
+        self.prof[:, :, b] = prof
+        qe = al - 1
+        self.endsel[(qe % slen) * VL + qe // slen, b] = 1
+        self.dims.append((nl, al))
+        self.n += 1
+        return b
+
+    def run(self, interpret=None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        call = _compiled_cigar(self.slen, self.nl, self.go, self.ge, self.fs,
+                               interpret)
+        tb, score = call(
+            jnp.asarray(self.nas), jnp.asarray(self.dm1), jnp.asarray(self.d0),
+            jnp.asarray(self.dp1), jnp.asarray(self.a0), jnp.asarray(self.am1),
+            jnp.asarray(self.am2), jnp.asarray(self.nlv),
+            jnp.asarray(self.prof), jnp.asarray(self.endsel))
+        tb = np.asarray(tb)
+        score = np.asarray(score)[0]
+        from .. import native
+        out = []
+        for b in range(self.n):
+            nl, al = self.dims[b]
+            tb_b = np.ascontiguousarray(tb[:nl, :, b].astype(np.int16))
+            cig = native.backtrack(tb_b, self.slen, nl, al)
+            out.append((int(score[b]), cig))
+        return out

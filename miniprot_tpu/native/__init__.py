@@ -152,3 +152,16 @@ def prep(nsq, *, nt4, codon, sp, sp_null_bonus, io, ext_left, ss=None):
                  np.ascontiguousarray(sp, dtype=np.int32), sp_null_bonus, io,
                  int(ext_left), ss_ptr, nas, donor, acceptor)
     return nas, donor, acceptor
+
+
+_i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+_lib.mx_backtrack.restype = ct.c_int32
+_lib.mx_backtrack.argtypes = [_i16p, ct.c_int32, ct.c_int32, ct.c_int32, _u32p]
+
+
+def backtrack(tb: np.ndarray, slen: int, nl: int, al: int) -> np.ndarray:
+    """Backtrack a (nl, slen*8) int16 traceback matrix into a CIGAR."""
+    assert tb.dtype == np.int16 and tb.flags.c_contiguous
+    cig = np.empty(nl + al + 16, np.uint32)
+    n = _lib.mx_backtrack(tb, slen, nl, al, cig)
+    return cig[:n].copy()

@@ -957,3 +957,11 @@ MX_EXPORT void mx_prep(
 		prep_nas(nsq, nl, nt4, codon_tab, aa_x, out_nas);
 	}
 }
+
+/* Backtrack a traceback matrix produced by the TPU CIGAR kernel (same
+ * cell layout as the host DP: [row][stripe][lane] int16). */
+MX_EXPORT int32_t mx_backtrack(const int16_t *tb, int32_t slen, int32_t nl,
+                               int32_t al, uint32_t *cigar)
+{
+	return dp_backtrack(tb, slen, nl, al, cigar);
+}

@@ -1,14 +1,22 @@
 """Batched mapping pipeline with ordered output.
 
-The reference's 3-step read/map/write pipeline (map.c:242-343) maps to a
-batch loop here: read up to mini_batch_size residues of queries, map the
-batch (data-parallel across a process pool or, on TPU, across chips via
-the parallel/ layer), then emit in input order with the per-query
-best-score/coverage output filters.
+The reference's 3-step read/map/write pipeline (map.c:242-343, kthread.c)
+maps to a batch loop here:
+
+  read  -> up to mini_batch_size residues of queries per mini-batch
+  map   -> data-parallel across a fork-based process pool (the kt_for
+           analog); with use_tpu, the alignment round's extension DPs of
+           the whole mini-batch are additionally batched onto the TPU
+           Pallas kernel
+  write -> input-order emit with the per-query best-score/coverage
+           output filters
+
+Output is byte-identical across (n_threads, use_tpu) settings.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -19,6 +27,9 @@ from .format import write_output
 from .index import Index
 from .mapper import map_query
 from .options import F_GFF, MapOpt
+
+# worker-process state, inherited via fork
+_W: dict = {}
 
 
 def _emit_query(mi: Index, opt: MapOpt, name: str, seq: np.ndarray, regs,
@@ -44,14 +55,29 @@ def _emit_query(mi: Index, opt: MapOpt, name: str, seq: np.ndarray, regs,
         out.write(write_output(mi, opt, name, seq, None, 0, 0))
 
 
+def _worker_map(seq_bytes: bytes):
+    seq = np.frombuffer(seq_bytes, dtype=np.uint8)
+    return map_query(_W["mi"], seq, _W["opt"], env=_W["env"])
+
+
+def _worker_pre_align(seq_bytes: bytes):
+    from .mapper import pre_align
+    seq = np.frombuffer(seq_bytes, dtype=np.uint8)
+    return pre_align(_W["mi"], seq, _W["opt"])
+
+
+def _make_pool(mi: Index, opt: MapOpt, n_workers: int):
+    import multiprocessing as mp
+    _W["mi"] = mi
+    _W["opt"] = opt
+    _W["env"] = DpEnv(opt)
+    ctx = mp.get_context("fork")
+    return ctx.Pool(n_workers)
+
+
 def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
              out=None, use_tpu: bool = False) -> int:
-    """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343).
-
-    With use_tpu, the alignment round's extension DPs are batched across
-    all regions of the whole mini-batch and dispatched to the Pallas
-    kernel; output is byte-identical to the host path.
-    """
+    """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343)."""
     out = out or sys.stdout
     reader = BatchReader(fn)
     env = DpEnv(opt)
@@ -63,33 +89,54 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     if use_tpu:
         from .device import TpuExtEngine
         engine = TpuExtEngine(opt)
-    while True:
-        batch = reader.read_batch(opt.mini_batch_size)
-        if not batch:
-            break
-        if engine is None:
-            for rec in batch:
-                seq = np.frombuffer(rec.seq, dtype=np.uint8)
-                regs = map_query(mi, seq, opt, env=env)
-                _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
-        else:
-            _map_batch_tpu(mi, opt, env, engine, batch, id_counter, out)
-        n_mapped += len(batch)
+    n_workers = max(1, min(n_threads, os.cpu_count() or 1))
+    pool = _make_pool(mi, opt, n_workers) if n_workers > 1 else None
+    try:
+        while True:
+            batch = reader.read_batch(opt.mini_batch_size)
+            if not batch:
+                break
+            if engine is not None:
+                _map_batch_tpu(mi, opt, env, engine, batch, id_counter, out, pool)
+            elif pool is not None:
+                results = pool.map(_worker_map, [r.seq for r in batch],
+                                   chunksize=max(1, len(batch) // (n_workers * 8)))
+                for rec, regs in zip(batch, results):
+                    seq = np.frombuffer(rec.seq, dtype=np.uint8)
+                    _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
+            else:
+                for rec in batch:
+                    seq = np.frombuffer(rec.seq, dtype=np.uint8)
+                    regs = map_query(mi, seq, opt, env=env)
+                    _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
+            n_mapped += len(batch)
+    finally:
+        if pool is not None:
+            pool.terminate()
+            pool.join()
     return n_mapped
 
 
 def _map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
-                   id_counter, out) -> None:
-    """One mini-batch with TPU-batched extension DPs."""
+                   id_counter, out, pool=None) -> None:
+    """One mini-batch with TPU-batched extension DPs.
+
+    Seed/chain/refine run on the worker pool when available; the
+    alignment round's extension DPs batch onto the Pallas kernel."""
     from .align import align_region_steps
     from .device import pump_align_generators
     from .mapper import finish_align, pre_align
 
+    if pool is not None:
+        pre = pool.map(_worker_pre_align, [r.seq for r in batch],
+                       chunksize=max(1, len(batch) // 32))
+    else:
+        pre = [pre_align(mi, np.frombuffer(r.seq, np.uint8), opt)
+               for r in batch]
     per_query = []
     gens = []
-    for rec in batch:
+    for rec, (regs, ext) in zip(batch, pre):
         seq = np.frombuffer(rec.seq, dtype=np.uint8)
-        regs, ext = pre_align(mi, seq, opt)
         per_query.append((rec, seq, regs))
         for r, (el, er) in zip(regs, ext):
             gens.append(align_region_steps(env, opt, mi, len(seq), seq, r,
