@@ -337,22 +337,42 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     ne0 = r.vs - vs0
     ae0 = r.qs
 
+    # plan the gap-patching DPs (align.c:303-314); trivial exact-size gaps
+    # use the ungapped shortcut, the rest are batched as one request
+    plan = []
+    jobs = []
+
+    def _plan_gap(nseq, aseq, ss_slice):
+        if len(nseq) == len(aseq) * 3 and len(aseq) <= opt.kmer2:
+            plan.append(("t", nseq, aseq))
+        else:
+            plan.append(("d", len(jobs)))
+            jobs.append((nseq, aseq, ss_slice))
+
     if dbg_more_dp:  # debug: one DP over the whole region (align.c:303-305)
-        score = align_seq(env, opt, nt[r.vs - as_: r.ve - as_], aa[ae0: r.qe],
-                          None if ss is None else ss[r.vs - as_: r.ve - as_], cig)
+        _plan_gap(nt[r.vs - as_: r.ve - as_], aa[ae0: r.qe],
+                  None if ss is None else ss[r.vs - as_: r.ve - as_])
     else:  # patch gaps between marked anchors (align.c:306-314)
         for i in range(i0, r.cnt):
             if not (int(r.a[i]) >> 31) & 1:
                 continue
             ne1 = int(r.a[i] >> np.uint64(32)) + 1
             ae1 = int(r.a[i] & np.uint64(0x7FFFFFFF)) + 1
-            score += align_seq(env, opt, nt[ne0 + vs0 - as_: ne1 + vs0 - as_],
-                               aa[ae0:ae1],
-                               None if ss is None else ss[ne0 + vs0 - as_: ne1 + vs0 - as_],
-                               cig)
+            _plan_gap(nt[ne0 + vs0 - as_: ne1 + vs0 - as_], aa[ae0:ae1],
+                      None if ss is None else ss[ne0 + vs0 - as_: ne1 + vs0 - as_])
             ne0, ae0 = ne1, ae1
         r.ve = ne0 + vs0
         r.qe = ae0
+    results = (yield ("cigars", jobs)) if jobs else []
+    for step in plan:
+        if step[0] == "t":
+            push_cigar(cig, C_M, len(step[2]))
+            score += score_ungapped(step[1], step[2], opt)
+        else:
+            sc, c = results[step[1]]
+            score += sc
+            for op in c:
+                push_cigar(cig, int(op) & 0xF, int(op) >> 4)
 
     # right extension (align.c:316-333)
     if r.qe < qlen and r.ve < ae:
@@ -366,10 +386,17 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
                                    env.io_end, False)
             if aal2 == qlen - r.qe:
                 nt_len, aa_len = ntl2, aal2
-        score += align_seq(env, opt, nt[r.ve - as_: r.ve - as_ + nt_len],
-                           aa[r.qe: r.qe + aa_len],
-                           None if ss is None else ss[r.ve - as_: r.ve - as_ + nt_len],
-                           cig)
+        nseq = nt[r.ve - as_: r.ve - as_ + nt_len]
+        aseq = aa[r.qe: r.qe + aa_len]
+        if len(nseq) == len(aseq) * 3 and len(aseq) <= opt.kmer2:
+            push_cigar(cig, C_M, len(aseq))
+            score += score_ungapped(nseq, aseq, opt)
+        else:
+            ((sc, c),) = yield ("cigars", [(nseq, aseq,
+                None if ss is None else ss[r.ve - as_: r.ve - as_ + nt_len])])
+            score += sc
+            for op in c:
+                push_cigar(cig, int(op) & 0xF, int(op) >> 4)
         r.ve += nt_len
         r.qe += aa_len
 
@@ -385,11 +412,18 @@ def run_steps_host(gen, env: DpEnv) -> None:
     try:
         req = next(gen)
         while True:
-            _, nsq, asq, ss, io, ext_left = req
-            sc, ntl, aal, _ = env.dp(nsq, asq,
-                                     DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT,
-                                     ss=ss, io=io)
-            req = gen.send((sc, ntl, aal))
+            if req[0] == "ext":
+                _, nsq, asq, ss, io, ext_left = req
+                sc, ntl, aal, _ = env.dp(nsq, asq,
+                                         DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT,
+                                         ss=ss, io=io)
+                req = gen.send((sc, ntl, aal))
+            else:  # "cigars"
+                results = []
+                for nsq, asq, ss in req[1]:
+                    sc, _, _, c = env.dp(nsq, asq, DPF_CIGAR, ss=ss)
+                    results.append((sc, c))
+                req = gen.send(results)
     except StopIteration:
         pass
 

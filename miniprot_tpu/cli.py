@@ -272,8 +272,17 @@ def main(argv: list[str] | None = None) -> int:
         max_sc = (mo.io + 1) // 2 - 1
         max_sc = min(max_sc, mo.io - mo.go, mo.sp_max_bonus)
         mi.nt.read_spsc(fn_spsc, max_sc)
+    if len(pos) > 1:
+        from . import sysutil
+        sysutil.log("main", mi.print_stat(mo.max_occ))
     for fn in pos[1:]:
         map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")))
+    from . import sysutil
+    from . import MP_VERSION as _V
+    sysutil.log("main", "Version: %s (miniprot_tpu %s)", _V, __import__("miniprot_tpu").__version__)
+    sysutil.log("main", "CMD: miniprot-tpu %s", " ".join(argv))
+    sysutil.log("main", "Real time: %.3f sec; CPU: %.3f sec; Peak RSS: %.3f GB",
+                sysutil.realtime(), sysutil.cputime(), sysutil.peakrss_gb())
     return 0
 
 

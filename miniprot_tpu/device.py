@@ -1,31 +1,42 @@
-"""TPU execution engine for batched extension DPs.
+"""TPU execution engine for batched alignment DPs.
 
-Collects extension-DP requests (from align_region_steps generators
-across many regions/queries), buckets them by padded (protein, window)
-shape class, and runs each bucket through the Pallas kernel 128 problems
-at a time.  Jobs outside the supported shape classes fall back to the
-host-C striped DP, which produces identical results.
+Collects DP requests from align_region_steps generators across many
+regions/queries and dispatches them in shape-bucketed batches of up to
+128 problems:
+
+  "ext"    score-only extension DPs  -> kernels/nasw_pallas.ExtBatch
+  "cigars" anchored gap-patching DPs -> kernels/nasw_cigar_pallas.CigarBatch
+           (bit-exact tracebacks; the batch's stripe count must equal
+           each problem's own ceil(al/8), so jobs bucket by exact slen)
+
+Jobs outside the supported shape classes (or whose folded donor+io
+streams would go negative, breaking the single-saturation equivalence)
+fall back to the host-C striped DP, which produces identical results.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from . import native, tables
+from . import native
 from .align import DpEnv
+from .kernels import nasw_cigar_pallas as ck
 from .kernels import nasw_pallas as nk
-from .native import DPF_EXT_LEFT, DPF_EXT_RIGHT
+from .native import DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT
 from .options import MapOpt
 
 AL_BUCKETS = (128, 512)
 NL_BUCKETS = (2048, 8192, 32768)
-MIN_TPU_NL = 1024  # smaller windows are cheaper on the host
+MIN_TPU_NL = 1024        # smaller windows are cheaper on the host
+CIG_SLENS = (1, 2, 3, 4)  # gap DPs with al <= 32 go to the TPU
+CIG_NL_BUCKETS = (2048, 8192)
+CIG_MIN_NL = 512
 
 
 @dataclass
-class _Job:
+class _ExtJob:
     nsq: np.ndarray
     asq: np.ndarray
     ss: np.ndarray | None
@@ -34,69 +45,140 @@ class _Job:
     result: tuple | None = None
 
 
+@dataclass
+class _CigJob:
+    nsq: np.ndarray
+    asq: np.ndarray
+    ss: np.ndarray | None
+    result: tuple | None = None
+
+
 class TpuExtEngine:
-    """Batches extension DPs onto the Pallas kernel."""
+    """Batches alignment DPs onto the Pallas kernels."""
 
     def __init__(self, opt: MapOpt, interpret: bool | None = None):
         self.opt = opt
-        self.sp = DpEnv(opt).sp
-        self.env = DpEnv(opt)  # host fallback
+        self.env = DpEnv(opt)  # host fallback + sp/io defaults
+        self.sp = self.env.sp
         self.scalars = (opt.go, opt.ge, opt.fs, opt.io, opt.xdrop,
                         opt.end_bonus, opt.ie_coef)
         self.mat = opt.mat
         self.interpret = interpret
-        self.jobs: list[_Job] = []
+        self.ext_jobs: list[_ExtJob] = []
+        self.cig_jobs: list[_CigJob] = []
+        self.requests: list[tuple] = []   # ("ext", idx) | ("cigars", [idx...])
         self.n_tpu = 0
         self.n_host = 0
 
-    def submit(self, nsq, asq, ss, io, ext_left) -> int:
-        self.jobs.append(_Job(nsq, asq, ss, io, ext_left))
-        return len(self.jobs) - 1
+    # ---- request intake ----
 
-    def _bucket(self, job: _Job):
-        nl, al = len(job.nsq), len(job.asq)
-        if nl < MIN_TPU_NL or al > AL_BUCKETS[-1] or nl > NL_BUCKETS[-1]:
-            return None
-        al_b = next(b for b in AL_BUCKETS if al <= b)
-        nl_b = next(b for b in NL_BUCKETS if nl <= b)
-        return (al_b, nl_b)
+    def submit(self, req) -> int:
+        if req[0] == "ext":
+            _, nsq, asq, ss, io, ext_left = req
+            self.ext_jobs.append(_ExtJob(nsq, asq, ss, io, ext_left))
+            self.requests.append(("ext", len(self.ext_jobs) - 1))
+        else:
+            idxs = []
+            for nsq, asq, ss in req[1]:
+                self.cig_jobs.append(_CigJob(nsq, asq, ss))
+                idxs.append(len(self.cig_jobs) - 1)
+            self.requests.append(("cigars", idxs))
+        return len(self.requests) - 1
 
-    def flush(self) -> list[tuple]:
+    # ---- batching ----
+
+    def _prep(self, job, ext_left, io):
+        return nk.prep_problem(job.nsq, job.asq, sp=self.sp,
+                               sp_null_bonus=self.opt.sp_null_bonus, io=io,
+                               ext_left=ext_left, ss=job.ss)
+
+    def _run_ext(self) -> None:
         buckets: dict[tuple, list[int]] = {}
-        for i, job in enumerate(self.jobs):
-            bk = self._bucket(job)
-            if bk is None:
+        for i, job in enumerate(self.ext_jobs):
+            if job.result is not None:
+                continue
+            nl, al = len(job.nsq), len(job.asq)
+            if nl < MIN_TPU_NL or al > AL_BUCKETS[-1] or nl > NL_BUCKETS[-1]:
                 sc, ntl, aal, _ = self.env.dp(
                     job.nsq, job.asq,
                     DPF_EXT_LEFT if job.ext_left else DPF_EXT_RIGHT,
                     ss=job.ss, io=job.io)
                 job.result = (sc, ntl, aal)
                 self.n_host += 1
-            else:
-                buckets.setdefault(bk, []).append(i)
+                continue
+            al_b = next(b for b in AL_BUCKETS if al <= b)
+            nl_b = next(b for b in NL_BUCKETS if nl <= b)
+            buckets.setdefault((al_b, nl_b), []).append(i)
         for (al_b, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), nk.B_LANES):
                 chunk = idxs[c0:c0 + nk.B_LANES]
                 batch = nk.ExtBatch(al_b, nl_b, self.mat, self.scalars)
                 for i in chunk:
-                    job = self.jobs[i]
-                    nas, aas, donor, acceptor = nk.prep_problem(
-                        job.nsq, job.asq, sp=self.sp,
-                        sp_null_bonus=self.opt.sp_null_bonus, io=job.io,
-                        ext_left=job.ext_left, ss=job.ss)
-                    batch.add(nas, aas, donor, acceptor, io=job.io)
-                res = batch.run(interpret=self.interpret)
-                for i, r in zip(chunk, res):
-                    self.jobs[i].result = r
+                    job = self.ext_jobs[i]
+                    nas, aas, d, a = self._prep(job, job.ext_left, job.io)
+                    batch.add(nas, aas, d, a, io=job.io)
+                for i, r in zip(chunk, batch.run(interpret=self.interpret)):
+                    self.ext_jobs[i].result = r
                 self.n_tpu += len(chunk)
-        out = [j.result for j in self.jobs]
-        self.jobs = []
+
+    def _run_cig(self) -> None:
+        buckets: dict[tuple, list[int]] = {}
+        for i, job in enumerate(self.cig_jobs):
+            if job.result is not None:
+                continue
+            nl, al = len(job.nsq), len(job.asq)
+            slen = (al + 7) // 8
+            if (nl < CIG_MIN_NL or slen not in CIG_SLENS
+                    or nl > CIG_NL_BUCKETS[-1]):
+                sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR,
+                                          ss=job.ss)
+                job.result = (sc, c)
+                self.n_host += 1
+                continue
+            nl_b = next(b for b in CIG_NL_BUCKETS if nl <= b)
+            buckets.setdefault((slen, nl_b), []).append(i)
+        for (slen, nl_b), idxs in buckets.items():
+            for c0 in range(0, len(idxs), ck.B):
+                chunk = idxs[c0:c0 + ck.B]
+                batch = ck.CigarBatch(slen * 8, nl_b, self.mat, self.scalars)
+                usable = []
+                for i in chunk:
+                    job = self.cig_jobs[i]
+                    nas, aas, d, a = self._prep(job, False, self.opt.io)
+                    if int(d.min()) + self.opt.io < 0:
+                        # folded donor stream would go negative: the
+                        # single-saturation fold no longer matches the
+                        # reference's double-saturating subs; host it
+                        sc, _, _, c = self.env.dp(job.nsq, job.asq,
+                                                  DPF_CIGAR, ss=job.ss)
+                        job.result = (sc, c)
+                        self.n_host += 1
+                        continue
+                    batch.add(nas, aas, d, a, io=self.opt.io)
+                    usable.append(i)
+                if usable:
+                    for i, r in zip(usable, batch.run(interpret=self.interpret)):
+                        self.cig_jobs[i].result = r
+                    self.n_tpu += len(usable)
+
+    def flush(self) -> list:
+        self._run_ext()
+        self._run_cig()
+        out = []
+        for kind, ref in self.requests:
+            if kind == "ext":
+                out.append(self.ext_jobs[ref].result)
+            else:
+                out.append([self.cig_jobs[i].result for i in ref])
+        self.ext_jobs = []
+        self.cig_jobs = []
+        self.requests = []
         return out
 
 
 def pump_align_generators(gens: list, engine: TpuExtEngine) -> None:
     """Advance align_region_steps generators in lockstep, batching their
-    extension requests through the engine."""
+    DP requests through the engine."""
     waiting = {}
     for gi, g in enumerate(gens):
         try:
@@ -104,7 +186,7 @@ def pump_align_generators(gens: list, engine: TpuExtEngine) -> None:
         except StopIteration:
             pass
     while waiting:
-        handles = {gi: engine.submit(*req[1:]) for gi, req in waiting.items()}
+        handles = {gi: engine.submit(req) for gi, req in waiting.items()}
         results = engine.flush()
         nxt = {}
         for gi, h in handles.items():

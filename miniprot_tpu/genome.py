@@ -59,6 +59,9 @@ class NtDB:
             off += len(c)
             codes.append(c)
         db.l_seq = off
+        from . import sysutil
+        sysutil.log("NtDB.from_fasta", "read %d bases in %d contigs",
+                    db.l_seq, db.n_ctg)
         flat = np.concatenate(codes) if codes else np.empty(0, np.uint8)
         if len(flat) & 1:
             flat = np.concatenate([flat, np.zeros(1, np.uint8)])

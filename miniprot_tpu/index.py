@@ -60,6 +60,7 @@ class Index:
     @classmethod
     def build(cls, fn_or_db, opt: IdxOpt) -> "Index":
         """Build from a FASTA path or an NtDB (mp_idx_build, index.c:97-136)."""
+        tables.set_default_code(opt.trans_code)
         nt = fn_or_db if isinstance(fn_or_db, NtDB) else NtDB.from_fasta(fn_or_db)
         bo = cls._block_offsets(nt, opt.bbit)
         parts = []
@@ -73,6 +74,8 @@ class Index:
         allv = np.concatenate(parts) if parts else np.empty(0, np.uint64)
         # contig-strand block ranges are disjoint, so a global sort+unique
         # equals the reference's per-strand dedup + counting sort
+        from . import sysutil
+        sysutil.log("Index.build", "collected syncmers")
         allv = np.unique(allv)
         n_bucket = opt.n_bucket
         counts = np.bincount((allv >> np.uint64(32)).astype(np.int64),
@@ -80,6 +83,7 @@ class Index:
         ki = np.zeros(n_bucket, np.int64)
         np.cumsum(counts[:-1], out=ki[1:])
         kb = allv.astype(np.uint32)  # low 32 bits
+        sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
         return cls(opt, nt, bo, ki, kb)
 
     # ---------- queries ----------
@@ -139,11 +143,14 @@ class Index:
             bbit, min_aa_len, kmer, mod_bit, trans_code = struct.unpack("<4iI", fp.read(20))
             opt = IdxOpt(bbit=bbit, min_aa_len=min_aa_len, kmer=kmer,
                          mod_bit=mod_bit, trans_code=trans_code)
+            tables.set_default_code(trans_code)
             (n_kb,) = struct.unpack("<q", fp.read(8))
             nt = NtDB.restore(fp)
             ki = np.frombuffer(fp.read(8 * opt.n_bucket), dtype="<i8").copy()
             kb = np.frombuffer(fp.read(4 * n_kb), dtype="<u4").copy()
         bo = cls._block_offsets(nt, opt.bbit)
+        from . import sysutil
+        sysutil.log("Index.restore", "loaded the index")
         return cls(opt, nt, bo, ki, kb)
 
     @classmethod

@@ -301,7 +301,12 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
 
 @functools.lru_cache(maxsize=32)
 def _compiled_cigar(slen, n_rows, go, ge, fs, interpret):
-    return jax.jit(_make_cigar_call(slen, n_rows, go, ge, fs, interpret))
+    call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret)
+
+    def wrapped(*args):
+        return call(*[a.astype(jnp.int32) for a in args])
+
+    return jax.jit(wrapped)
 
 
 class CigarBatch:
@@ -363,10 +368,16 @@ class CigarBatch:
         call = _compiled_cigar(self.slen, self.nl, self.go, self.ge, self.fs,
                                interpret)
         tb, score = call(
-            jnp.asarray(self.nas), jnp.asarray(self.dm1), jnp.asarray(self.d0),
-            jnp.asarray(self.dp1), jnp.asarray(self.a0), jnp.asarray(self.am1),
-            jnp.asarray(self.am2), jnp.asarray(self.nlv),
-            jnp.asarray(self.prof), jnp.asarray(self.endsel))
+            jnp.asarray(self.nas.astype(np.int8)),
+            jnp.asarray(self.dm1.astype(np.int16)),
+            jnp.asarray(self.d0.astype(np.int16)),
+            jnp.asarray(self.dp1.astype(np.int16)),
+            jnp.asarray(self.a0.astype(np.int16)),
+            jnp.asarray(self.am1.astype(np.int16)),
+            jnp.asarray(self.am2.astype(np.int16)),
+            jnp.asarray(self.nlv),
+            jnp.asarray(self.prof.astype(np.int16)),
+            jnp.asarray(self.endsel.astype(np.int8)))
         tb = np.asarray(tb)
         score = np.asarray(score)[0]
         from .. import native

@@ -237,7 +237,14 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
 @functools.lru_cache(maxsize=64)
 def _compiled_ext(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
     call = _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret)
-    return jax.jit(call)
+
+    def wrapped(*args):
+        # narrow dtypes travel host->device; upconvert on device so the
+        # kernel sees int32 (transfer volume is the bottleneck on
+        # relay-attached TPUs and HBM bandwidth elsewhere)
+        return call(*[a.astype(jnp.int32) for a in args])
+
+    return jax.jit(wrapped)
 
 
 def _donor_fwd(nt: np.ndarray, sp) -> np.ndarray:
@@ -357,7 +364,7 @@ def _apply_spsc(donor, acceptor, ss, io, sp_null_bonus, rev: bool):
 
 
 def prep_problem(nsq: np.ndarray, asq: np.ndarray, *, sp, sp_null_bonus, io,
-                 ext_left: bool, ss=None, trans_code: int = 1):
+                 ext_left: bool, ss=None, trans_code: int | None = None):
     """Host-side prep: nas/donor/acceptor tracks for one problem.
 
     Vectorized equivalent of ns_prep_seq / ns_prep_seq_left
@@ -419,7 +426,8 @@ class ExtBatch:
         self.am2 = np.zeros((self.nl, B_LANES), np.int32)
         self.logpen = np.zeros((self.nl, B_LANES), np.int32)
         self.nlv = np.zeros((self.nl, B_LANES), np.int32)
-        self.prof = np.full((22, self.al, B_LANES), NEG, np.int32)
+        # -32768 pad (int16-safe); junk lanes never win row maxima
+        self.prof = np.full((22, self.al, B_LANES), -32768, np.int32)
         self.endmask = np.zeros((self.al, B_LANES), np.int32)
         self.als = np.zeros(B_LANES, np.int32)
         self.n = 0
@@ -457,10 +465,16 @@ class ExtBatch:
         call = _compiled_ext(self.al, self.nl, self.go, self.ge, self.fs,
                              self.xdrop, self.end_bonus, interpret)
         max_sc, max_i, hmax = call(
-            jnp.asarray(self.nas), jnp.asarray(self.dm1), jnp.asarray(self.d0),
-            jnp.asarray(self.dp1), jnp.asarray(self.a0), jnp.asarray(self.am1),
-            jnp.asarray(self.am2), jnp.asarray(self.logpen), jnp.asarray(self.nlv),
-            jnp.asarray(self.prof), jnp.asarray(self.endmask))
+            jnp.asarray(self.nas.astype(np.int8)),
+            jnp.asarray(self.dm1.astype(np.int16)),
+            jnp.asarray(self.d0.astype(np.int16)),
+            jnp.asarray(self.dp1.astype(np.int16)),
+            jnp.asarray(self.a0.astype(np.int16)),
+            jnp.asarray(self.am1.astype(np.int16)),
+            jnp.asarray(self.am2.astype(np.int16)),
+            jnp.asarray(self.logpen.astype(np.int16)),
+            jnp.asarray(self.nlv), jnp.asarray(self.prof.astype(np.int16)),
+            jnp.asarray(self.endmask.astype(np.int8)))
         max_sc = np.asarray(max_sc)[0]
         max_i = np.asarray(max_i)[0]
         hmax = np.asarray(hmax)

@@ -110,6 +110,8 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
                     regs = map_query(mi, seq, opt, env=env)
                     _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
             n_mapped += len(batch)
+            from . import sysutil
+            sysutil.log("map_file", "mapped %d sequences", len(batch))
     finally:
         if pool is not None:
             pool.terminate()

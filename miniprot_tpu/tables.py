@@ -119,9 +119,20 @@ class Tables:
 
 
 _cache: dict[int, Tables] = {}
+_default_code = 1
 
 
-def get_tables(trans_code: int = 1) -> Tables:
+def set_default_code(trans_code: int) -> None:
+    """Set the process-wide genetic code (the reference's ns_make_tables
+    global; re-applied from the index on load, index.c:217)."""
+    global _default_code
+    Tables(trans_code)  # validate
+    _default_code = trans_code
+
+
+def get_tables(trans_code: int | None = None) -> Tables:
+    if trans_code is None:
+        trans_code = _default_code
     t = _cache.get(trans_code)
     if t is None:
         t = _cache[trans_code] = Tables(trans_code)

@@ -1,0 +1,101 @@
+"""TPU kernel tests: prep parity always; Pallas kernels on TPU backends."""
+import numpy as np
+import pytest
+
+from miniprot_tpu import native, tables
+from miniprot_tpu.kernels.nasw_pallas import prep_problem
+
+
+def _on_tpu():
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def test_prep_matches_reference_exact():
+    T = tables.get_tables(1)
+    rng = np.random.default_rng(31)
+    for _ in range(100):
+        nl = int(rng.integers(1, 400))
+        ext_left = bool(rng.integers(0, 2))
+        sp = tables.splice_model_scores(int(rng.choice([0, 1, 2])))
+        ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        ss = None
+        if rng.integers(0, 2):
+            ss = np.full(nl, 0xFF, np.uint8)
+            k = int(rng.integers(0, max(nl // 5, 2)))
+            ss[rng.integers(0, nl, k)] = rng.integers(0, 256, k).astype(np.uint8)
+        c_nas, c_d, c_a = native.prep(ns, nt4=T.nt4, codon=T.codon, sp=sp,
+                                      sp_null_bonus=-7, io=29,
+                                      ext_left=ext_left, ss=ss)
+        nas, _, d, a = prep_problem(ns, np.frombuffer(b"M", np.uint8), sp=sp,
+                                    sp_null_bonus=-7, io=29,
+                                    ext_left=ext_left, ss=ss)
+        assert np.array_equal(c_nas, nas)
+        assert np.array_equal(c_d.astype(np.int32), d)
+        assert np.array_equal(c_a.astype(np.int32), a)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_ext_kernel_matches_host_dp():
+    from miniprot_tpu.kernels.nasw_pallas import ExtBatch
+    from miniprot_tpu.native import DPF_EXT_LEFT, DPF_EXT_RIGHT
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(9)
+    batch = ExtBatch(al_pad=128, nl_pad=256, mat=mat,
+                     opt_scalars=(11, 1, 23, 29, 100, 5, 0.5))
+    cases = []
+    for _ in range(12):
+        nl = int(rng.integers(10, 250))
+        al = int(rng.integers(1, 120))
+        ext_left = bool(rng.integers(0, 2))
+        ns = rng.choice(list(b"ACGT"), nl).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), al).astype(np.uint8)
+        cases.append((ns, aa, ext_left))
+        nas, aas, d, a = prep_problem(ns, aa, sp=sp, sp_null_bonus=-7, io=29,
+                                      ext_left=ext_left)
+        batch.add(nas, aas, d, a)
+    for (ns, aa, ext_left), got in zip(cases, batch.run(interpret=False)):
+        rsc, rntl, raal, _ = native.dp16(
+            ns, aa, flag=DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT, **kw)
+        assert got == (rsc, rntl, raal)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_cigar_kernel_bit_exact_traceback():
+    from miniprot_tpu.kernels.nasw_cigar_pallas import CigarBatch
+    from miniprot_tpu.native import DPF_CIGAR
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(12)
+    batch = CigarBatch(al_pad=16, nl_pad=256, mat=mat,
+                       opt_scalars=(11, 1, 23, 29, 100, 5, 0.5))
+    cases = []
+    for _ in range(12):
+        nl = int(rng.integers(9, 250))
+        al = int(rng.integers(9, 17))  # ceil(al/8)==2 == batch slen
+        ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        nas, aas, d, a = prep_problem(ns, aa, sp=sp, sp_null_bonus=-7, io=29,
+                                      ext_left=False)
+        batch.add(nas, aas, d, a)
+    for (ns, aa), (sc, cig) in zip(cases, batch.run(interpret=False)):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc
+        assert np.array_equal(cig, rcig)
