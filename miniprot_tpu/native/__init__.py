@@ -165,3 +165,35 @@ def backtrack(tb: np.ndarray, slen: int, nl: int, al: int) -> np.ndarray:
     cig = np.empty(nl + al + 16, np.uint32)
     n = _lib.mx_backtrack(tb, slen, nl, al, cig)
     return cig[:n].copy()
+
+
+_lib.mx_dp32.argtypes = [
+    _u8p, ct.c_int32, _u8p, ct.c_int32, ct.c_void_p,
+    _i8p, ct.c_int32, _u8p, _u8p, _u8p, _i32p, ct.c_int32,
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+    ct.POINTER(ct.c_int32), _u32p, ct.POINTER(ct.c_int32),
+]
+
+
+def dp32(nsq: np.ndarray, asq: np.ndarray, *, mat, nt4, aa20, codon, sp,
+         sp_null_bonus: int, flag: int, go: int, ge: int, io: int, fs: int,
+         ss=None, asize: int = 22):
+    """32-bit DP for scores beyond int16 range (ns_global_gs32b,
+    nasw-sse.c:558-750).  Library API parity; no extension support."""
+    nsq = np.ascontiguousarray(nsq, dtype=np.uint8)
+    asq = np.ascontiguousarray(asq, dtype=np.uint8)
+    nl, al = len(nsq), len(asq)
+    cig = np.empty(nl + al + 16, np.uint32)
+    sc = ct.c_int32(0)
+    ncig = ct.c_int32(0)
+    ss_ptr = None
+    if ss is not None:
+        ss = np.ascontiguousarray(ss, dtype=np.uint8)
+        ss_ptr = ss.ctypes.data_as(ct.c_void_p)
+    _lib.mx_dp32(nsq, nl, asq, al, ss_ptr,
+                 np.ascontiguousarray(mat.reshape(-1), dtype=np.int8), asize,
+                 nt4, aa20, codon,
+                 np.ascontiguousarray(sp, dtype=np.int32), sp_null_bonus,
+                 flag, go, ge, io, fs,
+                 ct.byref(sc), cig, ct.byref(ncig))
+    return int(sc.value), cig[:ncig.value].copy()

@@ -608,12 +608,12 @@ static void prep_nas(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const u
 }
 
 /* backtrack over the striped tb matrix; nasw-sse.c:40-89 */
-static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t al, uint32_t *cig)
+static int32_t dp_backtrack_vl(const int16_t *tb, int32_t slen, int32_t vl, int32_t nl, int32_t al, uint32_t *cig)
 {
 	int32_t i = nl - 1, j = al - 1, last = 0, n = 0, k;
 	while (i >= 2 && j >= 0) {
-		const int16_t *tbi = tb + (int64_t)i * slen * VL;
-		int32_t x = tbi[(j % slen) * VL + j / slen];
+		const int16_t *tbi = tb + (int64_t)i * slen * vl;
+		int32_t x = tbi[(j % slen) * vl + j / slen];
 		int32_t state, ext;
 		if (x >> 9 & 1) x = 1 | (x >> 4 << 4);
 		state = last == 0 ? x & 0xf : last;
@@ -647,6 +647,11 @@ static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t
 			cig[k] = (cig[k] >> 4 << 4) | C_G;
 	}
 	return n;
+}
+
+static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t al, uint32_t *cig)
+{
+	return dp_backtrack_vl(tb, slen, VL, nl, al, cig);
 }
 
 #define DPF_CIGAR     0x1
@@ -964,4 +969,225 @@ MX_EXPORT int32_t mx_backtrack(const int16_t *tb, int32_t slen, int32_t nl,
                                int32_t al, uint32_t *cigar)
 {
 	return dp_backtrack(tb, slen, nl, al, cigar);
+}
+
+/*****************************************
+ * 32-bit striped DP (library parity)    *
+ *****************************************/
+
+/*
+ * Mirrors ns_global_gs32b (nasw-sse.c:558-750): 4 x int32 lanes, plain
+ * (non-saturating) arithmetic, no extension/end-bonus support.  Part of
+ * the library API for alignments whose scores exceed int16 range; the
+ * mapper itself always uses the 16-bit kernel.
+ */
+
+#define VL32 4
+typedef int32_t v32 __attribute__((vector_size(16), aligned(16)));
+
+#define NEG32 (-0x40000000)
+
+static inline v32 v32_set1(int32_t x) { v32 r = {x, x, x, x}; return r; }
+
+static inline v32 v32_max(v32 a, v32 b)
+{
+	v32 m = a > b;
+	return (a & m) | (b & ~m);
+}
+
+static inline int v32_all_le(v32 a, v32 b)
+{
+	int k;
+	for (k = 0; k < VL32; ++k)
+		if (a[k] > b[k]) return 0;
+	return 1;
+}
+
+static inline v32 v32_shift_up(v32 a, int32_t fill)
+{
+	v32 r;
+	r[3] = a[2], r[2] = a[1], r[1] = a[0], r[0] = fill;
+	return r;
+}
+
+MX_EXPORT void mx_dp32(
+	const uint8_t *nsq, int32_t nl, const uint8_t *asq, int32_t al,
+	const uint8_t *ss,
+	const int8_t *mat, int32_t asize,
+	const uint8_t *nt4, const uint8_t *aa20, const uint8_t *codon_tab,
+	const int32_t *sp, int32_t sp_null_bonus,
+	int32_t flag, int32_t go_, int32_t ge_, int32_t io_, int32_t fs_,
+	int32_t *out_score, uint32_t *cigar, int32_t *n_cigar)
+{
+	const int32_t slen = (al + VL32 - 1) / VL32;
+	const uint8_t aa_x = aa20['X'];
+	int32_t i, j, k;
+	uint8_t *nas, *aas;
+	int8_t *donor, *acceptor;
+	int32_t *prof;
+	v32 *bufH, *H, *H1, *H2, *H3, *D, *D1, *D2, *D3, *A, *B, *C, *tmpv;
+	int32_t *tb = 0;
+	v32 go = v32_set1(go_), ge = v32_set1(ge_), goe = v32_set1(go_ + ge_);
+	v32 io = v32_set1(io_), fs = v32_set1(fs_);
+
+	*n_cigar = 0;
+	*out_score = NEG32;
+
+	nas = (uint8_t*)malloc(nl);
+	aas = (uint8_t*)malloc(al > 0 ? al : 1);
+	donor = (int8_t*)malloc(nl + 1);
+	acceptor = (int8_t*)malloc(nl + 1);
+	for (j = 0; j < al; ++j) aas[j] = aa20[asq[j]];
+	prep_fwd(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, nas, donor, acceptor);
+	prep_nas(nsq, nl, nt4, codon_tab, aa_x, nas);
+
+	prof = (int32_t*)malloc((size_t)asize * slen * VL32 * 4);
+	{
+		int32_t *t = prof;
+		int32_t a;
+		for (a = 0; a < asize; ++a) {
+			const int8_t *ma = mat + a * asize;
+			for (j = 0; j < slen; ++j)
+				for (k = j; k < slen * VL32; k += slen)
+					*t++ = k >= al ? NEG32 : ma[aas[k]];
+		}
+	}
+
+	bufH = (v32*)aligned_alloc(16, ((size_t)(slen + 1) * 4 + (size_t)slen * 7) * 16);
+	H = bufH + 1, H1 = bufH + (slen + 1) + 1, H2 = bufH + (slen + 1) * 2 + 1, H3 = bufH + (slen + 1) * 3 + 1;
+	D = bufH + (slen + 1) * 4, D1 = D + slen, D2 = D1 + slen, D3 = D2 + slen;
+	A = D3 + slen, B = A + slen, C = B + slen;
+	for (i = 0; i < (slen + 1) * 4 + slen * 7; ++i)
+		bufH[i] = v32_set1(NEG32);
+	H3[-1][0] = 0;
+	H2[-1][0] = -fs_;
+	H1[-1][0] = -fs_;
+
+	if (flag & DPF_CIGAR)
+		tb = (int32_t*)malloc((size_t)nl * slen * VL32 * 4);
+
+	for (i = 2; i < nl; ++i) {
+		int32_t *tbi = tb ? tb + (int64_t)i * slen * VL32 : 0;
+		v32 I, last_h, gei;
+		v32 dim1 = v32_set1(donor[i - 1]), di = v32_set1(donor[i]), dip1 = v32_set1(donor[i + 1]);
+		v32 ai = v32_set1(acceptor[i]), aim1 = v32_set1(acceptor[i - 1]), aim2 = v32_set1(acceptor[i - 2]);
+		const int32_t *S = prof + (size_t)nas[i] * slen * VL32;
+		gei = nas[i] == 20 ? fs : ge;
+		I = last_h = v32_set1(NEG32);
+		if (i > 2) {
+			H3[-1] = v32_shift_up(H3[slen - 1], NEG32);
+			H2[-1] = v32_shift_up(H2[slen - 1], NEG32);
+			H1[-1] = v32_shift_up(H1[slen - 1], NEG32);
+		}
+		for (j = 0; j < slen; ++j) {
+			v32 h, t, u, v, y, z, Sv;
+			memcpy(&Sv, S + j * VL32, 16);
+			y = v32_set1(0);
+			z = v32_set1(0);
+			h = H3[j - 1] + Sv;
+			/* I */
+			t = last_h - go;
+			z = z | ((I > t) & v32_set1(1 << 4));
+			t = v32_max(t, I);
+			I = t - ge;
+			{ v32 m = I > h; y = (m & v32_set1(1)) | (~m & y); }
+			h = v32_max(h, I);
+			/* D */
+			u = H3[j] - go;
+			v = D3[j];
+			z = z | ((v > u) & v32_set1(1 << 5));
+			t = v32_max(u, v) - gei;
+			D[j] = t;
+			{ v32 m = t > h; y = (m & v32_set1(2)) | (~m & y); }
+			h = v32_max(h, t);
+			/* A */
+			u = H1[j] - io;
+			v = A[j];
+			t = u - dim1;
+			z = z | ((v > t) & v32_set1(1 << 6));
+			t = v32_max(t, v);
+			A[j] = t;
+			t = t - ai;
+			{ v32 m = t > h; y = (m & v32_set1(3)) | (~m & y); }
+			h = v32_max(h, t);
+			/* B */
+			u = H1[j - 1] - io;
+			v = B[j];
+			t = u - di;
+			z = z | ((v > t) & v32_set1(1 << 7));
+			t = v32_max(t, v);
+			B[j] = t;
+			t = t - aim2;
+			{ v32 m = t > h; y = (m & v32_set1(4)) | (~m & y); }
+			h = v32_max(h, t);
+			/* C */
+			v = C[j];
+			t = u - dip1;
+			z = z | ((v > t) & v32_set1(1 << 8));
+			t = v32_max(t, v);
+			C[j] = t;
+			t = t - aim1;
+			{ v32 m = t > h; y = (m & v32_set1(5)) | (~m & y); }
+			h = v32_max(h, t);
+			/* frameshift transitions */
+			t = H1[j] - fs;
+			{ v32 m = t > h; y = (m & v32_set1(6)) | (~m & y); }
+			h = v32_max(h, t);
+			t = H2[j] - fs;
+			{ v32 m = t > h; y = (m & v32_set1(7)) | (~m & y); }
+			h = v32_max(h, t);
+			t = H1[j - 1] - fs;
+			{ v32 m = t > h; y = (m & v32_set1(8)) | (~m & y); }
+			h = v32_max(h, t);
+			t = H2[j - 1] - fs;
+			{ v32 m = t > h; y = (m & v32_set1(9)) | (~m & y); }
+			h = v32_max(h, t);
+			if (tbi) {
+				z = z | y;
+				memcpy(tbi + j * VL32, &z, 16);
+			}
+			H[j] = h;
+			last_h = h;
+		}
+		I = v32_max(last_h - goe, I - ge);
+		for (k = 0; k < VL32; ++k) { /* lazy-F */
+			I = v32_shift_up(I, NEG32);
+			for (j = 0; j < slen; ++j) {
+				v32 h = H[j];
+				if (tbi) {
+					v32 z;
+					memcpy(&z, tbi + j * VL32, 16);
+					z = z | ((I > h) & v32_set1(1 << 9));
+					memcpy(tbi + j * VL32, &z, 16);
+				}
+				h = v32_max(h, I);
+				H[j] = h;
+				h = h - goe;
+				I = I - ge;
+				if (v32_all_le(I, h)) break;
+			}
+			if (j < slen) break;
+		}
+		tmpv = H3, H3 = H2, H2 = H1, H1 = H, H = tmpv;
+		tmpv = D3, D3 = D2, D2 = D1, D1 = D, D = tmpv;
+	}
+	*out_score = H1[(al - 1) % slen][(al - 1) / slen];
+	if (tb) {
+		/* backtrack expects int16 cells; tb values fit (<=1023) */
+		int16_t *tb16 = (int16_t*)malloc((size_t)nl * slen * VL32 * 2);
+		int64_t n16 = (int64_t)nl * slen * VL32;
+		int64_t m;
+		for (m = 0; m < n16; ++m) tb16[m] = (int16_t)tb[m];
+		{
+			int32_t nc = 0;
+			/* reuse the generic backtrack with VL=4 lane layout */
+			nc = dp_backtrack_vl(tb16, slen, VL32, nl, al, cigar);
+			*n_cigar = nc;
+		}
+		free(tb16);
+		free(tb);
+	}
+	free(bufH);
+	free(prof);
+	free(nas); free(aas); free(donor); free(acceptor);
 }

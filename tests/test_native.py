@@ -117,3 +117,22 @@ def test_chain_simple_diagonal():
                             chn_coef_log=0.75, is_spliced=True, kmer=6, bbit=8)
     assert len(u) == 1
     assert int(u[0] & 0xFFFFFFFF) == 4
+
+
+def test_dp32_matches_dp16_in_range():
+    """The 32-bit library DP agrees with the 16-bit kernel wherever scores
+    are in int16 range (and matches an SSE4.1 build of the reference
+    exactly; the reference's own SSE2 emulation of _mm_insert_epi32 has a
+    high-half bug, nasw-sse.c:314-327)."""
+    rng = np.random.default_rng(3)
+    kw = dp_kwargs()
+    kw32 = {k: v for k, v in kw.items() if k not in ("xdrop", "end_bonus", "ie_coef")}
+    for _ in range(30):
+        nl = int(rng.integers(9, 300))
+        al = int(rng.integers(1, 80))
+        ns = rng.choice(list(b"ACGT"), nl).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), al).astype(np.uint8)
+        s16, _, _, c16 = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        s32, c32 = native.dp32(ns, aa, flag=DPF_CIGAR, **kw32)
+        assert s16 == s32
+        assert np.array_equal(c16, c32)
