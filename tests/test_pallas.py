@@ -99,3 +99,18 @@ def test_cigar_kernel_bit_exact_traceback():
         rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
         assert sc == rsc
         assert np.array_equal(cig, rcig)
+
+
+def test_device_sketch_matches_host():
+    if not _on_tpu():
+        pytest.skip("needs a TPU backend")
+    from miniprot_tpu.sketch import sketch_nt4
+    from miniprot_tpu.kernels.sketch_jax import sketch_nt4_device
+    rng = np.random.default_rng(4)
+    for _ in range(3):
+        n = int(rng.integers(1000, 60000))
+        seq = rng.choice(np.arange(5, dtype=np.uint8), n,
+                         p=[.24, .24, .24, .24, .04])
+        a = np.sort(sketch_nt4(seq, 30, 6, 1, 8, 77))
+        b = np.sort(sketch_nt4_device(seq, 30, 6, 1, 8, 77))
+        assert np.array_equal(a, b)
