@@ -24,11 +24,18 @@ def _aa2codons():
     return m
 
 
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
 def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                   n_genes: int = 100, seed: int = 42, n_ctg: int = 2,
                   max_exons: int = 8, max_intron: int = 20000,
-                  mut_rate: float = 0.05, line_len: int = 60):
-    """Write a synthetic genome FASTA + protein FASTA pair."""
+                  mut_rate: float = 0.05, line_len: int = 60,
+                  rev_frac: float = 0.0):
+    """Write a synthetic genome FASTA + protein FASTA pair.
+
+    rev_frac of the genes are implanted on the reverse strand (the gene
+    region is reverse-complemented in place after writing)."""
     rng = np.random.default_rng(seed)
     aa2c = _aa2codons()
     per_ctg = genome_len // n_ctg
@@ -59,6 +66,10 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                         g[pos], g[pos + 1] = "G", "T"
                         g[pos + ilen - 2], g[pos + ilen - 1] = "A", "G"
                         pos += ilen
+                if rng.random() < rev_frac:
+                    # flip the whole gene locus to the reverse strand
+                    seg = "".join(g[cursor:pos])
+                    g[cursor:pos] = list(seg.translate(_COMP)[::-1])
                 cursor = pos + int(rng.integers(500, 3000))
                 p = list(prot)
                 for _ in range(int(plen * mut_rate)):

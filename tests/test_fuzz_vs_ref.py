@@ -81,3 +81,20 @@ def test_fuzz_parity(ref_binary, tmp_path, seed, mode):
     with contextlib.redirect_stdout(buf):
         assert cli.main([*mode, fa, faa]) == 0
     assert buf.getvalue() == ref
+
+
+@pytest.mark.parametrize("seed,mode", [(201, []), (202, ["--gff"])])
+def test_reverse_strand_parity(ref_binary, tmp_path, seed, mode):
+    """Half the genes implanted on the reverse strand."""
+    from miniprot_tpu.testgen import make_workload
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=600_000, n_genes=16, seed=seed,
+                  n_ctg=2, max_intron=6000, rev_frac=0.5)
+    ref = subprocess.run([ref_binary, "-t1", *mode, fa, faa],
+                         capture_output=True, text=True).stdout
+    import contextlib, io
+    from miniprot_tpu import cli
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main([*mode, fa, faa]) == 0
+    assert buf.getvalue() == ref
