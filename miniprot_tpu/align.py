@@ -291,7 +291,7 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     assert r.cnt > 0
     i0 = 0
     if not dbg_more_dp:
-        filter_seed(r.a, 6, 3, opt.kmer2, opt.kmer2 + 1)
+        native.filter_seed(r.a, 6, 3, opt.kmer2, opt.kmer2 + 1)
         marked = (r.a >> np.uint64(31)) & np.uint64(1)
         nz = np.flatnonzero(marked)
         if len(nz) == 0:

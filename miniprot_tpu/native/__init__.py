@@ -197,3 +197,15 @@ def dp32(nsq: np.ndarray, asq: np.ndarray, *, mat, nt4, aa20, codon, sp,
                  flag, go, ge, io, fs,
                  ct.byref(sc), cig, ct.byref(ncig))
     return int(sc.value), cig[:ncig.value].copy()
+
+
+_lib.mx_filter_seed.argtypes = [ct.c_int64, _u64p, ct.c_int32, ct.c_int32,
+                                ct.c_int32, ct.c_int32]
+
+
+def filter_seed(a: np.ndarray, max_aa_dist: int, min_cnt: int, kmer2: int,
+                trim_back: int) -> np.ndarray:
+    """Mark tight anchor blocks in place (mp_filter_seed, align.c:6-31)."""
+    assert a.dtype == np.uint64 and a.flags.c_contiguous
+    _lib.mx_filter_seed(len(a), a, max_aa_dist, min_cnt, kmer2, trim_back)
+    return a

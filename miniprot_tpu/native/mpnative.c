@@ -1191,3 +1191,32 @@ MX_EXPORT void mx_dp32(
 	free(prof);
 	free(nas); free(aas); free(donor); free(acceptor);
 }
+
+/* Anchor tight-block filter (mp_filter_seed, align.c:6-31). */
+MX_EXPORT void mx_filter_seed(int64_t cnt, uint64_t *a, int32_t max_aa_dist,
+                              int32_t min_cnt, int32_t kmer2, int32_t trim_back)
+{
+	int64_t i, j;
+	for (i = 0; i < cnt; ++i) {
+		for (j = i + 1; j < cnt; ++j) {
+			int32_t x0 = a[j-1] >> 32, y0 = (int32_t)a[j-1];
+			int32_t x1 = a[j] >> 32,   y1 = (int32_t)a[j];
+			if ((x1 - x0) % 3 != 0 || x1 - x0 > max_aa_dist * 3 || y1 - y0 > max_aa_dist)
+				break;
+		}
+		if (j - i >= min_cnt) {
+			int64_t k;
+			int32_t t = (int32_t)a[j-1];
+			for (k = j - 2; k >= i; --k)
+				if (t - (int32_t)a[k] >= trim_back)
+					break;
+			t = (int32_t)a[i] + 1 - kmer2;
+			for (; i < k; ++i)
+				if ((int32_t)a[i] + 1 - t >= trim_back)
+					break;
+			for (; i <= k; ++i)
+				a[i] |= 1ULL << 31;
+			i = j - 1;
+		}
+	}
+}
