@@ -21,6 +21,9 @@ import numpy as np
 
 from . import tables
 from .options import BITS_PER_AA
+from .workspace import Workspace
+
+_ws = Workspace()
 
 
 def hash32_mask(key: np.ndarray, mask: int) -> np.ndarray:
@@ -81,52 +84,83 @@ def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
     n = len(seq)
     if n < 3:
         return np.empty(0, np.uint64)
-    # codon ending at i (i >= 2) and its validity/sense
-    c = (seq[:-2].astype(np.uint16) << 4) | (seq[1:-1].astype(np.uint16) << 2) | seq[2:]
-    ambi = seq >= 4
-    valid = ~(ambi[:-2] | ambi[1:-1] | ambi[2:])
-    aa = np.where(valid, T.codon[np.where(valid, c, 0).astype(np.uint8)], 255)
-    sense = valid & (aa < 20)  # in-frame, translatable, non-stop
-    rc = T.codon13[np.where(valid, c, 0).astype(np.uint8)]
+    ws = _ws
+    # codon ending at i (i >= 2) and its validity/sense; large temporaries
+    # come from the reused workspace (first-touch page faults are costly
+    # in virtualized environments)
+    m = n - 2
+    c = ws.buf(m, np.uint8)
+    t8 = ws.buf(m, np.uint8)
+    np.left_shift(seq[:-2], 4, out=c, casting="unsafe")
+    np.left_shift(seq[1:-1], 2, out=t8, casting="unsafe")
+    np.bitwise_or(c, t8, out=c)
+    np.bitwise_or(c, seq[2:], out=c)
+    valid = ws.buf(m, bool)
+    tb = ws.buf(m, bool)
+    np.less(seq[:-2], 4, out=valid)
+    np.less(seq[1:-1], 4, out=tb)
+    np.logical_and(valid, tb, out=valid)
+    np.less(seq[2:], 4, out=tb)
+    np.logical_and(valid, tb, out=valid)
+    np.bitwise_and(c, np.uint8(63), out=c)  # clamp ambiguous codons into range
+    aa = ws.buf(m, np.uint8)
+    np.take(T.codon, c, out=aa)
+    sense = ws.buf(m, bool)
+    np.less(aa, 20, out=sense)  # in-frame, translatable, non-stop
+    np.logical_and(sense, valid, out=sense)
+    rc = t8  # reuse: reduced codon codes
+    np.take(T.codon13, c, out=rc)
     mask_k = (1 << (kmer * BITS_PER_AA)) - 1
     out = []
     for p_start in (0, 1, 2):  # codon end positions 2,3,4 mod 3
-        s = sense[p_start::3]
+        s = np.ascontiguousarray(sense[p_start::3])
         rcs = rc[p_start::3]
         ns = len(s)
-        if ns == 0:
+        if ns < kmer:
             continue
-        # run-length structure over codon slots
-        prev = np.concatenate([[False], s[:-1]])
-        starts = s & ~prev
-        run_id = np.cumsum(starts) - 1
-        # run start slot per slot, run length per run
-        start_slots = np.flatnonzero(starts)
-        if len(start_slots) == 0:
-            continue
-        ends = s & ~np.concatenate([s[1:], [False]])
-        end_slots = np.flatnonzero(ends)
-        run_len = end_slots - start_slots + 1
-        # k-mer windows within slots: window w = slots [w, w+kmer)
-        x, _ = _rolling_kmers(rcs, np.ones(ns, bool), kmer)
-        nw = len(x)
-        if nw == 0:
-            continue
-        w = np.arange(nw)
-        last = w + kmer - 1  # slot of the k-mer's last codon
-        ok = s[last] & (run_id[last] >= 0)
-        ok &= start_slots[np.maximum(run_id[last], 0)] <= w  # window inside one run
-        ok &= run_len[np.maximum(run_id[last], 0)] >= min_aa_len
+        nw = ns - kmer + 1
+        # run length ending at slot t via the last-False cummax trick
+        ti = ws.buf(ns, np.int64)
+        ti[:] = np.arange(ns)
+        lastF = ws.buf(ns, np.int64)
+        lastF[:] = -1
+        np.copyto(lastF, ti, where=~s)
+        np.maximum.accumulate(lastF, out=lastF)
+        ending = ws.buf(ns, np.int64)
+        np.subtract(ti, lastF, out=ending)
+        ending[~s] = 0
+        # suffix run length via the same trick reversed
+        sr = s[::-1]
+        lastF[:] = -1
+        np.copyto(lastF, ti, where=~sr)
+        np.maximum.accumulate(lastF, out=lastF)
+        starting_r = ws.buf(ns, np.int64)
+        np.subtract(ti, lastF, out=starting_r)
+        starting_r[~sr] = 0
+        starting = starting_r[::-1]
+        # k-mer windows: valid iff the run covers the whole window and the
+        # run's total length passes min_aa_len
+        x, _ = _rolling_kmers(rcs, s, kmer)
+        endw = ending[kmer - 1:]
+        ok = ws.buf(nw, bool)
+        np.greater_equal(endw, kmer, out=ok)
+        totw = ws.buf(nw, np.int64)
+        np.add(endw, starting[kmer - 1:], out=totw)
+        okb = ws.buf(nw, bool)
+        np.greater_equal(totw, min_aa_len + 1, out=okb)  # ending+starting-1 >= min
+        np.logical_and(ok, okb, out=ok)
+        y = hash32_mask(x, mask_k)
+        np.equal(y & np.uint32((1 << mod_bit) - 1), 0, out=okb)
+        np.logical_and(ok, okb, out=ok)
         idx = np.flatnonzero(ok)
         if len(idx) == 0:
             continue
-        y = hash32_mask(x[idx], mask_k)
-        keep = (y & np.uint32((1 << mod_bit) - 1)) == 0
-        idx, y = idx[keep], y[keep]
+        y = y[idx]
         # codon end position of window's last codon: p_start + 2 + 3*last_slot
         pos = (p_start + 2 + 3 * (idx + kmer - 1)).astype(np.uint64)
         blk = (pos >> np.uint64(bbit)) + np.uint64(boff)
         out.append((y.astype(np.uint64) >> np.uint64(mod_bit)) << np.uint64(32) | blk)
+    ws.reset()
     if not out:
         return np.empty(0, np.uint64)
     return np.concatenate(out)
