@@ -154,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             elif key == "dbg-no-refine":
                 dbg["no_refine"] = True
+            elif key == "dbg-qname":
+                dbg["qname"] = True
+            elif key == "dbg-anchor":
+                dbg["anchor"] = True
+            elif key == "dbg-chain":
+                dbg["chain"] = True
             elif key == "dbg-aflt":
                 dbg["more_dp"] = True
             elif key == "tpu":
@@ -276,7 +282,8 @@ def main(argv: list[str] | None = None) -> int:
         from . import sysutil
         sysutil.log("main", mi.print_stat(mo.max_occ))
     for fn in pos[1:]:
-        map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")))
+        map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")),
+                 dbg=dbg)
     from . import sysutil
     from . import MP_VERSION as _V
     sysutil.log("main", "Version: %s (miniprot_tpu %s)", _V, __import__("miniprot_tpu").__version__)

@@ -19,6 +19,32 @@ from .options import F_NO_ALIGN, F_NO_PRE_CHAIN, F_NO_SPLICE, MapOpt
 from .sketch import sketch_nt4, sketch_prot
 
 
+def _dbg_chain(mi: Index, regs, bbit: int, label: str) -> None:
+    """Dump chain anchors (mp_dbg_chain, map.c:113-124)."""
+    import sys as _sys
+    for i, r in enumerate(regs):
+        for ak in r.a:
+            if bbit > 0:
+                off = (int(ak >> np.uint64(32)) - int(mi.bo[r.vid])) << bbit
+            else:
+                off = r.vs + int(ak >> np.uint64(32))
+            _sys.stderr.write(
+                f"{label}\t{i}\t{int(ak >> np.uint64(32))}\t"
+                f"{mi.nt.ctg[r.vid >> 1].name}\t{'+-'[r.vid & 1]}\t{off}\t"
+                f"{int(ak & np.uint64(0xFFFFFFFF))}\n")
+
+
+def _dbg_anchor(mi: Index, a: np.ndarray) -> None:
+    """Dump raw seed anchors (map.c:179-184)."""
+    import sys as _sys
+    for ak in a:
+        blk = int(ak >> np.uint64(32))
+        i = mi.block2pos(blk)
+        off = (blk - int(mi.bo[i])) << mi.opt.bbit
+        _sys.stderr.write(f"X\t{blk}\t{mi.nt.ctg[i >> 1].name}\t"
+                          f"{'+-'[i & 1]}\t{off}\t{int(ak & np.uint64(0xFFFFFFFF))}\n")
+
+
 def cal_max_occ(mi: Index, sd: np.ndarray) -> int:
     """Boxplot outlier cap on k-mer occurrences (mp_cal_max_occ,
     map.c:126-141)."""
@@ -144,6 +170,8 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
     else:
         a = np.empty(0, np.uint64)
     native.sort_u64(a)
+    if dbg.get("anchor"):
+        _dbg_anchor(mi, a)
 
     # pre-chain at block bandwidth (map.c:186-192)
     if not (opt.flag & F_NO_PRE_CHAIN) and is_splice:
@@ -161,6 +189,8 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
                         min_sc=opt.min_chn_sc, chn_coef_log=opt.chn_coef_log,
                         is_spliced=is_splice, kmer=io.kmer, bbit=io.bbit)
     regs = reg_gen_from_block(mi, u, a)
+    if dbg.get("chain"):
+        _dbg_chain(mi, regs, io.bbit, "Y1")
     regs = sort_reg(regs)
     set_parent(opt.mask_level, opt.mask_len, regs, io.kmer, 0)
     regs = select_sub(opt.pri_ratio * opt.pri_ratio, io.kmer * 2, opt.best_n, regs)

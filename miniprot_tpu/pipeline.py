@@ -75,10 +75,34 @@ def _make_pool(mi: Index, opt: MapOpt, n_workers: int):
     return ctx.Pool(n_workers)
 
 
+class _Prefetcher:
+    """Read batch N+1 while batch N maps (the kt_pipeline analog,
+    kthread.c:97-159)."""
+
+    def __init__(self, reader: BatchReader, chunk_size: int):
+        import queue as _q
+        import threading
+        self._q: "_q.Queue" = _q.Queue(maxsize=1)
+
+        def run():
+            while True:
+                b = reader.read_batch(chunk_size)
+                self._q.put(b)
+                if not b:
+                    return
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def get(self):
+        return self._q.get()
+
+
 def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
-             out=None, use_tpu: bool = False) -> int:
+             out=None, use_tpu: bool = False, dbg: dict | None = None) -> int:
     """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343)."""
     out = out or sys.stdout
+    dbg = dbg or {}
     reader = BatchReader(fn)
     env = DpEnv(opt)
     id_counter = [0]
@@ -91,9 +115,10 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
         engine = TpuExtEngine(opt)
     n_workers = max(1, min(n_threads, os.cpu_count() or 1))
     pool = _make_pool(mi, opt, n_workers) if n_workers > 1 else None
+    pre = _Prefetcher(reader, opt.mini_batch_size)
     try:
         while True:
-            batch = reader.read_batch(opt.mini_batch_size)
+            batch = pre.get()
             if not batch:
                 break
             if engine is not None:
@@ -106,8 +131,10 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
                     _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
             else:
                 for rec in batch:
+                    if dbg.get("qname"):
+                        sys.stderr.write(f"QR\t{rec.name}\t{len(rec.seq)}\t0\n")
                     seq = np.frombuffer(rec.seq, dtype=np.uint8)
-                    regs = map_query(mi, seq, opt, env=env)
+                    regs = map_query(mi, seq, opt, env=env, dbg=dbg)
                     _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
             n_mapped += len(batch)
             from . import sysutil
