@@ -85,11 +85,12 @@ def measure_pallas_gcups() -> float:
     d = rng.integers(0, 31, (NL, B)).astype(np.int32)
     logpen = np.zeros((NL, B), np.int32)
     nlv = np.full((NL, B), NL, np.int32)
-    prof = rng.integers(-4, 12, (22, AL, B)).astype(np.int32)
+    prof = rng.integers(0, 2**31 - 1, (6, AL, B)).astype(np.int32)
     em = np.zeros((AL, B), np.int32)
     em[AL - 1] = 1
+    qpad = np.zeros((AL, B), np.int32)
     args = [jax.device_put(x) for x in
-            (nas, d, d, d, d, d, d, logpen, nlv, prof, em)]
+            (nas, d, d, d, d, d, d, logpen, nlv, prof, em, qpad)]
     r = call(*args)
     np.asarray(r[0])  # force full execution + transfer (warm-up)
     iters = 20

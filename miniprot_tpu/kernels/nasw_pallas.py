@@ -81,7 +81,7 @@ def _cummax_sublanes(x):
 def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
                 # streamed per-row inputs (ROW_CHUNK, B):
                 nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref, am2_ref,
-                logpen_ref, nl_ref, prof_ref, endmask_ref,
+                logpen_ref, nl_ref, prof_ref, endmask_ref, qpad_ref,
                 # outputs:
                 max_sc_ref, max_i_ref, hmax_ref,
                 # scratch:
@@ -105,9 +105,9 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
 
     def row_body(ii, _):
         i = chunk * ROW_CHUNK + ii  # global genome row; DP starts at i=2
-        valid_row = i >= 2
+        any_active = jnp.max(act[0]) > 0
 
-        @pl.when(valid_row)
+        @pl.when((i >= 2) & any_active)
         def _():
             slot = jax.lax.rem(i, 3)
             s1 = jax.lax.rem(i + 2, 3)   # (i-1) % 3
@@ -127,10 +127,18 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             H2m1 = _roll_down1(H2, hc2)
 
             nas_i = nas_ref[ii, :][None, :]      # (1,B)
-            # profile select: S[q,b] = mat[nas_i[b], aas[q,b]]
-            S = jnp.full((al, B_LANES), NEG, jnp.int32)
-            for a in range(22):
-                S = jnp.where(nas_i == a, prof_ref[a], S)
+            # profile select: S[q,b] = mat[nas_i[b], aas[q,b]].  The
+            # profile packs 4 int8 alphabet rows per int32, so only
+            # ceil(22/4)=6 selects are needed, then a per-lane byte
+            # extract with sign fix and the q>=al pad
+            grp = nas_i >> 2
+            sub = (nas_i & 3) * 8
+            P = prof_ref[0]
+            for g in range(1, 6):
+                P = jnp.where(grp == g, prof_ref[g], P)
+            S8 = (P >> sub) & 0xFF
+            S = (S8 ^ 128) - 128
+            S = jnp.where(qpad_ref[:] != 0, NEG, S)
             gei = jnp.where(nas_i == 20, fs, ge)
 
             h = H3m1 + S
@@ -196,7 +204,9 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
         in_specs=[
             *[pl.BlockSpec((ROW_CHUNK, B_LANES), lambda g: (g, 0),
                            memory_space=pltpu.VMEM) for _ in range(9)],
-            pl.BlockSpec((22, al, B_LANES), lambda g: (0, 0, 0),
+            pl.BlockSpec((6, al, B_LANES), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((al, B_LANES), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((al, B_LANES), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -426,9 +436,10 @@ class ExtBatch:
         self.am2 = np.zeros((self.nl, B_LANES), np.int32)
         self.logpen = np.zeros((self.nl, B_LANES), np.int32)
         self.nlv = np.zeros((self.nl, B_LANES), np.int32)
-        # -32768 pad (int16-safe); junk lanes never win row maxima
-        self.prof = np.full((22, self.al, B_LANES), -32768, np.int32)
+        # packed profile: 4 int8 alphabet rows per int32 (see kernel)
+        self.prof = np.zeros((6, self.al, B_LANES), np.int32)
         self.endmask = np.zeros((self.al, B_LANES), np.int32)
+        self.qpad = np.ones((self.al, B_LANES), np.int8)
         self.als = np.zeros(B_LANES, np.int32)
         self.n = 0
 
@@ -453,7 +464,15 @@ class ExtBatch:
                         + np.float32(0.5)).astype(np.int32))
         self.logpen[:, b] = pen
         self.nlv[:, b] = nl
-        self.prof[:, :al, b] = self.mat[:, aas].astype(np.int32)
+        col = self.mat[:, aas].astype(np.int32) & 0xFF  # (22, al) int8-as-byte
+        packed = np.zeros((6, al), np.int32)
+        for g in range(6):
+            for s in range(4):
+                a_row = 4 * g + s
+                if a_row < 22:
+                    packed[g] |= col[a_row] << (8 * s)
+        self.prof[:, :al, b] = packed
+        self.qpad[:al, b] = 0
         self.endmask[al - 1, b] = 1
         self.als[b] = al
         self.n += 1
@@ -473,8 +492,9 @@ class ExtBatch:
             jnp.asarray(self.am1.astype(np.int16)),
             jnp.asarray(self.am2.astype(np.int16)),
             jnp.asarray(self.logpen.astype(np.int16)),
-            jnp.asarray(self.nlv), jnp.asarray(self.prof.astype(np.int16)),
-            jnp.asarray(self.endmask.astype(np.int8)))
+            jnp.asarray(self.nlv), jnp.asarray(self.prof),
+            jnp.asarray(self.endmask.astype(np.int8)),
+            jnp.asarray(self.qpad))
         max_sc = np.asarray(max_sc)[0]
         max_i = np.asarray(max_i)[0]
         hmax = np.asarray(hmax)
