@@ -155,3 +155,42 @@ def dryrun(n_devices: int) -> None:
     ki_ext = np.concatenate([ki, [len(kb)]])
     expect = (ki_ext[hashes + 1] - ki_ext[hashes]).astype(out.dtype)
     np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def sharded_anchor_step(mesh: Mesh, max_hits_per_seed: int):
+    """Jitted sharded anchor gather: each "g" shard looks up its hash
+    range and contributes up to max_hits_per_seed block ids per (query,
+    seed); an all_gather over "g" assembles every query's full candidate
+    set on its "q" shard.  This is step 2+3 of the distributed mapping
+    plan (docs/DESIGN.md §2) with real index data."""
+    from jax.experimental.shard_map import shard_map
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("q", None), P("g", None), P("g", None)),
+        out_specs=(P("q", None, None), P("q", None, None)),
+    )
+    def step(hashes, ki_l, kb_l):
+        import jax.numpy as jnp
+        ki = ki_l[0]
+        kb = kb_l[0]
+        n_local = ki.shape[0] - 1
+        base = jax.lax.axis_index("g") * n_local
+        local = hashes - base
+        in_range = (local >= 0) & (local < n_local)
+        idx = jnp.clip(local, 0, n_local - 1)
+        st = ki[idx]
+        cnt = jnp.where(in_range, ki[idx + 1] - st, 0)
+        # fixed-cap gather: hit slot h of seed s = kb[st + h] when h < cnt
+        offs = jnp.arange(max_hits_per_seed)
+        take = jnp.minimum(st[..., None] + offs, kb.shape[0] - 1)
+        hits = kb[take]
+        valid = offs < cnt[..., None]
+        hits = jnp.where(valid, hits, 0)
+        # merge across index shards: each (query, seed) hits exactly one
+        # shard, so a sum is a disjoint union
+        hits = jax.lax.psum(hits, "g")
+        valid = jax.lax.psum(valid.astype(jnp.int32), "g")
+        return hits, valid
+
+    return jax.jit(step)

@@ -1,0 +1,78 @@
+"""Distributed-layer tests on a virtual CPU mesh (subprocess: the axon
+TPU backend is pinned in-process, so CPU-device tests must re-exec)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = r"""
+import numpy as np
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+import sys
+sys.path.insert(0, %(repo)r)
+from miniprot_tpu.parallel import dist
+from miniprot_tpu.index import Index
+from miniprot_tpu.options import IdxOpt
+from miniprot_tpu.sketch import sketch_prot
+from miniprot_tpu import native
+
+idx = Index.build(%(genome)r, IdxOpt())
+mesh = dist.make_mesh(4, 2)
+ki_l, kb_l = dist.shard_index_tables(mesh, idx.ki, idx.kb)
+CAP = 64
+
+# real query seeds from the DPP3 protein
+from miniprot_tpu.bseq import read_fastx
+rec = next(read_fastx(%(query)r))
+sd = sketch_prot(rec.seq, idx.opt.kmer, idx.opt.mod_bit)
+native.sort_u64(sd)
+hashes = (sd >> np.uint64(32)).astype(np.int64)
+K = 32
+hq = np.zeros((8, K), np.int64)
+hq[0, :min(K, len(hashes))] = hashes[:K]
+
+step = dist.sharded_anchor_step(mesh, CAP)
+with mesh:
+    h = jax.device_put(hq, NamedSharding(mesh, P("q", None)))
+    kil = jax.device_put(ki_l, NamedSharding(mesh, P("g", None)))
+    kbl = jax.device_put(kb_l, NamedSharding(mesh, P("g", None)))
+    hits, valid = step(h, kil, kbl)
+hits = np.asarray(hits)
+valid = np.asarray(valid)
+
+# compare with the host lookup for each seed of query 0
+for s in range(min(K, len(hashes))):
+    expect = idx.bucket(int(hashes[s]))
+    got = hits[0, s][valid[0, s] > 0]
+    assert len(got) == min(len(expect), CAP), (s, len(got), len(expect))
+    assert np.array_equal(np.sort(got), np.sort(expect[:CAP])) or \
+        set(got.tolist()) == set(expect[:CAP].tolist())
+print("SHARDED-LOOKUP-OK")
+"""
+
+
+def test_sharded_anchor_gather_matches_host(dpp3_files):
+    genome, query = dpp3_files
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    code = SCRIPT % {"repo": "/root/repo", "genome": genome, "query": query}
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "SHARDED-LOOKUP-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_dryrun_multichip_virtual_mesh():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    code = ("import sys; sys.path.insert(0, '/root/repo');"
+            "import __graft_entry__ as g; g.dryrun_multichip(8);"
+            "g.dryrun_multichip(3); print('DRYRUN-OK')")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "DRYRUN-OK" in out.stdout, out.stderr[-2000:]
