@@ -271,7 +271,7 @@ def main(argv: list[str] | None = None) -> int:
     if fn_idx is not None:
         mi.dump(fn_idx)
     if fn_spsc is not None:
-        from .index import Index as _I  # mp_set_spsc (index.c:239-248)
+        # mp_set_spsc (index.c:239-248)
         if not keep_io:
             mo.io += 10
             mo.io_end += 10

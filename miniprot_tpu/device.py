@@ -20,7 +20,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from . import native
 from .align import DpEnv
 from .kernels import nasw_cigar_pallas as ck
 from .kernels import nasw_pallas as nk

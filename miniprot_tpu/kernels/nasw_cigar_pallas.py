@@ -37,8 +37,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import nasw_pallas as nk
-
 NEG = -32768   # int16 saturation floor: traceback bit parity requires
                # emulating the reference's saturating int16 arithmetic
 B = 128
@@ -198,7 +196,7 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
                 y = jnp.where(t > h, 9, y)
                 h = jnp.maximum(h, t)
                 z = z | y
-                tb_ref[ii, pl.ds(j * VL, VL)] = z
+                tb_ref[ii, pl.ds(j * VL, VL)] = z.astype(jnp.int16)
                 Hst[cur, pl.ds(off, VL)] = h
                 Iv_s[:] = I
                 last_s[:] = h
@@ -225,10 +223,11 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
                               jnp.where(j == 0, _shift_lanes_up(I, NEG), I), I)
                 off = (j + 1) * VL
                 h = Hst[cur, pl.ds(off, VL)]
-                z = tb_ref[ii, pl.ds(j * VL, VL)]
+                z = tb_ref[ii, pl.ds(j * VL, VL)].astype(jnp.int32)
                 znew = z | jnp.where(I > h, 1 << 9, 0)
                 hnew = jnp.maximum(h, I)
-                tb_ref[ii, pl.ds(j * VL, VL)] = jnp.where(active != 0, znew, z)
+                tb_ref[ii, pl.ds(j * VL, VL)] = jnp.where(active != 0, znew,
+                                                          z).astype(jnp.int16)
                 Hst[cur, pl.ds(off, VL)] = jnp.where(active != 0, hnew, h)
                 h2 = _ssub(hnew, goe)
                 Inew = _ssub(I, ge)
@@ -289,7 +288,7 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks * ROW_CHUNK, slen * VL, B), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks * ROW_CHUNK, slen * VL, B), jnp.int16),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -384,7 +383,7 @@ class CigarBatch:
         out = []
         for b in range(self.n):
             nl, al = self.dims[b]
-            tb_b = np.ascontiguousarray(tb[:nl, :, b].astype(np.int16))
+            tb_b = np.ascontiguousarray(tb[:nl, :, b])
             cig = native.backtrack(tb_b, self.slen, nl, al)
             out.append((int(score[b]), cig))
         return out
