@@ -162,7 +162,8 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             h = jnp.maximum(h, H2 - fs)
             h = jnp.maximum(h, H1m1 - fs)
             h = jnp.maximum(h, H2m1 - fs)
-            # I via prefix scan (exact lazy-F fixpoint)
+            # I via prefix scan (exact lazy-F fixpoint); log-step roll
+            # (lax.cummax does not lower in Mosaic here)
             M = _cummax_sublanes(h + qge)
             I = _roll_down1(M, jnp.full((1, B_LANES), NEG, jnp.int32)) - go - qge
             h = jnp.maximum(h, I)
