@@ -61,7 +61,7 @@ def _shift_lanes_up(v, fill):
 
 def _cigar_kernel(slen, n_rows, go, ge, fs,
                   nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref,
-                  am2_ref, nl_ref, prof_ref, endsel_ref,
+                  am2_ref, nl_ref, prof_ref, endsel_ref, qpad_ref,
                   tb_ref, score_ref,
                   Hst, Dst, Aa, Bb, Cc, scorev, Srow_s, Iv_s, last_s, act_s):
     """One grid step of ROW_CHUNK genome rows.
@@ -121,10 +121,15 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
             am2 = am2_ref[ii, :][None, :]
             gei = jnp.where(nas_i == 20, fs, ge)
 
-            # striped profile for this row: select over the alphabet
-            Srow = jnp.full((slen * VL, B), NEG, jnp.int32)
-            for a in range(22):
-                Srow = jnp.where(nas_i == a, prof_ref[a], Srow)
+            # striped profile: 4 packed int8 alphabet rows per int32
+            grp = nas_i >> 2
+            sub = (nas_i & 3) * 8
+            P = prof_ref[0]
+            for g in range(1, 6):
+                P = jnp.where(grp == g, prof_ref[g], P)
+            S8 = (P >> sub) & 0xFF
+            Srow = (S8 ^ 128) - 128
+            Srow = jnp.where(qpad_ref[:] != 0, NEG, Srow)
             Srow_s[:] = Srow  # scratch ref: stripe reads need dynamic offsets
 
             def stripe_body(j, _c):
@@ -261,7 +266,9 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
         in_specs=[
             *[pl.BlockSpec((ROW_CHUNK, B), lambda g: (g, 0),
                            memory_space=pltpu.VMEM) for _ in range(8)],
-            pl.BlockSpec((22, slen * VL, B), lambda g: (0, 0, 0),
+            pl.BlockSpec((6, slen * VL, B), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slen * VL, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((slen * VL, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -327,7 +334,8 @@ class CigarBatch:
         self.am1 = np.zeros((self.nl, B), np.int32)
         self.am2 = np.zeros((self.nl, B), np.int32)
         self.nlv = np.zeros((self.nl, B), np.int32)
-        self.prof = np.full((22, self.al, B), NEG, np.int32)
+        self.prof = np.zeros((6, self.al, B), np.int32)
+        self.qpad = np.ones((self.al, B), np.int8)
         self.endsel = np.zeros((self.al, B), np.int32)
         self.dims = []
         self.n = 0
@@ -350,11 +358,19 @@ class CigarBatch:
         self.nlv[:, b] = nl
         # striped profile: sublane r = stripe-lane, position q = lane*slen + stripe
         # profile row layout here: index p = j*VL + k  <->  q = k*slen + j
-        prof = np.full((22, self.al), NEG, np.int32)
+        col = self.mat[:, aas].astype(np.int32) & 0xFF
+        packed22 = np.zeros((6, al), np.int32)
+        for g in range(6):
+            for s in range(4):
+                a_row = 4 * g + s
+                if a_row < 22:
+                    packed22[g] |= col[a_row] << (8 * s)
         q = np.arange(al)
-        p = (q % slen) * VL + q // slen
-        prof[:, p] = self.mat[:, aas].astype(np.int32)
+        pstriped = (q % slen) * VL + q // slen
+        prof = np.zeros((6, self.al), np.int32)
+        prof[:, pstriped] = packed22
         self.prof[:, :, b] = prof
+        self.qpad[pstriped, b] = 0
         qe = al - 1
         self.endsel[(qe % slen) * VL + qe // slen, b] = 1
         self.dims.append((nl, al))
@@ -375,8 +391,9 @@ class CigarBatch:
             jnp.asarray(self.am1.astype(np.int16)),
             jnp.asarray(self.am2.astype(np.int16)),
             jnp.asarray(self.nlv),
-            jnp.asarray(self.prof.astype(np.int16)),
-            jnp.asarray(self.endsel.astype(np.int8)))
+            jnp.asarray(self.prof),
+            jnp.asarray(self.endsel.astype(np.int8)),
+            jnp.asarray(self.qpad))
         tb = np.asarray(tb)
         score = np.asarray(score)[0]
         from .. import native
