@@ -65,18 +65,11 @@ def score_ungapped(nseq: np.ndarray, aseq: np.ndarray, opt: MapOpt) -> int:
     is load-bearing for dp_score parity.
     """
     T = tables.get_tables()
-    alen = len(aseq)
-    score = 0
-    mat = opt.mat
-    for j, i in enumerate(range(0, alen, 3)):
-        n0, n1, n2 = int(nseq[i]), int(nseq[i + 1]), int(nseq[i + 2])
-        if n0 > 3 or n1 > 3 or n2 > 3:
-            nt_aa = tables.AA_X
-        else:
-            nt_aa = int(T.codon[n0 << 4 | n1 << 2 | n2])
-        aa_aa = int(T.aa20[aseq[j]])
-        score += int(mat[nt_aa, aa_aa])
-    return score
+    return int(native._lib.mx_score_ungapped(
+        np.ascontiguousarray(nseq, dtype=np.uint8),
+        np.ascontiguousarray(aseq, dtype=np.uint8), len(aseq),
+        np.ascontiguousarray(opt.mat.reshape(-1), dtype=np.int8), opt.asize,
+        T.codon, T.aa20))
 
 
 class DpEnv:
@@ -92,12 +85,16 @@ class DpEnv:
                        go=opt.go, ge=opt.ge, fs=opt.fs,
                        xdrop=opt.xdrop, end_bonus=opt.end_bonus,
                        ie_coef=opt.ie_coef, asize=opt.asize)
+        self.ctx = native.Dp16Ctx(**self.kw)
         self.io = opt.io
         self.io_end = opt.io_end
 
     def dp(self, nsq, asq, flag, ss=None, io=None):
-        return native.dp16(nsq, asq, flag=flag, io=self.io if io is None else io,
-                           ss=ss, **self.kw)
+        nsq = np.ascontiguousarray(nsq, dtype=np.uint8)
+        asq = np.ascontiguousarray(asq, dtype=np.uint8)
+        if ss is not None:
+            ss = np.ascontiguousarray(ss, dtype=np.uint8)
+        return self.ctx.dp(nsq, asq, flag, self.io if io is None else io, ss)
 
 
 def push_cigar(cig: list[int], op: int, length: int) -> None:
@@ -115,7 +112,8 @@ def align_seq(env: DpEnv, opt: MapOpt, nseq: np.ndarray, aseq: np.ndarray,
     nlen, alen = len(nseq), len(aseq)
     if nlen == alen * 3 and alen <= opt.kmer2:
         push_cigar(cig, C_M, alen)
-        return score_ungapped(nseq, aseq, opt)
+        return env.ctx.score_ungapped(np.ascontiguousarray(nseq, dtype=np.uint8),
+                                      np.ascontiguousarray(aseq, dtype=np.uint8))
     score, _, _, c = env.dp(nseq, aseq, DPF_CIGAR, ss=ss)
     for op in c:
         push_cigar(cig, int(op) & 0xF, int(op) >> 4)
@@ -341,33 +339,36 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     # use the ungapped shortcut, the rest are batched as one request
     plan = []
     jobs = []
+    triv = []  # (nt_off, aa_off, alen) batched into one native rescore call
 
-    def _plan_gap(nseq, aseq, ss_slice):
-        if len(nseq) == len(aseq) * 3 and len(aseq) <= opt.kmer2:
-            plan.append(("t", nseq, aseq))
+    def _plan_gap(nt_s, nt_e, aa_s, aa_e):
+        alen = aa_e - aa_s
+        if nt_e - nt_s == alen * 3 and alen <= opt.kmer2:
+            plan.append(("t", alen, len(triv)))
+            triv.append((nt_s, aa_s, alen))
         else:
             plan.append(("d", len(jobs)))
-            jobs.append((nseq, aseq, ss_slice))
+            jobs.append((nt[nt_s:nt_e], aa[aa_s:aa_e],
+                         None if ss is None else ss[nt_s:nt_e]))
 
     if dbg_more_dp:  # debug: one DP over the whole region (align.c:303-305)
-        _plan_gap(nt[r.vs - as_: r.ve - as_], aa[ae0: r.qe],
-                  None if ss is None else ss[r.vs - as_: r.ve - as_])
+        _plan_gap(r.vs - as_, r.ve - as_, ae0, r.qe)
     else:  # patch gaps between marked anchors (align.c:306-314)
         for i in range(i0, r.cnt):
             if not (int(r.a[i]) >> 31) & 1:
                 continue
             ne1 = int(r.a[i] >> np.uint64(32)) + 1
             ae1 = int(r.a[i] & np.uint64(0x7FFFFFFF)) + 1
-            _plan_gap(nt[ne0 + vs0 - as_: ne1 + vs0 - as_], aa[ae0:ae1],
-                      None if ss is None else ss[ne0 + vs0 - as_: ne1 + vs0 - as_])
+            _plan_gap(ne0 + vs0 - as_, ne1 + vs0 - as_, ae0, ae1)
             ne0, ae0 = ne1, ae1
         r.ve = ne0 + vs0
         r.qe = ae0
     results = (yield ("cigars", jobs)) if jobs else []
+    tscores = env.ctx.score_ungapped_many(nt, aa, triv) if triv else None
     for step in plan:
         if step[0] == "t":
-            push_cigar(cig, C_M, len(step[2]))
-            score += score_ungapped(step[1], step[2], opt)
+            push_cigar(cig, C_M, step[1])
+            score += int(tscores[step[2]])
         else:
             sc, c = results[step[1]]
             score += sc
@@ -390,7 +391,8 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
         aseq = aa[r.qe: r.qe + aa_len]
         if len(nseq) == len(aseq) * 3 and len(aseq) <= opt.kmer2:
             push_cigar(cig, C_M, len(aseq))
-            score += score_ungapped(nseq, aseq, opt)
+            score += env.ctx.score_ungapped(np.ascontiguousarray(nseq, dtype=np.uint8),
+                                            np.ascontiguousarray(aseq, dtype=np.uint8))
         else:
             ((sc, c),) = yield ("cigars", [(nseq, aseq,
                 None if ss is None else ss[r.ve - as_: r.ve - as_ + nt_len])])

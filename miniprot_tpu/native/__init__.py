@@ -199,6 +199,114 @@ def dp32(nsq: np.ndarray, asq: np.ndarray, *, mat, nt4, aa20, codon, sp,
     return int(sc.value), cig[:ncig.value].copy()
 
 
+_lib.mx_score_ungapped.restype = ct.c_int32
+_lib.mx_score_ungapped.argtypes = [_u8p, _u8p, ct.c_int32, _i8p, ct.c_int32,
+                                   _u8p, _u8p]
+
+
+# raw-pointer prototypes (void* args take plain integer addresses, which
+# skips numpy's per-call ndpointer from_param conversion entirely)
+_dp16_raw = ct.CFUNCTYPE(
+    None, ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_int32, ct.c_void_p,
+    ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+    ct.c_void_p, ct.c_int32,
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+    ct.c_int32, ct.c_int32, ct.c_float,
+    ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+    ct.c_void_p, ct.POINTER(ct.c_int32))(
+        ct.cast(_lib.mx_dp16, ct.c_void_p).value)
+_score_ungapped_raw = ct.CFUNCTYPE(
+    ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
+    ct.c_int32, ct.c_void_p, ct.c_void_p)(
+        ct.cast(_lib.mx_score_ungapped, ct.c_void_p).value)
+_score_ungapped_many_raw = ct.CFUNCTYPE(
+    None, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
+    ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_void_p)(
+        ct.cast(_lib.mx_score_ungapped_many, ct.c_void_p).value)
+
+
+class Dp16Ctx:
+    """Pre-bound mx_dp16 invocation context.
+
+    Converts the per-batch constant tables (matrix, alphabet tables,
+    splice model) to raw integer addresses once, so per-gap DP calls pay
+    no ndarray->argtype conversion (mapping makes ~20 DP + ~250 rescore
+    calls per query; the conversions were ~30% of host map time)."""
+
+    def __init__(self, *, mat, nt4, aa20, codon, sp, sp_null_bonus, go, ge,
+                 fs, xdrop, end_bonus, ie_coef, asize=22):
+        # keep refs so the buffers outlive the raw addresses
+        self._mat = np.ascontiguousarray(mat.reshape(-1), dtype=np.int8)
+        self._nt4 = np.ascontiguousarray(nt4, dtype=np.uint8)
+        self._aa20 = np.ascontiguousarray(aa20, dtype=np.uint8)
+        self._codon = np.ascontiguousarray(codon, dtype=np.uint8)
+        self._sp = np.ascontiguousarray(sp, dtype=np.int32)
+        self._pmat, self._pnt4, self._paa20, self._pcodon, self._psp = (
+            self._mat.ctypes.data, self._nt4.ctypes.data,
+            self._aa20.ctypes.data, self._codon.ctypes.data,
+            self._sp.ctypes.data)
+        self.sp_null_bonus = sp_null_bonus
+        self.go, self.ge, self.fs = go, ge, fs
+        self.xdrop, self.end_bonus, self.ie_coef = xdrop, end_bonus, ie_coef
+        self.asize = asize
+
+    def dp(self, nsq: np.ndarray, asq: np.ndarray, flag: int, io: int,
+           ss: np.ndarray | None = None):
+        nl, al = len(nsq), len(asq)
+        cig = np.empty(nl + al + 16, np.uint32)
+        sc = ct.c_int32(0)
+        ntl = ct.c_int32(0)
+        aal = ct.c_int32(0)
+        ncig = ct.c_int32(0)
+        _dp16_raw(nsq.ctypes.data, nl, asq.ctypes.data, al,
+                  ss.ctypes.data if ss is not None else None,
+                  self._pmat, self.asize, self._pnt4, self._paa20,
+                  self._pcodon, self._psp, self.sp_null_bonus,
+                  flag, self.go, self.ge, io, self.fs,
+                  self.xdrop, self.end_bonus, self.ie_coef,
+                  ct.byref(sc), ct.byref(ntl), ct.byref(aal),
+                  cig.ctypes.data, ct.byref(ncig))
+        return int(sc.value), int(ntl.value), int(aal.value), cig[:ncig.value]
+
+    def score_ungapped(self, nsq: np.ndarray, asq: np.ndarray) -> int:
+        return _score_ungapped_raw(nsq.ctypes.data, asq.ctypes.data, len(asq),
+                                   self._pmat, self.asize, self._pcodon,
+                                   self._paa20)
+
+    def score_ungapped_many(self, nt: np.ndarray, aa: np.ndarray,
+                            triv: list[tuple[int, int, int]]) -> np.ndarray:
+        """Score many (nt_off, aa_off, alen) trivial gaps of one region
+        in a single native call."""
+        tri = np.asarray(triv, np.int64)
+        out = np.empty(len(triv), np.int32)
+        _score_ungapped_many_raw(nt.ctypes.data, aa.ctypes.data,
+                                 tri.ctypes.data, len(triv), self._pmat,
+                                 self.asize, self._pcodon, self._paa20,
+                                 out.ctypes.data)
+        return out
+
+
+_lib.mx_sketch_nt4.restype = ct.c_int64
+_lib.mx_sketch_nt4.argtypes = [_u8p, ct.c_int64, ct.c_int32, ct.c_int32,
+                               ct.c_int32, ct.c_int32, ct.c_int64,
+                               _u8p, _u8p, _u64p]
+
+
+def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
+               bbit: int, boff: int, codon: np.ndarray,
+               codon13: np.ndarray) -> np.ndarray:
+    """One-strand three-frame ORF modimer scan (mp_sketch_nt4,
+    sketch.c:40-100).  Multiset-equal to sketch.sketch_nt4_numpy."""
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = len(seq)
+    out = np.empty(n + 8, np.uint64)  # <=1 window per codon-end position
+    cnt = _lib.mx_sketch_nt4(seq, n, min_aa_len, kmer, mod_bit, bbit, boff,
+                             codon, codon13, out)
+    if cnt < 0:
+        raise MemoryError("mx_sketch_nt4")
+    return out[:cnt].copy()
+
+
 _lib.mx_filter_seed.argtypes = [ct.c_int64, _u64p, ct.c_int32, ct.c_int32,
                                 ct.c_int32, ct.c_int32]
 

@@ -1220,3 +1220,128 @@ MX_EXPORT void mx_filter_seed(int64_t cnt, uint64_t *a, int32_t max_aa_dist,
 		}
 	}
 }
+
+/*******************************************
+ * Six-frame genome ORF modimer sketching  *
+ *******************************************/
+
+/* Invertible 32-bit integer hash masked to the k-mer width (the same
+ * mix as sketch.hash32_mask / reference sketch.c:7-16). */
+static inline uint32_t mx_hash32(uint32_t key, uint32_t mask)
+{
+	key = (key + ~(key << 15)) & mask;
+	key ^= key >> 10;
+	key = (key + (key << 3)) & mask;
+	key ^= key >> 6;
+	key = (key + ~(key << 11)) & mask;
+	key ^= key >> 16;
+	return key;
+}
+
+/* One-strand three-frame ORF modimer scan (behavioural equivalent of
+ * miniprot_tpu.sketch.sketch_nt4 and the reference mp_sketch_nt4 +
+ * mp_sketch_clean_orf, sketch.c:40-100).  Output order is per-frame
+ * sequential; every caller sorts scalar u64s afterwards, so only the
+ * multiset matters for byte-parity.
+ *
+ *   seq      nt4 codes of one contig strand (0..3 ACGT, >=4 ambiguous)
+ *   codon    codon -> aa20 table (64 entries; >=20 means stop/ambiguous)
+ *   codon13  codon -> reduced 13-letter code (64 entries)
+ *   out      capacity >= n + 4 (one window may end at every position);
+ *            entries (hash>>mod_bit)<<32 | blockId
+ *            with blockId = (endPos >> bbit) + boff
+ * Returns the number of entries written, or -1 on allocation failure. */
+/* Emit the modimers of one ORF run of run_len reduced codes rc[] whose
+ * first codon ends at genome position run_start. */
+static int64_t sketch_flush_run(const uint8_t *rc, int64_t run_len,
+                                int64_t run_start, int32_t kmer,
+                                uint32_t mask, uint32_t keep_mask,
+                                int32_t mod_bit, int32_t bbit, int64_t boff,
+                                uint64_t *out)
+{
+	int64_t t, cnt = 0;
+	uint32_t x = 0;
+	for (t = 0; t < run_len; ++t) {
+		x = (x << 4 | rc[t]) & mask;
+		if (t >= kmer - 1) {
+			uint32_t y = mx_hash32(x, mask);
+			if ((y & keep_mask) == 0)
+				out[cnt++] = (uint64_t)(y >> mod_bit) << 32
+					| (((uint64_t)(run_start + 3 * t) >> bbit) + boff);
+		}
+	}
+	return cnt;
+}
+
+MX_EXPORT int64_t mx_sketch_nt4(const uint8_t *seq, int64_t n,
+                                int32_t min_aa_len, int32_t kmer,
+                                int32_t mod_bit, int32_t bbit, int64_t boff,
+                                const uint8_t *codon, const uint8_t *codon13,
+                                uint64_t *out)
+{
+	int64_t cnt = 0, p, run_start = 0, run_len = 0;
+	int32_t f;
+	const uint32_t mask = (uint32_t)((1ULL << (4 * kmer)) - 1);
+	const uint32_t keep_mask = (1U << mod_bit) - 1U;
+	uint8_t *rc;
+	if (n < 3) return 0;
+	rc = (uint8_t *)malloc(n / 3 + 2);
+	if (rc == 0) return -1;
+	for (f = 0; f < 3; ++f) {
+		run_len = 0;
+		for (p = f + 2; p < n; p += 3) {
+			int sense = 0;
+			uint8_t red = 0;
+			if (seq[p - 2] < 4 && seq[p - 1] < 4 && seq[p] < 4) {
+				int c = seq[p - 2] << 4 | seq[p - 1] << 2 | seq[p];
+				if (codon[c] < 20) sense = 1, red = codon13[c];
+			}
+			if (sense) {
+				if (run_len == 0) run_start = p;
+				rc[run_len++] = red;
+				continue;
+			}
+			if (run_len >= min_aa_len)
+				cnt += sketch_flush_run(rc, run_len, run_start, kmer, mask,
+				                        keep_mask, mod_bit, bbit, boff, out + cnt);
+			run_len = 0;
+		}
+		if (run_len >= min_aa_len)
+			cnt += sketch_flush_run(rc, run_len, run_start, kmer, mask,
+			                        keep_mask, mod_bit, bbit, boff, out + cnt);
+	}
+	free(rc);
+	return cnt;
+}
+
+/* Frame-0 ungapped rescoring (mp_score_ungapped semantics, align.c:33-43:
+ * the loop strides 3 over alen-in-aa, scoring ceil(alen/3) codons). */
+MX_EXPORT int32_t mx_score_ungapped(const uint8_t *nseq, const uint8_t *aseq,
+                                    int32_t alen, const int8_t *mat,
+                                    int32_t asize, const uint8_t *codon,
+                                    const uint8_t *aa20)
+{
+	int32_t i, j, sc = 0;
+	for (i = 0, j = 0; i < alen; i += 3, ++j) {
+		int nt_aa = 21; /* X */
+		if (nseq[i] < 4 && nseq[i + 1] < 4 && nseq[i + 2] < 4)
+			nt_aa = codon[nseq[i] << 4 | nseq[i + 1] << 2 | nseq[i + 2]];
+		sc += mat[nt_aa * asize + aa20[aseq[j]]];
+	}
+	return sc;
+}
+
+/* Batched trivial-gap rescoring: tri[] holds n (nt_off, aa_off, alen)
+ * triples indexing into the shared region nt/aa arrays. */
+MX_EXPORT void mx_score_ungapped_many(const uint8_t *nt, const uint8_t *aa,
+                                      const int64_t *tri, int32_t n,
+                                      const int8_t *mat, int32_t asize,
+                                      const uint8_t *codon, const uint8_t *aa20,
+                                      int32_t *out)
+{
+	int32_t k;
+	for (k = 0; k < n; ++k)
+		out[k] = mx_score_ungapped(nt + tri[3 * k], aa + tri[3 * k + 1],
+		                           (int32_t)tri[3 * k + 2], mat, asize,
+		                           codon, aa20);
+}

@@ -75,11 +75,23 @@ def sketch_prot(seq: bytes | np.ndarray, kmer: int, mod_bit: int) -> np.ndarray:
 def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
                bbit: int, boff: int, trans_code: int = 1) -> np.ndarray:
     """Genome-strand modimers over 3-frame ORFs (mp_sketch_nt4 +
-    mp_sketch_clean_orf, sketch.c:40-100).
+    mp_sketch_clean_orf, sketch.c:40-100).  Dispatches to the native C
+    scanner; every caller sorts (+dedups) the scalar u64 output, so the
+    multiset determines downstream bytes.
 
-    seq: nt4 codes of one contig strand.  Returns the (hash,block) u64
-    multiset (unordered; caller sorts + dedups).
+    seq: nt4 codes of one contig strand.
     """
+    from . import native
+    T = tables.get_tables(trans_code)
+    return native.sketch_nt4(np.ascontiguousarray(seq, dtype=np.uint8),
+                             min_aa_len, kmer, mod_bit, bbit, boff,
+                             T.codon, T.codon13)
+
+
+def sketch_nt4_numpy(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
+                     bbit: int, boff: int, trans_code: int = 1) -> np.ndarray:
+    """NumPy-vectorized golden model for sketch_nt4 (kept for tests and
+    as the template the device kernel mirrors)."""
     T = tables.get_tables(trans_code)
     n = len(seq)
     if n < 3:

@@ -146,3 +146,45 @@ def test_dp32_matches_dp16_in_range():
                 aa_ += ln * (1 if op in (0, 1) else 0) + (1 if op in (11, 12, 13) else 0)
             return nt, aa_
         assert consumed(c16) == consumed(c32) == (len(ns), len(aa))
+
+
+def test_native_sketch_nt4_matches_numpy_golden():
+    """Multiset parity of the C six-frame ORF sketcher vs the NumPy golden
+    model (which itself is parity-tested against the reference binary's
+    index contents)."""
+    from miniprot_tpu.sketch import sketch_nt4, sketch_nt4_numpy
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        n = int(rng.integers(0, 4000))
+        seq = rng.integers(0, 4, n).astype(np.uint8)
+        seq[rng.random(n) < 0.01] = 4  # ambiguous bases split ORFs
+        for (mal, k, mb, bb, bo) in [(30, 6, 1, 8, 77), (5, 5, 0, 0, 0),
+                                     (1, 3, 2, 4, 123)]:
+            a = np.sort(sketch_nt4(seq, mal, k, mb, bb, bo))
+            b = np.sort(sketch_nt4_numpy(seq, mal, k, mb, bb, bo))
+            assert np.array_equal(a, b), (trial, n, (mal, k, mb, bb, bo))
+
+
+def test_score_ungapped_many_matches_single():
+    from miniprot_tpu import native
+    from miniprot_tpu.options import MapOpt
+    from miniprot_tpu import tables
+    opt = MapOpt()
+    T = tables.get_tables(1)
+    env_kw = dict(mat=opt.mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon,
+                  sp=np.zeros(6, np.int32), sp_null_bonus=0, go=11, ge=1,
+                  fs=23, xdrop=100, end_bonus=5, ie_coef=0.5)
+    ctx = native.Dp16Ctx(**env_kw)
+    rng = np.random.default_rng(5)
+    nt = rng.integers(0, 5, 500).astype(np.uint8)
+    aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX"), 200).astype(np.uint8)
+    triv = []
+    for _ in range(40):
+        alen = int(rng.integers(1, 6))
+        nt_off = int(rng.integers(0, 500 - 3 * alen))
+        aa_off = int(rng.integers(0, 200 - alen))
+        triv.append((nt_off, aa_off, alen))
+    got = ctx.score_ungapped_many(nt, aa, triv)
+    for (no, ao, al), g in zip(triv, got):
+        assert g == ctx.score_ungapped(nt[no:no + 3 * al].copy(),
+                                       aa[ao:ao + al].copy())
