@@ -77,7 +77,8 @@ def measure_pallas_gcups() -> float:
 
     from miniprot_tpu.kernels import nasw_pallas as nk
 
-    AL, NL, B = 512, 10240, nk.B_LANES
+    AL, B = 512, nk.B_LANES
+    NL = ((10240 + nk.ROW_CHUNK - 1) // nk.ROW_CHUNK) * nk.ROW_CHUNK
     call = nk._compiled_ext(AL, NL, 11, 1, 23, 100, 5,
                             jax.default_backend() != "tpu")
     rng = np.random.default_rng(1)

@@ -55,25 +55,25 @@ from .. import tables
 
 NEG = -(1 << 29)
 B_LANES = 128
-ROW_CHUNK = 256
+# rows per grid step: multiple of 8 (sublane tiling) AND of 3 so the
+# H/D ring slots are static within the unrolled 3-row loop body
+ROW_CHUNK = 264
 
 
-def _roll_down1(x, fill_row):
-    """Shift +1 along sublanes: out[q] = x[q-1]; out[0] = fill_row."""
-    al = x.shape[0]
+def _roll_down1(x, fill_row, is_row0):
+    """Shift +1 along sublanes: out[q] = x[q-1]; out[0] = fill_row.
+    is_row0 is the hoisted (row_ids == 0) mask."""
     rolled = pltpu.roll(x, shift=1, axis=0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(row_ids == 0, fill_row, rolled)
+    return jnp.where(is_row0, fill_row, rolled)
 
 
-def _cummax_sublanes(x):
-    """Inclusive running max along axis 0 via log-step shifts."""
-    al = x.shape[0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+def _cummax_sublanes(x, ge_masks):
+    """Inclusive running max along axis 0 via log-step shifts.
+    ge_masks[k] is the hoisted (row_ids >= 2**k) mask."""
     s = 1
-    while s < al:
+    for m in ge_masks:
         sh = pltpu.roll(x, shift=s, axis=0)
-        x = jnp.where(row_ids >= s, jnp.maximum(x, sh), x)
+        x = jnp.where(m, jnp.maximum(x, sh), x)
         s <<= 1
     return x
 
@@ -88,7 +88,14 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
                 Hst, Dst, Aa, Bb, Cc, hmaxv, msc, mscl, mi, act):
     """One grid step = ROW_CHUNK genome rows for all B problems."""
     chunk = pl.program_id(0)
-    qge = jax.lax.broadcasted_iota(jnp.int32, (al, B_LANES), 0) * ge
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (al, B_LANES), 0)
+    qge = row_ids * ge
+    is_row0 = row_ids == 0
+    ge_masks = []
+    s = 1
+    while s < al:
+        ge_masks.append(row_ids >= s)
+        s <<= 1
 
     @pl.when(chunk == 0)
     def _init():
@@ -103,15 +110,15 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
         mi[:] = jnp.full_like(mi, -1)
         act[:] = jnp.ones_like(act)
 
-    def row_body(ii, _):
-        i = chunk * ROW_CHUNK + ii  # global genome row; DP starts at i=2
-        any_active = jnp.max(act[0]) > 0
+    endb = jnp.where(endmask_ref[:] != 0, end_bonus, 0)
 
-        @pl.when((i >= 2) & any_active)
+    def do_row(ii, slot, s1, s2):
+        # one genome row with STATIC ring slots (the 3-row unroll makes
+        # i % 3 a Python constant; chunk*ROW_CHUNK % 3 == 0 by design)
+        i = chunk * ROW_CHUNK + ii
+
+        @pl.when(i >= 2)
         def _():
-            slot = jax.lax.rem(i, 3)
-            s1 = jax.lax.rem(i + 2, 3)   # (i-1) % 3
-            s2 = jax.lax.rem(i + 1, 3)   # (i-2) % 3
             H3 = Hst[slot]
             H1 = Hst[s1]
             H2 = Hst[s2]
@@ -122,22 +129,21 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             hc3 = jnp.where(i == 2, 0, NEG)
             hc1 = jnp.where(i == 2, -fs, NEG)
             hc2 = jnp.where(i == 2, -fs, NEG)
-            H3m1 = _roll_down1(H3, hc3)
-            H1m1 = _roll_down1(H1, hc1)
-            H2m1 = _roll_down1(H2, hc2)
+            H3m1 = _roll_down1(H3, hc3, is_row0)
+            H1m1 = _roll_down1(H1, hc1, is_row0)
+            H2m1 = _roll_down1(H2, hc2, is_row0)
 
             nas_i = nas_ref[ii, :][None, :]      # (1,B)
             # profile select: S[q,b] = mat[nas_i[b], aas[q,b]].  The
-            # profile packs 4 int8 alphabet rows per int32, so only
-            # ceil(22/4)=6 selects are needed, then a per-lane byte
-            # extract with sign fix and the q>=al pad
+            # profile packs 4 biased (value+128) alphabet rows per int32,
+            # so only ceil(22/4)=6 selects are needed, then a per-lane
+            # byte extract, de-bias, and the q>=al pad
             grp = nas_i >> 2
             sub = (nas_i & 3) * 8
             P = prof_ref[0]
             for g in range(1, 6):
                 P = jnp.where(grp == g, prof_ref[g], P)
-            S8 = (P >> sub) & 0xFF
-            S = (S8 ^ 128) - 128
+            S = ((P >> sub) & 0xFF) - 128
             S = jnp.where(qpad_ref[:] != 0, NEG, S)
             gei = jnp.where(nas_i == 20, fs, ge)
 
@@ -157,21 +163,20 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             Cn = jnp.maximum(H1m1 - dp1_ref[ii, :][None, :], Cc[0])
             Cc[0] = Cn
             h = jnp.maximum(h, Cn - am1_ref[ii, :][None, :])
-            # frameshift transitions
-            h = jnp.maximum(h, H1 - fs)
-            h = jnp.maximum(h, H2 - fs)
-            h = jnp.maximum(h, H1m1 - fs)
-            h = jnp.maximum(h, H2m1 - fs)
+            # frameshift transitions (one shared -fs after a max tree)
+            h = jnp.maximum(
+                h, jnp.maximum(jnp.maximum(H1, H2),
+                               jnp.maximum(H1m1, H2m1)) - fs)
             # I via prefix scan (exact lazy-F fixpoint); log-step roll
             # (lax.cummax does not lower in Mosaic here)
-            M = _cummax_sublanes(h + qge)
-            I = _roll_down1(M, jnp.full((1, B_LANES), NEG, jnp.int32)) - go - qge
+            M = _cummax_sublanes(h + qge, ge_masks)
+            I = _roll_down1(M, jnp.full((1, B_LANES), NEG, jnp.int32),
+                            is_row0) - go - qge
             h = jnp.maximum(h, I)
             Hst[slot] = h
 
             # extension bookkeeping
-            em = endmask_ref[:]
-            cand = jnp.maximum(h, jnp.where(em != 0, h + end_bonus, NEG))
+            cand = h + endb
             tmp_sc = jnp.max(cand, axis=0, keepdims=True)          # (1,B)
             tmp_log = tmp_sc - logpen_ref[ii, :][None, :]
             in_range = (i < nl_ref[ii, :][None, :]) & (act[0] != 0)
@@ -185,9 +190,20 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             act[0] = jnp.where(dropped | (i + 1 >= nl_ref[ii, :][None, :]),
                                0, act[0])
 
+    def triple_body(t, _):
+        ii = t * 3
+        # per-triple early exit once every problem has x-dropped (act is
+        # monotone-decreasing; the in_range gate keeps the trailing rows
+        # from touching the outputs)
+        @pl.when(jnp.max(act[0]) > 0)
+        def _():
+            do_row(ii, 0, 2, 1)
+            do_row(ii + 1, 1, 0, 2)
+            do_row(ii + 2, 2, 1, 0)
+
         return 0
 
-    jax.lax.fori_loop(0, ROW_CHUNK, row_body, 0)
+    jax.lax.fori_loop(0, ROW_CHUNK // 3, triple_body, 0)
 
     max_sc_ref[:] = msc[0]
     max_i_ref[:] = mi[0]
@@ -195,7 +211,8 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
 
 
 def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
-    n_chunks = (n_rows + ROW_CHUNK - 1) // ROW_CHUNK
+    assert n_rows % ROW_CHUNK == 0, "pad the genome axis to ROW_CHUNK"
+    n_chunks = n_rows // ROW_CHUNK
     kernel = functools.partial(_ext_kernel, al, n_rows, go, ge, fs,
                                xdrop, end_bonus)
 
@@ -465,7 +482,7 @@ class ExtBatch:
                         + np.float32(0.5)).astype(np.int32))
         self.logpen[:, b] = pen
         self.nlv[:, b] = nl
-        col = self.mat[:, aas].astype(np.int32) & 0xFF  # (22, al) int8-as-byte
+        col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased byte
         packed = np.zeros((6, al), np.int32)
         for g in range(6):
             for s in range(4):
