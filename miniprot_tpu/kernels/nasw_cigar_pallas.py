@@ -52,11 +52,11 @@ VL = 8           # SSE lanes per stripe
 ROW_CHUNK = 256
 
 
-def _shift_lanes_up(v, fill):
-    """SSE _mm_slli_si128 by one int16: sublane k <- k-1, row 0 = fill."""
+def _shift_lanes_up(v, fill, is_row0):
+    """SSE _mm_slli_si128 by one int16: sublane k <- k-1, row 0 = fill.
+    is_row0 is the hoisted (row_ids == 0) mask of shape (VL, B)."""
     r = pltpu.roll(v, shift=1, axis=0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    return jnp.where(rows == 0, fill, r)
+    return jnp.where(is_row0, fill, r)
 
 
 def _cigar_kernel(slen, n_rows, go, ge, fs,
@@ -71,6 +71,7 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
     Dst: (3, slen*VL, B).
     """
     chunk = pl.program_id(0)
+    is_row0 = jax.lax.broadcasted_iota(jnp.int32, (VL, B), 0) == 0
 
     @pl.when(chunk == 0)
     def _init():
@@ -110,7 +111,7 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
             def _shift_boundary():
                 for s in (s1, s2, s3):
                     last = Hst[s, slen * VL:(slen + 1) * VL]
-                    Hst[s, 0:VL] = _shift_lanes_up(last, NEG)
+                    Hst[s, 0:VL] = _shift_lanes_up(last, NEG, is_row0)
 
             nas_i = nas_ref[ii, :][None, :]
             dm1 = dm1_ref[ii, :][None, :]
@@ -127,8 +128,7 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
             P = prof_ref[0]
             for g in range(1, 6):
                 P = jnp.where(grp == g, prof_ref[g], P)
-            S8 = (P >> sub) & 0xFF
-            Srow = (S8 ^ 128) - 128
+            Srow = ((P >> sub) & 0xFF) - 128   # profile bytes are biased
             Srow = jnp.where(qpad_ref[:] != 0, NEG, Srow)
             Srow_s[:] = Srow  # scratch ref: stripe reads need dynamic offsets
 
@@ -225,7 +225,8 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
                 I = Iv_s[:]
                 # at the start of each k-iteration, shift lanes up
                 I = jnp.where(active != 0,
-                              jnp.where(j == 0, _shift_lanes_up(I, NEG), I), I)
+                              jnp.where(j == 0, _shift_lanes_up(I, NEG, is_row0),
+                                        I), I)
                 off = (j + 1) * VL
                 h = Hst[cur, pl.ds(off, VL)]
                 z = tb_ref[ii, pl.ds(j * VL, VL)].astype(jnp.int32)
@@ -358,7 +359,7 @@ class CigarBatch:
         self.nlv[:, b] = nl
         # striped profile: sublane r = stripe-lane, position q = lane*slen + stripe
         # profile row layout here: index p = j*VL + k  <->  q = k*slen + j
-        col = self.mat[:, aas].astype(np.int32) & 0xFF
+        col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased
         packed22 = np.zeros((6, al), np.int32)
         for g in range(6):
             for s in range(4):
