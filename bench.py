@@ -82,16 +82,17 @@ def measure_pallas_gcups() -> float:
     call = nk._compiled_ext(AL, NL, 11, 1, 23, 100, 5,
                             jax.default_backend() != "tpu")
     rng = np.random.default_rng(1)
-    nas = rng.integers(0, 20, (NL, B)).astype(np.int32)
-    d = rng.integers(0, 31, (NL, B)).astype(np.int32)
-    logpen = np.zeros((NL, B), np.int32)
-    nlv = np.full((NL, B), NL, np.int32)
+    nas = rng.integers(0, 20, (NL, B)).astype(np.int8)
+    D = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)
+    A = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)
+    logpen = np.zeros((NL, B), np.int8)
+    nlv = np.full((8, B), NL, np.int32)
     prof = rng.integers(0, 2**31 - 1, (6, AL, B)).astype(np.int32)
-    em = np.zeros((AL, B), np.int32)
+    em = np.zeros((AL, B), np.int8)
     em[AL - 1] = 1
-    qpad = np.zeros((AL, B), np.int32)
+    qpad = np.zeros((AL, B), np.int8)
     args = [jax.device_put(x) for x in
-            (nas, d, d, d, d, d, d, logpen, nlv, prof, em, qpad)]
+            (nas, D, A, logpen, nlv, prof, em, qpad)]
     r = call(*args)
     np.asarray(r[0])  # force full execution + transfer (warm-up)
     iters = 20

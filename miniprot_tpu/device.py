@@ -27,7 +27,7 @@ from .native import DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT
 from .options import MapOpt
 
 AL_BUCKETS = (128, 512)
-NL_BUCKETS = (2048, 8192, 32768)
+NL_BUCKETS = (2112, 4224, 8448, 16896, 33792)   # multiples of ROW_CHUNK=264
 MIN_TPU_NL = 1024        # smaller windows are cheaper on the host
 CIG_SLENS = (1, 2, 3, 4)  # gap DPs with al <= 32 go to the TPU
 CIG_NL_BUCKETS = (2048, 8192)
@@ -97,7 +97,8 @@ class TpuExtEngine:
             if job.result is not None:
                 continue
             nl, al = len(job.nsq), len(job.asq)
-            if nl < MIN_TPU_NL or al > AL_BUCKETS[-1] or nl > NL_BUCKETS[-1]:
+            if (nl < MIN_TPU_NL or al > AL_BUCKETS[-1] or nl > NL_BUCKETS[-1]
+                    or self.opt.ie_coef > 8.0):  # int8 logpen stream limit
                 sc, ntl, aal, _ = self.env.dp(
                     job.nsq, job.asq,
                     DPF_EXT_LEFT if job.ext_left else DPF_EXT_RIGHT,
@@ -108,6 +109,10 @@ class TpuExtEngine:
             al_b = next(b for b in AL_BUCKETS if al <= b)
             nl_b = next(b for b in NL_BUCKETS if nl <= b)
             buckets.setdefault((al_b, nl_b), []).append(i)
+        # two-phase dispatch: launch every batch (async device queue +
+        # pipelined transfers), then collect — the device works on batch
+        # k while the host preps/ships batch k+1
+        pending = []
         for (al_b, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), nk.B_LANES):
                 chunk = idxs[c0:c0 + nk.B_LANES]
@@ -116,9 +121,11 @@ class TpuExtEngine:
                     job = self.ext_jobs[i]
                     nas, aas, d, a = self._prep(job, job.ext_left, job.io)
                     batch.add(nas, aas, d, a, io=job.io)
-                for i, r in zip(chunk, batch.run(interpret=self.interpret)):
-                    self.ext_jobs[i].result = r
+                pending.append((chunk, batch, batch.launch(self.interpret)))
                 self.n_tpu += len(chunk)
+        for chunk, batch, handles in pending:
+            for i, r in zip(chunk, batch.collect(handles)):
+                self.ext_jobs[i].result = r
 
     def _run_cig(self) -> None:
         buckets: dict[tuple, list[int]] = {}
@@ -136,6 +143,7 @@ class TpuExtEngine:
                 continue
             nl_b = next(b for b in CIG_NL_BUCKETS if nl <= b)
             buckets.setdefault((slen, nl_b), []).append(i)
+        pending = []
         for (slen, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), ck.B):
                 chunk = idxs[c0:c0 + ck.B]
@@ -156,9 +164,12 @@ class TpuExtEngine:
                     batch.add(nas, aas, d, a, io=self.opt.io)
                     usable.append(i)
                 if usable:
-                    for i, r in zip(usable, batch.run(interpret=self.interpret)):
-                        self.cig_jobs[i].result = r
+                    pending.append((usable, batch,
+                                    batch.launch(self.interpret)))
                     self.n_tpu += len(usable)
+        for usable, batch, handles in pending:
+            for i, r in zip(usable, batch.collect(handles)):
+                self.cig_jobs[i].result = r
 
     def flush(self) -> list:
         self._run_ext()

@@ -246,7 +246,7 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
             jax.lax.while_loop(lf_cond, lf_body, 0)
 
             # capture the final score at each problem's last row
-            at_last = (i == nl_ref[ii, :][None, :] - 1)
+            at_last = (i == nl_ref[0, :][None, :] - 1)
             hfull = Hst[cur, pl.ds(VL, slen * VL)]
             endv = jnp.max(jnp.where(endsel_ref[:] != 0, hfull, NEG), axis=0,
                            keepdims=True)
@@ -266,7 +266,9 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
         grid=(n_chunks,),
         in_specs=[
             *[pl.BlockSpec((ROW_CHUNK, B), lambda g: (g, 0),
-                           memory_space=pltpu.VMEM) for _ in range(8)],
+                           memory_space=pltpu.VMEM) for _ in range(7)],
+            pl.BlockSpec((8, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # nlv: one row/problem
             pl.BlockSpec((6, slen * VL, B), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((slen * VL, B), lambda g: (0, 0),
@@ -306,12 +308,31 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
     )
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled_cigar(slen, n_rows, go, ge, fs, interpret):
+@functools.lru_cache(maxsize=64)
+def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, interpret):
     call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret)
 
-    def wrapped(*args):
-        return call(*[a.astype(jnp.int32) for a in args])
+    def wrapped(nas, D, A, nlv, prof, endsel, qpad):
+        # derive the six donor/acceptor shift streams on device from the
+        # two base tracks (cuts host->device transfer volume ~3x)
+        D = D.astype(jnp.int32)
+        A = A.astype(jnp.int32)
+        z1 = jnp.zeros((1, B), jnp.int32)
+        z2 = jnp.zeros((2, B), jnp.int32)
+        d0 = D[:n_rows]
+        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+        dp1 = D[1:n_rows + 1]
+        a0 = A[:n_rows]
+        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+        tb, score = call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
+                         nlv, prof, endsel.astype(jnp.int32),
+                         qpad.astype(jnp.int32))
+        # lanes-major repack on device + slice to the used-lane bucket:
+        # the traceback fetch is the dominant device->host transfer and
+        # batches are often sparsely filled
+        tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes]
+        return tb, score
 
     return jax.jit(wrapped)
 
@@ -327,14 +348,10 @@ class CigarBatch:
         (self.go, self.ge, self.fs, self.default_io, self.xdrop,
          self.end_bonus, self.ie_coef) = opt_scalars
         self.mat = mat.reshape(22, 22)
-        self.nas = np.zeros((self.nl, B), np.int32)
-        self.dm1 = np.zeros((self.nl, B), np.int32)
-        self.d0 = np.zeros((self.nl, B), np.int32)
-        self.dp1 = np.zeros((self.nl, B), np.int32)
-        self.a0 = np.zeros((self.nl, B), np.int32)
-        self.am1 = np.zeros((self.nl, B), np.int32)
-        self.am2 = np.zeros((self.nl, B), np.int32)
-        self.nlv = np.zeros((self.nl, B), np.int32)
+        self.nas = np.zeros((self.nl, B), np.int8)
+        self.D = np.zeros((self.nl + 8, B), np.int16)
+        self.A = np.zeros((self.nl + 8, B), np.int16)
+        self.nlv = np.zeros((8, B), np.int32)
         self.prof = np.zeros((6, self.al, B), np.int32)
         self.qpad = np.ones((self.al, B), np.int8)
         self.endsel = np.zeros((self.al, B), np.int32)
@@ -348,14 +365,8 @@ class CigarBatch:
         slen = self.slen
         assert nl <= self.nl and al <= self.al and b < B
         self.nas[:nl, b] = nas
-        d = donor.astype(np.int32) + io
-        a = acceptor.astype(np.int32)
-        self.dm1[1:nl, b] = d[:nl - 1]
-        self.d0[:nl, b] = d[:nl]
-        self.dp1[:nl, b] = d[1:nl + 1]
-        self.a0[:nl, b] = a[:nl]
-        self.am1[1:nl, b] = a[:nl - 1]
-        self.am2[2:nl, b] = a[:nl - 2]
+        self.D[:nl + 1, b] = donor.astype(np.int32)[:nl + 1] + io
+        self.A[:nl + 1, b] = acceptor.astype(np.int32)[:nl + 1]
         self.nlv[:, b] = nl
         # striped profile: sublane r = stripe-lane, position q = lane*slen + stripe
         # profile row layout here: index p = j*VL + k  <->  q = k*slen + j
@@ -379,29 +390,34 @@ class CigarBatch:
         return b
 
     def run(self, interpret=None):
+        return self.collect(self.launch(interpret))
+
+    LANE_BUCKETS = (16, B)
+
+    def launch(self, interpret=None):
+        """Start the device computation without blocking."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         call = _compiled_cigar(self.slen, self.nl, self.go, self.ge, self.fs,
-                               interpret)
-        tb, score = call(
-            jnp.asarray(self.nas.astype(np.int8)),
-            jnp.asarray(self.dm1.astype(np.int16)),
-            jnp.asarray(self.d0.astype(np.int16)),
-            jnp.asarray(self.dp1.astype(np.int16)),
-            jnp.asarray(self.a0.astype(np.int16)),
-            jnp.asarray(self.am1.astype(np.int16)),
-            jnp.asarray(self.am2.astype(np.int16)),
-            jnp.asarray(self.nlv),
-            jnp.asarray(self.prof),
+                               n_lanes, interpret)
+        return call(
+            jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
+            jnp.asarray(self.nlv), jnp.asarray(self.prof),
             jnp.asarray(self.endsel.astype(np.int8)),
             jnp.asarray(self.qpad))
+
+    def collect(self, handles):
+        tb, score = handles
         tb = np.asarray(tb)
         score = np.asarray(score)[0]
         from .. import native
         out = []
         for b in range(self.n):
             nl, al = self.dims[b]
-            tb_b = np.ascontiguousarray(tb[:nl, :, b])
+            tb_b = tb[b, :nl]   # lanes-major: already C-contiguous
+            if not tb_b.flags.c_contiguous:
+                tb_b = np.ascontiguousarray(tb_b)
             cig = native.backtrack(tb_b, self.slen, nl, al)
             out.append((int(score[b]), cig))
         return out

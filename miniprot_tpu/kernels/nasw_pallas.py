@@ -111,6 +111,7 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
         act[:] = jnp.ones_like(act)
 
     endb = jnp.where(endmask_ref[:] != 0, end_bonus, 0)
+    nl_row = nl_ref[0, :][None, :]   # per-problem genome length (1,B)
 
     def do_row(ii, slot, s1, s2):
         # one genome row with STATIC ring slots (the 3-row unroll makes
@@ -179,7 +180,7 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             cand = h + endb
             tmp_sc = jnp.max(cand, axis=0, keepdims=True)          # (1,B)
             tmp_log = tmp_sc - logpen_ref[ii, :][None, :]
-            in_range = (i < nl_ref[ii, :][None, :]) & (act[0] != 0)
+            in_range = (i < nl_row) & (act[0] != 0)
             improved = (tmp_log > mscl[0]) & in_range
             msc[0] = jnp.where(improved, tmp_sc, msc[0])
             mscl[0] = jnp.where(improved, tmp_log, mscl[0])
@@ -187,7 +188,7 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             hmaxv[:] = jnp.where(improved, h, hmaxv[:])
             # x-drop: deactivate once the row best falls too far behind
             dropped = (mscl[0] - tmp_log > xdrop) & in_range
-            act[0] = jnp.where(dropped | (i + 1 >= nl_ref[ii, :][None, :]),
+            act[0] = jnp.where(dropped | (i + 1 >= nl_row),
                                0, act[0])
 
     def triple_body(t, _):
@@ -221,7 +222,9 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
         grid=(n_chunks,),
         in_specs=[
             *[pl.BlockSpec((ROW_CHUNK, B_LANES), lambda g: (g, 0),
-                           memory_space=pltpu.VMEM) for _ in range(9)],
+                           memory_space=pltpu.VMEM) for _ in range(8)],
+            pl.BlockSpec((8, B_LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # nlv: one row/problem
             pl.BlockSpec((6, al, B_LANES), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((al, B_LANES), lambda g: (0, 0),
@@ -266,11 +269,26 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
 def _compiled_ext(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
     call = _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret)
 
-    def wrapped(*args):
+    def wrapped(nas, D, A, logpen, nlv, prof, endmask, qpad):
         # narrow dtypes travel host->device; upconvert on device so the
         # kernel sees int32 (transfer volume is the bottleneck on
-        # relay-attached TPUs and HBM bandwidth elsewhere)
-        return call(*[a.astype(jnp.int32) for a in args])
+        # relay-attached TPUs and HBM bandwidth elsewhere).  The six
+        # donor/acceptor shift streams are derived on device from the two
+        # base tracks (D holds donor+io, A holds acceptor; both length
+        # n_rows+8 so row n_rows is readable).
+        D = D.astype(jnp.int32)
+        A = A.astype(jnp.int32)
+        z1 = jnp.zeros((1, B_LANES), jnp.int32)
+        z2 = jnp.zeros((2, B_LANES), jnp.int32)
+        d0 = D[:n_rows]
+        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+        dp1 = D[1:n_rows + 1]
+        a0 = A[:n_rows]
+        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+        return call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
+                    logpen.astype(jnp.int32), nlv, prof,
+                    endmask.astype(jnp.int32), qpad.astype(jnp.int32))
 
     return jax.jit(wrapped)
 
@@ -445,15 +463,12 @@ class ExtBatch:
         self.nl = ((nl_pad + ROW_CHUNK - 1) // ROW_CHUNK) * ROW_CHUNK
         self.go, self.ge, self.fs, self.default_io, self.xdrop, self.end_bonus, self.ie_coef = opt_scalars
         self.mat = mat.reshape(22, 22)
-        self.nas = np.zeros((self.nl, B_LANES), np.int32)
-        self.dm1 = np.zeros((self.nl, B_LANES), np.int32)
-        self.d0 = np.zeros((self.nl, B_LANES), np.int32)
-        self.dp1 = np.zeros((self.nl, B_LANES), np.int32)
-        self.a0 = np.zeros((self.nl, B_LANES), np.int32)
-        self.am1 = np.zeros((self.nl, B_LANES), np.int32)
-        self.am2 = np.zeros((self.nl, B_LANES), np.int32)
-        self.logpen = np.zeros((self.nl, B_LANES), np.int32)
-        self.nlv = np.zeros((self.nl, B_LANES), np.int32)
+        self.nas = np.zeros((self.nl, B_LANES), np.int8)
+        # base tracks; the 6 shifted streams are derived on device
+        self.D = np.zeros((self.nl + 8, B_LANES), np.int16)
+        self.A = np.zeros((self.nl + 8, B_LANES), np.int16)
+        self.logpen = np.zeros((self.nl, B_LANES), np.int8)
+        self.nlv = np.zeros((8, B_LANES), np.int32)
         # packed profile: 4 int8 alphabet rows per int32 (see kernel)
         self.prof = np.zeros((6, self.al, B_LANES), np.int32)
         self.endmask = np.zeros((self.al, B_LANES), np.int32)
@@ -467,19 +482,14 @@ class ExtBatch:
         nl, al = len(nas), len(aas)
         assert nl <= self.nl and al <= self.al and b < B_LANES
         self.nas[:nl, b] = nas
-        d = donor.astype(np.int32) + io
-        a = acceptor.astype(np.int32)
-        self.dm1[1:nl, b] = d[:nl - 1]
-        self.d0[:nl, b] = d[:nl]
-        self.dp1[:nl, b] = d[1:nl + 1]
-        self.a0[:nl, b] = a[:nl]
-        self.am1[1:nl, b] = a[:nl - 1]
-        self.am2[2:nl, b] = a[:nl - 2]
+        self.D[:nl + 1, b] = donor.astype(np.int32)[:nl + 1] + io
+        self.A[:nl + 1, b] = acceptor.astype(np.int32)[:nl + 1]
         rows = np.arange(self.nl)
         x = rows - 3 * al
         pen = np.where(x < 2, 0,
                        (self.ie_coef * tables.mp_log2_f32(np.maximum(x, 2))
                         + np.float32(0.5)).astype(np.int32))
+        assert pen.max() <= 127, "ie_coef too large for int8 logpen stream"
         self.logpen[:, b] = pen
         self.nlv[:, b] = nl
         col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased byte
@@ -497,22 +507,24 @@ class ExtBatch:
         return b
 
     def run(self, interpret=None):
+        return self.collect(self.launch(interpret))
+
+    def launch(self, interpret=None):
+        """Start the device computation; returns result handles without
+        blocking (lets the engine overlap batches on the device queue)."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         call = _compiled_ext(self.al, self.nl, self.go, self.ge, self.fs,
                              self.xdrop, self.end_bonus, interpret)
-        max_sc, max_i, hmax = call(
-            jnp.asarray(self.nas.astype(np.int8)),
-            jnp.asarray(self.dm1.astype(np.int16)),
-            jnp.asarray(self.d0.astype(np.int16)),
-            jnp.asarray(self.dp1.astype(np.int16)),
-            jnp.asarray(self.a0.astype(np.int16)),
-            jnp.asarray(self.am1.astype(np.int16)),
-            jnp.asarray(self.am2.astype(np.int16)),
-            jnp.asarray(self.logpen.astype(np.int16)),
-            jnp.asarray(self.nlv), jnp.asarray(self.prof),
+        return call(
+            jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
+            jnp.asarray(self.logpen), jnp.asarray(self.nlv),
+            jnp.asarray(self.prof),
             jnp.asarray(self.endmask.astype(np.int8)),
             jnp.asarray(self.qpad))
+
+    def collect(self, handles):
+        max_sc, max_i, hmax = handles
         max_sc = np.asarray(max_sc)[0]
         max_i = np.asarray(max_i)[0]
         hmax = np.asarray(hmax)
