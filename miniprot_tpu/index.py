@@ -76,7 +76,8 @@ class Index:
         # equals the reference's per-strand dedup + counting sort
         from . import sysutil
         sysutil.log("Index.build", "collected syncmers")
-        allv = np.unique(allv)
+        from . import native
+        allv = native.sort_dedup_u64(allv)
         n_bucket = opt.n_bucket
         counts = np.bincount((allv >> np.uint64(32)).astype(np.int64),
                              minlength=n_bucket)

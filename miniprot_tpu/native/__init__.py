@@ -317,3 +317,19 @@ def filter_seed(a: np.ndarray, max_aa_dist: int, min_cnt: int, kmer2: int,
     assert a.dtype == np.uint64 and a.flags.c_contiguous
     _lib.mx_filter_seed(len(a), a, max_aa_dist, min_cnt, kmer2, trim_back)
     return a
+
+
+_lib.mx_sort_dedup_u64.restype = ct.c_int64
+_lib.mx_sort_dedup_u64.argtypes = [_u64p, ct.c_int64]
+
+
+def sort_dedup_u64(a: np.ndarray) -> np.ndarray:
+    """Sort + dedup scalar u64 keys in place (LSD radix, constant-byte
+    passes skipped); returns the deduped prefix view."""
+    assert a.dtype == np.uint64 and a.flags.c_contiguous
+    if len(a) <= 1:
+        return a
+    m = _lib.mx_sort_dedup_u64(a, len(a))
+    if m < 0:
+        raise MemoryError("mx_sort_dedup_u64")
+    return a[:m]

@@ -1345,3 +1345,39 @@ MX_EXPORT void mx_score_ungapped_many(const uint8_t *nt, const uint8_t *aa,
 		                           (int32_t)tri[3 * k + 2], mat, asize,
 		                           codon, aa20);
 }
+
+/* LSD radix sort + dedup of u64 keys, skipping constant bytes.  Used
+ * for the index-build (hash<<32|block) multiset where only the sorted
+ * deduped set matters (scalar keys: equal-key order is irrelevant, so
+ * this need not replicate the reference sorter's permutation).
+ * Returns the deduped count; the result is left in a[0..ret). */
+MX_EXPORT int64_t mx_sort_dedup_u64(uint64_t *a, int64_t n)
+{
+	int64_t cnt[256], pos[256];
+	int64_t i, m;
+	int b;
+	uint64_t orx = 0, andx = ~0ULL;
+	uint64_t *buf, *src, *dst;
+	if (n <= 1) return n;
+	buf = (uint64_t *)malloc(n * sizeof(uint64_t));
+	if (buf == 0) return -1;
+	for (i = 0; i < n; ++i) orx |= a[i], andx &= a[i];
+	src = a, dst = buf;
+	for (b = 0; b < 8; ++b) {
+		int sh = 8 * b;
+		uint64_t varying = ((orx ^ andx) >> sh) & 0xFF;
+		if (!varying) continue;    /* all keys share this byte */
+		memset(cnt, 0, sizeof(cnt));
+		for (i = 0; i < n; ++i) ++cnt[src[i] >> sh & 0xFF];
+		pos[0] = 0;
+		for (i = 1; i < 256; ++i) pos[i] = pos[i - 1] + cnt[i - 1];
+		for (i = 0; i < n; ++i) dst[pos[src[i] >> sh & 0xFF]++] = src[i];
+		{ uint64_t *t = src; src = dst; dst = t; }
+	}
+	if (src != a) memcpy(a, src, n * sizeof(uint64_t));
+	m = 1;
+	for (i = 1; i < n; ++i)
+		if (a[i] != a[m - 1]) a[m++] = a[i];
+	free(buf);
+	return m;
+}
