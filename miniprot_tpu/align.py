@@ -90,6 +90,9 @@ class DpEnv:
         self.io_end = opt.io_end
 
     def dp(self, nsq, asq, flag, ss=None, io=None):
+        from .sysutil import profiler
+        if profiler.enabled:
+            profiler.add_host_dp(len(nsq), len(asq))
         nsq = np.ascontiguousarray(nsq, dtype=np.uint8)
         asq = np.ascontiguousarray(asq, dtype=np.uint8)
         if ss is not None:

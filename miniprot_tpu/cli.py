@@ -76,8 +76,8 @@ Options:
 
 _LONG_OPTS = {
     "tpu", "gff", "gff-only", "gtf", "aln", "trans", "no-cs", "no-pre-chain",
-    "version", "no-kalloc", "dbg-qname", "dbg-no-refine", "dbg-aflt",
-    "dbg-anchor", "dbg-chain",
+    "version", "no-kalloc", "profile", "dbg-qname", "dbg-no-refine",
+    "dbg-aflt", "dbg-anchor", "dbg-chain",
 }
 _LONG_OPTS_ARG = {
     "xdrop", "outn", "gff-delim", "J2", "outs", "max-skip", "max-intron-out",
@@ -164,6 +164,9 @@ def main(argv: list[str] | None = None) -> int:
                 dbg["more_dp"] = True
             elif key == "tpu":
                 dbg["use_tpu"] = True
+            elif key == "profile":
+                from . import sysutil
+                sysutil.profiler.enabled = True
             elif key in _LONG_OPTS:
                 pass  # accepted no-ops (--no-kalloc etc.)
             else:
@@ -290,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
     sysutil.log("main", "CMD: miniprot-tpu %s", " ".join(argv))
     sysutil.log("main", "Real time: %.3f sec; CPU: %.3f sec; Peak RSS: %.3f GB",
                 sysutil.realtime(), sysutil.cputime(), sysutil.peakrss_gb())
+    sysutil.profiler.report()
     return 0
 
 

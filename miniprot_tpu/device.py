@@ -123,6 +123,8 @@ class TpuExtEngine:
                     batch.add(nas, aas, d, a, io=job.io)
                 pending.append((chunk, batch, batch.launch(self.interpret)))
                 self.n_tpu += len(chunk)
+                from .sysutil import profiler
+                profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n)
         for chunk, batch, handles in pending:
             for i, r in zip(chunk, batch.collect(handles)):
                 self.ext_jobs[i].result = r
@@ -167,6 +169,9 @@ class TpuExtEngine:
                     pending.append((usable, batch,
                                     batch.launch(self.interpret)))
                     self.n_tpu += len(usable)
+                    from .sysutil import profiler
+                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
+                                        batch.n)
         for usable, batch, handles in pending:
             for i, r in zip(usable, batch.collect(handles)):
                 self.cig_jobs[i].result = r

@@ -61,6 +61,8 @@ class Index:
     def build(cls, fn_or_db, opt: IdxOpt) -> "Index":
         """Build from a FASTA path or an NtDB (mp_idx_build, index.c:97-136)."""
         tables.set_default_code(opt.trans_code)
+        from .sysutil import profiler
+        profiler.start("index_build")
         nt = fn_or_db if isinstance(fn_or_db, NtDB) else NtDB.from_fasta(fn_or_db)
         bo = cls._block_offsets(nt, opt.bbit)
         parts = []
@@ -85,6 +87,7 @@ class Index:
         np.cumsum(counts[:-1], out=ki[1:])
         kb = allv.astype(np.uint32)  # low 32 bits
         sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
+        profiler.stop("index_build")
         return cls(opt, nt, bo, ki, kb)
 
     # ---------- queries ----------

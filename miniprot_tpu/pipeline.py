@@ -108,6 +108,8 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     id_counter = [0]
     if opt.flag & F_GFF:
         out.write("##gff-version 3\n")
+    from .sysutil import profiler
+    profiler.start("map")
     n_mapped = 0
     engine = None
     if use_tpu:
@@ -140,6 +142,7 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
             from . import sysutil
             sysutil.log("map_file", "mapped %d sequences", len(batch))
     finally:
+        profiler.stop("map")
         if pool is not None:
             pool.terminate()
             pool.join()

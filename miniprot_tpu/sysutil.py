@@ -52,3 +52,57 @@ def error(fmt: str, *args) -> None:
     if verbose >= 1:
         msg = fmt % args if args else fmt
         sys.stderr.write(f"[ERROR] {msg}\n")
+
+
+class Profiler:
+    """Per-stage wall-time + DP-cell observability (SURVEY §5.1: the
+    reference only has the [M::...] stage lines; the TPU build adds
+    structured stage timers and a GCUPS counter derived from DP cell
+    counts).  Enabled by --profile; near-zero cost when disabled."""
+
+    def __init__(self) -> None:
+        self.enabled = False
+        self.stages: dict[str, float] = {}
+        self.cells_host = 0       # DP cells evaluated by the host C kernel
+        self.cells_tpu = 0        # DP cells evaluated by the Pallas kernels
+        self.n_dp_host = 0
+        self.n_dp_tpu = 0
+        self._open: dict[str, float] = {}
+
+    def start(self, stage: str) -> None:
+        if self.enabled:
+            self._open[stage] = time.monotonic()
+
+    def stop(self, stage: str) -> None:
+        if self.enabled and stage in self._open:
+            self.stages[stage] = (self.stages.get(stage, 0.0)
+                                  + time.monotonic() - self._open.pop(stage))
+
+    def add_host_dp(self, nl: int, al: int) -> None:
+        if self.enabled:
+            self.cells_host += nl * al
+            self.n_dp_host += 1
+
+    def add_tpu_dp(self, cells: int, n: int) -> None:
+        if self.enabled:
+            self.cells_tpu += cells
+            self.n_dp_tpu += n
+
+    def report(self) -> None:
+        if not self.enabled:
+            return
+        for stage, dt in sorted(self.stages.items()):
+            sys.stderr.write(f"[P::{stage}] {dt:.3f} s\n")
+        wall = self.stages.get("map") or realtime()
+        if self.cells_host:
+            sys.stderr.write(
+                f"[P::dp_host] {self.n_dp_host} DPs, "
+                f"{self.cells_host / 1e9:.3f} Gcells, "
+                f"{self.cells_host / 1e9 / wall:.3f} GCUPS over the map stage\n")
+        if self.cells_tpu:
+            sys.stderr.write(
+                f"[P::dp_tpu] {self.n_dp_tpu} DPs, "
+                f"{self.cells_tpu / 1e9:.3f} Gcells (padded batches)\n")
+
+
+profiler = Profiler()
