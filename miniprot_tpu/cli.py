@@ -268,7 +268,7 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 1
 
-    mi = Index.load(pos[0], io)
+    mi = Index.load(pos[0], io, n_threads=n_threads)
     if set_I and not set_G:
         mo.set_max_intron(mi.nt.l_seq)
     if fn_idx is not None:

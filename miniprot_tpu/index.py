@@ -24,6 +24,17 @@ from .sketch import sketch_nt4
 
 IDX_MAGIC = b"MPI\3"
 
+# build-worker state inherited via fork (set only inside Index.build)
+_BUILD_CTX = None
+
+
+def _build_worker(job):
+    cid, strand = job
+    nt, opt, bo = _BUILD_CTX
+    seq = nt.get(cid, 0, -1, bool(strand))
+    return sketch_nt4(seq, opt.min_aa_len, opt.kmer, opt.mod_bit, opt.bbit,
+                      int(bo[cid << 1 | strand]), opt.trans_code)
+
 
 @dataclass
 class Index:
@@ -58,16 +69,36 @@ class Index:
         return bo
 
     @classmethod
-    def build(cls, fn_or_db, opt: IdxOpt) -> "Index":
-        """Build from a FASTA path or an NtDB (mp_idx_build, index.c:97-136)."""
+    def build(cls, fn_or_db, opt: IdxOpt, n_threads: int = 1) -> "Index":
+        """Build from a FASTA path or an NtDB (mp_idx_build, index.c:97-136).
+
+        n_threads > 1 sketches contig-strands on a fork-based process
+        pool (the reference's kt_for over 2*n_ctg, index.c:123); output
+        is independent of n_threads (per-strand multisets are simply
+        concatenated before the global sort+dedup)."""
         tables.set_default_code(opt.trans_code)
         from .sysutil import profiler
         profiler.start("index_build")
         nt = fn_or_db if isinstance(fn_or_db, NtDB) else NtDB.from_fasta(fn_or_db)
         bo = cls._block_offsets(nt, opt.bbit)
-        parts = []
-        for cid in range(nt.n_ctg):
-            for strand in (0, 1):
+        jobs = [(cid, strand) for cid in range(nt.n_ctg) for strand in (0, 1)]
+        if n_threads > 1 and len(jobs) > 1:
+            import multiprocessing as mp
+            import warnings
+            global _BUILD_CTX
+            _BUILD_CTX = (nt, opt, bo)
+            with warnings.catch_warnings():
+                # fork after jax/BLAS threads exist: safe here because the
+                # workers touch only numpy + libmpnative (no locks shared
+                # with those threads)
+                warnings.filterwarnings("ignore", message=".*fork.*")
+                with mp.get_context("fork").Pool(min(n_threads, len(jobs))) as pool:
+                    parts = pool.map(_build_worker, jobs,
+                                     chunksize=max(1, len(jobs) // (4 * n_threads)))
+            _BUILD_CTX = None
+        else:
+            parts = []
+            for cid, strand in jobs:
                 seq = nt.get(cid, 0, -1, bool(strand))
                 parts.append(sketch_nt4(seq, opt.min_aa_len, opt.kmer,
                                         opt.mod_bit, opt.bbit,
@@ -158,7 +189,7 @@ class Index:
         return cls(opt, nt, bo, ki, kb)
 
     @classmethod
-    def load(cls, fn: str, opt: IdxOpt) -> "Index":
+    def load(cls, fn: str, opt: IdxOpt, n_threads: int = 1) -> "Index":
         """Load a prebuilt .mpi or build from FASTA (mp_idx_load)."""
         try:
             with open(fn, "rb") as fp:
@@ -167,4 +198,4 @@ class Index:
             magic = b""
         if magic == IDX_MAGIC:
             return cls.restore(fn)
-        return cls.build(fn, opt)
+        return cls.build(fn, opt, n_threads=n_threads)

@@ -68,11 +68,17 @@ def _worker_pre_align(seq_bytes: bytes):
 
 def _make_pool(mi: Index, opt: MapOpt, n_workers: int):
     import multiprocessing as mp
+    import warnings
     _W["mi"] = mi
     _W["opt"] = opt
     _W["env"] = DpEnv(opt)
     ctx = mp.get_context("fork")
-    return ctx.Pool(n_workers)
+    with warnings.catch_warnings():
+        # fork after jax/BLAS threads exist: safe here because the map
+        # workers touch only numpy + libmpnative (no locks shared with
+        # those threads)
+        warnings.filterwarnings("ignore", message=".*fork.*")
+        return ctx.Pool(n_workers)
 
 
 class _Prefetcher:
