@@ -96,3 +96,63 @@ def test_two_process_sharded_anchor_gather():
     for i, (rc, out) in enumerate(outs):
         assert rc == 0, f"proc {i}: {out[-2000:]}"
         assert f"MP-OK {i}" in out, out[-2000:]
+
+
+MAP_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.distributed.initialize(coordinator_address=sys.argv[2],
+                           num_processes=2, process_id=int(sys.argv[1]))
+sys.path.insert(0, %(repo)r)
+from miniprot_tpu.index import Index
+from miniprot_tpu.options import IdxOpt, MapOpt
+from miniprot_tpu.parallel.runner import map_file_multihost
+
+pid = int(sys.argv[1])
+mi = Index.build(%(fa)r, IdxOpt())
+opt = MapOpt()
+with open(%(out)r, "w") if pid == 0 else open(os.devnull, "w") as out:
+    map_file_multihost(mi, %(faa)r, opt, pid, 2, %(spool)r, out)
+print("MAP-OK", pid, flush=True)
+"""
+
+
+def test_two_process_mapping_matches_single(tmp_path):
+    """Data-parallel mapping across 2 coordinated processes with ordered
+    proc-0 emit must be byte-identical to the single-process pipeline."""
+    from miniprot_tpu.testgen import make_workload
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.pipeline import map_file
+    import io as _io
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=600_000, n_genes=12, seed=3, n_ctg=2,
+                  max_intron=5000, rev_frac=0.3)
+    # single-process golden
+    mi = Index.build(fa, IdxOpt())
+    buf = _io.StringIO()
+    map_file(mi, faa, MapOpt(), 1, out=buf)
+    golden = buf.getvalue()
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out_path = str(tmp_path / "mp.paf")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    coord = f"127.0.0.1:{_free_port()}"
+    code = MAP_WORKER % {"repo": "/root/repo", "fa": fa, "faa": faa,
+                         "out": out_path, "spool": spool}
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0 and f"MAP-OK {i}" in out, out[-2000:]
+    with open(out_path) as f:
+        assert f.read() == golden
