@@ -171,63 +171,39 @@ def extra_cal(r: Region, opt: MapOpt, nt: np.ndarray, l_nt: int,
     vs0, qs0 = r.vs, r.qs
     acceptor0 = ""
     nl = al = 0
-    for c in e.cigar:
+    # the per-codon inner loops run in C; this pass only accumulates and
+    # builds the per-exon features
+    stats = native.extra_stats(nt, aa, e.cigar, mat=mat, asize=opt.asize,
+                               codon=T.codon, aa20=T.aa20, go=opt.go,
+                               ge=opt.ge, fs=opt.fs)
+    for k, c in enumerate(e.cigar):
         op, ln = int(c) & 0xF, int(c) >> 4
         ln3 = ln * 3
+        e.n_stop += int(stats[k, 0])
+        e.n_iden += int(stats[k, 1])
+        e.n_plus += int(stats[k, 2])
+        e.dp_max += int(stats[k, 3])
         if op == C_M:
-            i, j = nl, al
-            for _ in range(ln):
-                n0, n1, n2 = int(nt[i]), int(nt[i + 1]), int(nt[i + 2])
-                nt_aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
-                aa_aa = int(T.aa20[aa[j]])
-                s = int(mat[nt_aa, aa_aa])
-                e.n_stop += nt_aa == tables.AA_STOP
-                e.n_iden += nt_aa == aa_aa
-                e.n_plus += s > 0
-                e.dp_max += s
-                i += 3
-                j += 1
             nl += ln3
             al += ln
             e.blen += ln3
         elif op == C_I:
-            e.dp_max -= opt.go + opt.ge * ln
             al += ln
             e.blen += ln3
         elif op == C_D:
-            i = nl
-            for _ in range(ln):
-                n0, n1, n2 = int(nt[i]), int(nt[i + 1]), int(nt[i + 2])
-                nt_aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
-                e.n_stop += nt_aa == tables.AA_STOP
-                i += 3
-            e.dp_max -= opt.go + opt.ge * ln
             nl += ln3
             e.blen += ln3
         elif op == C_F:
-            e.dp_max -= opt.fs
             nl += ln
             e.blen += ln
             e.n_fs += 1
         elif op == C_G:
-            e.dp_max -= opt.fs
             nl += ln
             al += 1
             e.blen += 3
             e.n_fs += 1
         elif op in (C_N, C_U, C_V):
-            if op in (C_U, C_V):  # split codon at a phase-1/2 intron
-                if op == C_U:
-                    n0, n1, n2 = int(nt[nl]), int(nt[nl + ln - 2]), int(nt[nl + ln - 1])
-                else:
-                    n0, n1, n2 = int(nt[nl]), int(nt[nl + 1]), int(nt[nl + ln - 1])
-                nt_aa = tables.AA_X if (n0 > 3 or n1 > 3 or n2 > 3) else int(T.codon[n0 << 4 | n1 << 2 | n2])
-                aa_aa = int(T.aa20[aa[al]])
-                s = int(mat[nt_aa, aa_aa])
-                e.n_stop += nt_aa == tables.AA_STOP
-                e.n_iden += nt_aa == aa_aa
-                e.n_plus += s > 0
-                e.dp_max += s
+            if op in (C_U, C_V):  # split codon scored by extra_stats
                 e.blen += 3
             f = Feat(type=0, vs=vs0, qs=qs0, qe=r.qs + al, phase=phase0)
             f.blen = e.blen - blen0

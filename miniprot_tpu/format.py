@@ -37,7 +37,20 @@ def _trans_aa(T, n0: int, n1: int, n2: int) -> int:
 
 def write_cs(mi: Index, aa: np.ndarray, r: Region) -> str:
     """The cs:Z: difference string (mp_write_cs, format.c:102-187).
-    aa is the query slice starting at r.qs."""
+    aa is the query slice starting at r.qs.  Dispatches to the native
+    writer; the pure-Python version below is kept as the golden model
+    (cross-checked in tests)."""
+    from . import native
+    if r.p is None:
+        return ""
+    T = tables.get_tables()
+    nt = mi.nt.get_by_v(r.vid, r.vs, r.ve)
+    return "cs:Z:" + native.write_cs(nt, aa[: r.qe - r.qs], r.p.cigar,
+                                     codon=T.codon, aa20=T.aa20)
+
+
+def write_cs_python(mi: Index, aa: np.ndarray, r: Region) -> str:
+    """Pure-Python golden model for write_cs."""
     T = tables.get_tables()
     e = r.p
     if e is None:

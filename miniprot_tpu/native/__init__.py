@@ -333,3 +333,42 @@ def sort_dedup_u64(a: np.ndarray) -> np.ndarray:
     if m < 0:
         raise MemoryError("mx_sort_dedup_u64")
     return a[:m]
+
+
+_lib.mx_extra_stats.argtypes = [_u8p, _u8p, _u32p, ct.c_int32, _i8p,
+                                ct.c_int32, _u8p, _u8p,
+                                ct.c_int32, ct.c_int32, ct.c_int32, _i32p]
+
+
+def extra_stats(nt: np.ndarray, aa: np.ndarray, cigar: np.ndarray, *,
+                mat: np.ndarray, asize: int, codon: np.ndarray,
+                aa20: np.ndarray, go: int, ge: int, fs: int) -> np.ndarray:
+    """Per-CIGAR-op (d_n_stop, d_n_iden, d_n_plus, d_score) deltas
+    (the codon loops of mp_extra_cal, align.c:82-201)."""
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    out = np.empty((len(cigar), 4), np.int32)
+    _lib.mx_extra_stats(np.ascontiguousarray(nt, dtype=np.uint8),
+                        np.ascontiguousarray(aa, dtype=np.uint8),
+                        cigar, len(cigar),
+                        np.ascontiguousarray(mat.reshape(-1), dtype=np.int8),
+                        asize, codon, aa20, go, ge, fs, out.reshape(-1))
+    return out
+
+
+_lib.mx_write_cs.restype = ct.c_int64
+_lib.mx_write_cs.argtypes = [_u8p, ct.c_int64, _u8p, ct.c_int64, _u32p,
+                             ct.c_int32, _u8p, _u8p, ct.c_char_p]
+
+
+def write_cs(nt: np.ndarray, aa: np.ndarray, cigar: np.ndarray, *,
+             codon: np.ndarray, aa20: np.ndarray) -> str:
+    """cs:Z: difference string body (mp_write_cs, format.c:102-187)."""
+    nt = np.ascontiguousarray(nt, dtype=np.uint8)
+    aa = np.ascontiguousarray(aa, dtype=np.uint8)
+    cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
+    buf = ct.create_string_buffer(3 * len(nt) + len(aa) + 24 * len(cigar) + 16)
+    n = _lib.mx_write_cs(nt, len(nt), aa, len(aa), cigar, len(cigar),
+                         codon, aa20, buf)
+    if n < 0:
+        raise ValueError("CIGAR does not consume the aligned window")
+    return buf.raw[:n].decode("ascii")

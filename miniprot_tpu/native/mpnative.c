@@ -30,6 +30,7 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 #include <assert.h>
@@ -1380,4 +1381,163 @@ MX_EXPORT int64_t mx_sort_dedup_u64(uint64_t *a, int64_t n)
 		if (a[i] != a[m - 1]) a[m++] = a[i];
 	free(buf);
 	return m;
+}
+
+/* Per-CIGAR-op alignment statistics (the per-codon inner loops of
+ * mp_extra_cal, align.c:82-201).  For each op k writes
+ * out[4k..4k+3] = (d_n_stop, d_n_iden, d_n_plus, d_score):
+ * M ops walk their codons against the protein, U/V ops score the split
+ * codon, I/D ops charge the affine gap, F/G ops charge the frameshift
+ * penalty.  nt starts at r.vs, aa at r.qs (nt4 / raw byte codes). */
+MX_EXPORT void mx_extra_stats(const uint8_t *nt, const uint8_t *aa,
+                              const uint32_t *cig, int32_t n_cig,
+                              const int8_t *mat, int32_t asize,
+                              const uint8_t *codon, const uint8_t *aa20,
+                              int32_t go, int32_t ge, int32_t fs,
+                              int32_t *out)
+{
+	int64_t nl = 0, al = 0;
+	int32_t k;
+	for (k = 0; k < n_cig; ++k) {
+		int32_t op = cig[k] & 0xF, ln = cig[k] >> 4;
+		int32_t st = 0, id = 0, pl = 0, sc = 0, t;
+		if (op == 0) {          /* M */
+			int64_t i = nl, j = al;
+			for (t = 0; t < ln; ++t, i += 3, ++j) {
+				int nt_aa = 21, aa_aa = aa20[aa[j]];
+				int8_t s;
+				if (nt[i] < 4 && nt[i+1] < 4 && nt[i+2] < 4)
+					nt_aa = codon[nt[i] << 4 | nt[i+1] << 2 | nt[i+2]];
+				s = mat[nt_aa * asize + aa_aa];
+				st += nt_aa == 20;
+				id += nt_aa == aa_aa;
+				pl += s > 0;
+				sc += s;
+			}
+			nl += 3 * (int64_t)ln, al += ln;
+		} else if (op == 1) {   /* I */
+			sc = -(go + ge * ln);
+			al += ln;
+		} else if (op == 2) {   /* D */
+			int64_t i = nl;
+			for (t = 0; t < ln; ++t, i += 3)
+				if (nt[i] < 4 && nt[i+1] < 4 && nt[i+2] < 4)
+					st += codon[nt[i] << 4 | nt[i+1] << 2 | nt[i+2]] == 20;
+			sc = -(go + ge * ln);
+			nl += 3 * (int64_t)ln;
+		} else if (op == 10) {  /* F */
+			sc = -fs;
+			nl += ln;
+		} else if (op == 11) {  /* G */
+			sc = -fs;
+			nl += ln, al += 1;
+		} else if (op == 3 || op == 12 || op == 13) {  /* N/U/V introns */
+			if (op != 3) {      /* split codon at a phase-1/2 intron */
+				uint8_t n0 = nt[nl], n1, n2;
+				int nt_aa = 21, aa_aa = aa20[aa[al]];
+				int8_t s;
+				if (op == 12) n1 = nt[nl + ln - 2], n2 = nt[nl + ln - 1];
+				else          n1 = nt[nl + 1],      n2 = nt[nl + ln - 1];
+				if (n0 < 4 && n1 < 4 && n2 < 4)
+					nt_aa = codon[n0 << 4 | n1 << 2 | n2];
+				s = mat[nt_aa * asize + aa_aa];
+				st += nt_aa == 20;
+				id += nt_aa == aa_aa;
+				pl += s > 0;
+				sc += s;
+			}
+			nl += ln;
+			al += op != 3;
+		}
+		out[4 * k] = st, out[4 * k + 1] = id;
+		out[4 * k + 2] = pl, out[4 * k + 3] = sc;
+	}
+}
+
+/* cs:Z: difference string over the extended CIGAR (mp_write_cs,
+ * format.c:102-187).  nt: nt4 codes of [r.vs, r.ve); aa: raw query
+ * bytes from r.qs.  Writes into buf (caller sizes it at
+ * 3*nt_len + aa_len + 24*n_cig + 16); returns the byte length, or -1
+ * if the CIGAR does not consume exactly (nt_len, aa_len). */
+static const char cs_nt_low[6] = "acgtn";
+
+static inline char cs_up(uint8_t b)
+{
+	return (char)(b >= 'a' && b <= 'z' ? b - 32 : b);
+}
+
+static inline char cs_low_nt(uint8_t x) { return cs_nt_low[x > 4 ? 4 : x]; }
+
+MX_EXPORT int64_t mx_write_cs(const uint8_t *nt, int64_t nt_len,
+                              const uint8_t *aa, int64_t aa_len,
+                              const uint32_t *cig, int32_t n_cig,
+                              const uint8_t *codon, const uint8_t *aa20,
+                              char *buf)
+{
+	int64_t nl = 0, al = 0;
+	int32_t k, t;
+	char *p = buf;
+	for (k = 0; k < n_cig; ++k) {
+		int32_t op = cig[k] & 0xF, ln = cig[k] >> 4;
+		if (op == 0) {          /* M */
+			int32_t run = 0;
+			int64_t i = nl, j = al;
+			for (t = 0; t < ln; ++t, i += 3, ++j) {
+				int nt_aa = 21, aa_aa = aa20[aa[j]];
+				if (nt[i] < 4 && nt[i+1] < 4 && nt[i+2] < 4)
+					nt_aa = codon[nt[i] << 4 | nt[i+1] << 2 | nt[i+2]];
+				if (nt_aa != aa_aa) {
+					if (run > 0) p += sprintf(p, ":%d", run);
+					*p++ = '*';
+					*p++ = cs_low_nt(nt[i]);
+					*p++ = cs_low_nt(nt[i+1]);
+					*p++ = cs_low_nt(nt[i+2]);
+					*p++ = cs_up(aa[j]);
+					run = 0;
+				} else ++run;
+			}
+			if (run > 0) p += sprintf(p, ":%d", run);
+			nl += 3 * (int64_t)ln, al += ln;
+		} else if (op == 1) {   /* I */
+			*p++ = '+';
+			for (t = 0; t < ln; ++t) *p++ = cs_up(aa[al + t]);
+			al += ln;
+		} else if (op == 2) {   /* D */
+			*p++ = '-';
+			for (t = 0; t < 3 * ln; ++t) *p++ = cs_low_nt(nt[nl + t]);
+			nl += 3 * (int64_t)ln;
+		} else if (op == 10) {  /* F */
+			*p++ = '-';
+			for (t = 0; t < ln; ++t) *p++ = cs_low_nt(nt[nl + t]);
+			nl += ln;
+		} else if (op == 11) {  /* G */
+			*p++ = '*';
+			for (t = 0; t < ln; ++t) *p++ = cs_low_nt(nt[nl + t]);
+			*p++ = cs_up(aa[al]);
+			nl += ln, al += 1;
+		} else if (op == 3 || op == 12 || op == 13) {  /* N/U/V */
+			int32_t lshift = op == 3 ? 0 : op == 12 ? 1 : 2;
+			int32_t rshift = lshift == 0 ? 0 : 3 - lshift;
+			if (lshift > 0) {
+				*p++ = '*';
+				for (t = 0; t < lshift; ++t) *p++ = cs_low_nt(nt[nl + t]);
+				*p++ = cs_up(aa[al]);
+			}
+			*p++ = '~';
+			*p++ = cs_low_nt(nt[nl + lshift]);
+			*p++ = cs_low_nt(nt[nl + lshift + 1]);
+			p += sprintf(p, "%d", ln - lshift - rshift);
+			*p++ = cs_low_nt(nt[nl + ln - rshift - 2]);
+			*p++ = cs_low_nt(nt[nl + ln - rshift - 1]);
+			if (rshift > 0) {
+				*p++ = '-';
+				for (t = 0; t < rshift; ++t)
+					*p++ = cs_low_nt(nt[nl + ln - rshift + t]);
+			}
+			if (lshift) al += 1;
+			nl += ln;
+		}
+	}
+	if (nl != nt_len || al != aa_len) return -1;
+	return p - buf;
 }

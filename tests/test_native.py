@@ -188,3 +188,31 @@ def test_score_ungapped_many_matches_single():
     for (no, ao, al), g in zip(triv, got):
         assert g == ctx.score_ungapped(nt[no:no + 3 * al].copy(),
                                        aa[ao:ao + al].copy())
+
+
+def test_native_write_cs_matches_python_golden(dpp3_files):
+    """C cs-string writer vs the pure-Python golden on real mappings."""
+    import io as _io
+    import miniprot_tpu.format as fm
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.pipeline import map_file
+    genome, query = dpp3_files
+    calls = []
+    orig = fm.write_cs
+
+    def check(mi, aa, r):
+        got = orig(mi, aa, r)
+        want = fm.write_cs_python(mi, aa, r)
+        assert got == want
+        calls.append(1)
+        return got
+
+    fm.write_cs = check
+    try:
+        mi = Index.build(genome, IdxOpt())
+        buf = _io.StringIO()
+        map_file(mi, query, MapOpt(), 1, out=buf)
+    finally:
+        fm.write_cs = orig
+    assert calls
