@@ -26,6 +26,8 @@ _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 
 _lib.mx_sort_u64.argtypes = [_u64p, ct.c_int64]
+_lib.mx_sort_u64_lsd.restype = ct.c_int64
+_lib.mx_sort_u64_lsd.argtypes = [_u64p, ct.c_int64]
 _lib.mx_sort_pair.argtypes = [_u64p, ct.c_int64]
 _lib.mx_chain.restype = ct.c_int64
 _lib.mx_chain.argtypes = [ct.c_int32] * 7 + [ct.c_float] + [ct.c_int32] * 3 + \
@@ -50,10 +52,17 @@ DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT = 0x1, 0x2, 0x4
 
 
 def sort_u64(a: np.ndarray) -> np.ndarray:
-    """In-place MSD radix sort of a uint64 array (ksort.h radix_sort_mp64)."""
+    """In-place sort of a SCALAR uint64 array.
+
+    Scalar u64 output is fully determined by the multiset (equal keys
+    are indistinguishable), so any sort matches the reference's
+    radix_sort_mp64 byte-for-byte; this uses the faster LSD radix with
+    constant-byte pass skipping.  Only the 128-bit pair sort
+    (sort_pair) must replicate the reference permutation."""
     assert a.dtype == np.uint64 and a.flags.c_contiguous
     if len(a) > 1:
-        _lib.mx_sort_u64(a, len(a))
+        if _lib.mx_sort_u64_lsd(a, len(a)) < 0:
+            raise MemoryError("mx_sort_u64_lsd")
     return a
 
 

@@ -1541,3 +1541,36 @@ MX_EXPORT int64_t mx_write_cs(const uint8_t *nt, int64_t nt_len,
 	if (nl != nt_len || al != aa_len) return -1;
 	return p - buf;
 }
+
+/* LSD radix sort of scalar u64 keys with constant-byte pass skipping.
+ * For SCALAR u64 arrays the sorted output is fully determined by the
+ * multiset (equal keys are indistinguishable), so this may replace the
+ * reference-permutation MSD sorter wherever the values are plain u64 —
+ * the permutation-sensitive case is only the 128-bit pair sort. */
+MX_EXPORT int64_t mx_sort_u64_lsd(uint64_t *a, int64_t n)
+{
+	int64_t cnt[256], pos[256];
+	int64_t i;
+	int b;
+	uint64_t orx = 0, andx = ~0ULL;
+	uint64_t *buf, *src, *dst;
+	if (n <= 1) return n;
+	if (n <= MX_RS_MIN) { ins_sort_u64(a, a + n); return n; }
+	buf = (uint64_t *)malloc(n * sizeof(uint64_t));
+	if (buf == 0) return -1;
+	for (i = 0; i < n; ++i) orx |= a[i], andx &= a[i];
+	src = a, dst = buf;
+	for (b = 0; b < 8; ++b) {
+		int sh = 8 * b;
+		if (!(((orx ^ andx) >> sh) & 0xFF)) continue;
+		memset(cnt, 0, sizeof(cnt));
+		for (i = 0; i < n; ++i) ++cnt[src[i] >> sh & 0xFF];
+		pos[0] = 0;
+		for (i = 1; i < 256; ++i) pos[i] = pos[i - 1] + cnt[i - 1];
+		for (i = 0; i < n; ++i) dst[pos[src[i] >> sh & 0xFF]++] = src[i];
+		{ uint64_t *t = src; src = dst; dst = t; }
+	}
+	if (src != a) memcpy(a, src, n * sizeof(uint64_t));
+	free(buf);
+	return n;
+}
