@@ -669,6 +669,27 @@ static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t
  * ss:      optional per-base splice-score track (0xff = unset), or NULL.
  * cigar:   caller buffer with room for at least nl + al + 16 entries.
  */
+
+/* grow-only per-process scratch for the DP temporaries: mapping makes
+ * tens of DP calls per query and per-call malloc + first-touch was a
+ * measurable fraction of host map time.  The DP path is single-threaded
+ * within a process (mapping parallelism is process-based), so plain
+ * statics are safe. */
+static void *mx_scr[8];
+static size_t mx_scr_cap[8];
+
+static void *mx_scratch(int slot, size_t size)
+{
+	if (mx_scr_cap[slot] < size) {
+		size_t cap = size + size / 2 + 256;
+		cap = (cap + 15) & ~(size_t)15;
+		free(mx_scr[slot]);
+		mx_scr[slot] = aligned_alloc(16, cap);
+		mx_scr_cap[slot] = mx_scr[slot] ? cap : 0;
+	}
+	return mx_scr[slot];
+}
+
 MX_EXPORT void mx_dp16(
 	const uint8_t *nsq, int32_t nl, const uint8_t *asq, int32_t al,
 	const uint8_t *ss,
@@ -694,10 +715,10 @@ MX_EXPORT void mx_dp16(
 	*n_cigar = 0;
 	*out_nt_len = nl, *out_aa_len = al, *out_score = MX_NEG_INF;
 
-	nas = (uint8_t*)malloc(nl);
-	aas = (uint8_t*)malloc(al > 0 ? al : 1);
-	donor = (int8_t*)malloc(nl + 1);
-	acceptor = (int8_t*)malloc(nl + 1);
+	nas = (uint8_t*)mx_scratch(0, nl);
+	aas = (uint8_t*)mx_scratch(1, al > 0 ? al : 1);
+	donor = (int8_t*)mx_scratch(2, nl + 1);
+	acceptor = (int8_t*)mx_scratch(3, nl + 1);
 	if (flag & DPF_EXT_LEFT) { /* reversed input */
 		for (j = 0; j < al; ++j) aas[al - 1 - j] = aa20[asq[j]];
 		prep_rev(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, nas, donor, acceptor);
@@ -712,7 +733,7 @@ MX_EXPORT void mx_dp16(
 	}
 
 	/* striped query profile; nasw-sse.c:212-224: vector j lane k = position k*slen+j */
-	prof = (int16_t*)malloc((size_t)asize * slen * VL * 2);
+	prof = (int16_t*)mx_scratch(4, (size_t)asize * slen * VL * 2);
 	{
 		int16_t *t = prof;
 		for (i = 0; i < asize; ++i) {
@@ -724,7 +745,7 @@ MX_EXPORT void mx_dp16(
 	}
 
 	/* state buffers: 5 x (slen+1) for H/H1/H2/H3/Hmax (index -1 valid), 7 x slen */
-	bufH = (v16*)aligned_alloc(16, ((size_t)(slen + 1) * 5 + (size_t)slen * 7) * 16);
+	bufH = (v16*)mx_scratch(5, ((size_t)(slen + 1) * 5 + (size_t)slen * 7) * 16);
 	H = bufH + 1, H1 = bufH + (slen + 1) + 1, H2 = bufH + (slen + 1) * 2 + 1, H3 = bufH + (slen + 1) * 3 + 1;
 	Hmax = bufH + (slen + 1) * 4 + 1;
 	D = Hmax + slen, D1 = D + slen, D2 = D1 + slen, D3 = D2 + slen;
@@ -736,7 +757,7 @@ MX_EXPORT void mx_dp16(
 	H1[-1][0] = -fs_;
 
 	if ((flag & DPF_CIGAR) && !is_ext)
-		tb = (int16_t*)malloc((size_t)nl * slen * VL * 2);
+		tb = (int16_t*)mx_scratch(6, (size_t)nl * slen * VL * 2);
 
 	if (tb == 0) { /* score-only / extension path; nasw-sse.c:349-443 */
 		int32_t max_sc = MX_NEG_INF, max_sc_log = MX_NEG_INF, tmp_sc, tmp_sc_log, end_sc, max_i = -1;
@@ -932,13 +953,9 @@ MX_EXPORT void mx_dp16(
 		}
 	}
 	if (!is_ext) *out_score = H1[(al - 1) % slen][(al - 1) / slen];
-	if (tb) {
+	if (tb)
 		*n_cigar = dp_backtrack(tb, slen, nl, al, cigar);
-		free(tb);
-	}
-	free(bufH);
-	free(prof);
-	free(nas); free(aas); free(donor); free(acceptor);
+	/* all temporaries live in the grow-only scratch; nothing to free */
 }
 
 /* Expose sequence prep for cross-validation of the vectorized Python prep. */
