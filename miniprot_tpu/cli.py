@@ -170,7 +170,8 @@ def main(argv: list[str] | None = None) -> int:
             elif key in _LONG_OPTS:
                 pass  # accepted no-ops (--no-kalloc etc.)
             else:
-                print(f"[WARNING] unrecognized option: {arg}", file=sys.stderr)
+                from . import sysutil
+                sysutil.warn("unrecognized option: %s", arg)
             i += 1
             continue
         if arg.startswith("-") and len(arg) > 1:
@@ -247,7 +248,8 @@ def main(argv: list[str] | None = None) -> int:
             elif c == "s":
                 print("Option '-s' is deprecated.", file=sys.stderr)
             else:
-                print(f"[WARNING] unrecognized option: {arg}", file=sys.stderr)
+                from . import sysutil
+                sysutil.warn("unrecognized option: %s", arg)
             i += 1
             continue
         pos.append(arg)
@@ -256,7 +258,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         mo.check()
     except ValueError as ex:
-        print(f"[ERROR] {ex}", file=sys.stderr)
+        from . import sysutil
+        sysutil.error("%s", ex)
         return 1
     if not pos or (len(pos) == 1 and fn_idx is None):
         sys.stderr.write(USAGE)
@@ -264,8 +267,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         tables.get_tables(io.trans_code)
     except ValueError:
-        print(f"[ERROR] failed to find translation table {io.trans_code}",
-              file=sys.stderr)
+        from . import sysutil
+        sysutil.error("failed to find translation table %d", io.trans_code)
         return 1
 
     mi = Index.load(pos[0], io, n_threads=n_threads)

@@ -45,13 +45,13 @@ def log(func: str, fmt: str, *args, level: int = 3) -> None:
 def warn(fmt: str, *args) -> None:
     if verbose >= 2:
         msg = fmt % args if args else fmt
-        sys.stderr.write(f"[WARNING] {msg}\n")
+        sys.stderr.write(f"[WARNING]\033[1;31m {msg}\033[0m\n")
 
 
 def error(fmt: str, *args) -> None:
     if verbose >= 1:
         msg = fmt % args if args else fmt
-        sys.stderr.write(f"[ERROR] {msg}\n")
+        sys.stderr.write(f"[ERROR]\033[1;31m {msg}\033[0m\n")
 
 
 class Profiler:

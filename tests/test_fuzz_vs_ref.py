@@ -67,7 +67,8 @@ def synth(rng, path_fa, path_faa, n_genes=2):
 
 @pytest.mark.parametrize("seed,mode", [
     (101, []), (102, ["--gff"]), (103, ["-j", "2"]), (104, ["--gtf"]),
-    (105, ["--aln"]), (106, ["-u"]),
+    (105, ["--aln"]), (106, ["-u"]), (107, ["--trans"]),
+    (108, ["--gff-only"]), (109, ["--aln", "--trans"]),
 ])
 def test_fuzz_parity(ref_binary, tmp_path, seed, mode):
     rng = np.random.default_rng(seed)
