@@ -81,7 +81,7 @@ _LONG_OPTS = {
 }
 _LONG_OPTS_ARG = {
     "xdrop", "outn", "gff-delim", "J2", "outs", "max-skip", "max-intron-out",
-    "outc", "ie-coef", "spsc", "spsc0", "spsc-max",
+    "outc", "ie-coef", "spsc", "spsc0", "spsc-max", "profile-trace",
 }
 _SHORT_ARG = "kMLslbTtdcnmKpNOEJCFGegBPwj"
 
@@ -167,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
             elif key == "profile":
                 from . import sysutil
                 sysutil.profiler.enabled = True
+            elif key == "profile-trace":
+                dbg["profile_trace"] = val
             elif key in _LONG_OPTS:
                 pass  # accepted no-ops (--no-kalloc etc.)
             else:
@@ -287,9 +289,24 @@ def main(argv: list[str] | None = None) -> int:
     if len(pos) > 1:
         from . import sysutil
         sysutil.log("main", mi.print_stat(mo.max_occ))
+    trace_dir = dbg.get("profile_trace")
+    if trace_dir:
+        try:  # device trace (jax profiler); unsupported backends warn
+            import jax
+            jax.profiler.start_trace(trace_dir)
+        except Exception as ex:
+            from . import sysutil
+            sysutil.warn("profiler trace unavailable: %s", ex)
+            trace_dir = None
     for fn in pos[1:]:
         map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")),
                  dbg=dbg)
+    if trace_dir:
+        try:
+            import jax
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
     from . import sysutil
     from . import MP_VERSION as _V
     sysutil.log("main", "Version: %s (miniprot_tpu %s)", _V, __import__("miniprot_tpu").__version__)

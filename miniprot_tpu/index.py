@@ -104,7 +104,16 @@ class Index:
                                         opt.mod_bit, opt.bbit,
                                         int(bo[cid << 1 | strand]),
                                         opt.trans_code))
-        allv = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        # concatenate while releasing parts (halves the peak of the
+        # largest transient on whole-genome builds)
+        total = sum(len(p) for p in parts)
+        allv = np.empty(total, np.uint64)
+        off = 0
+        parts.reverse()
+        while parts:
+            p = parts.pop()
+            allv[off:off + len(p)] = p
+            off += len(p)
         # contig-strand block ranges are disjoint, so a global sort+unique
         # equals the reference's per-strand dedup + counting sort
         from . import sysutil
