@@ -73,36 +73,15 @@ def refine_region(mi: Index, opt: MapOpt, aa: np.ndarray, r: Region,
 
     # per-hash cross product of genome x protein positions (map.c:53-79);
     # within one hash the genome entries sort before the bit31-flagged
-    # protein entries, so groups split cleanly.  Ragged outer products
-    # are generated with div/mod index arithmetic (order irrelevant: the
-    # result is value-sorted next).
-    n = len(sd)
-    if n == 0:
+    # protein entries, so groups split cleanly.  Runs in C; emission
+    # order is irrelevant because the result is value-sorted next.
+    if len(sd) == 0:
         r.a = np.empty(0, np.uint64)
         return
-    hashes = sd >> np.uint64(32)
-    prot_flag = ((sd >> np.uint64(31)) & np.uint64(1)).astype(bool)
-    grp_start = np.flatnonzero(np.concatenate(
-        [[True], hashes[1:] != hashes[:-1]]))
-    grp_end = np.concatenate([grp_start[1:], [n]])
-    cum_prot = np.concatenate([[0], np.cumsum(prot_flag)])
-    n2 = cum_prot[grp_end] - cum_prot[grp_start]
-    n1 = (grp_end - grp_start) - n2
-    ok = (n1 > 0) & (n2 > 0) & (n1 * n2 <= opt.max_ava)
-    if not ok.any():
+    a = native.refine_pairs(sd, opt.max_ava)
+    if len(a) == 0:
         r.a = np.empty(0, np.uint64)
         return
-    gs, n1k, n2k = grp_start[ok], n1[ok], n2[ok]
-    sz = n1k * n2k
-    total = int(sz.sum())
-    cum = np.zeros(len(sz), np.int64)
-    np.cumsum(sz[:-1], out=cum[1:])
-    jj = np.arange(total) - np.repeat(cum, sz)
-    grp = np.repeat(np.arange(len(sz)), sz)
-    i1 = gs[grp] + jj // n2k[grp]
-    i2 = gs[grp] + n1k[grp] + jj % n2k[grp]
-    a = ((sd[i1] & np.uint64(0xFFFFFFFF)) << np.uint64(32)) \
-        | (sd[i2] & np.uint64(0x7FFFFFFF))
     native.sort_u64(a)
     a, u = native.chain(a, max_dist_x=opt.max_intron, max_dist_y=opt.max_gap,
                         bw=opt.bw, max_skip=opt.max_chn_max_skip,

@@ -381,3 +381,18 @@ def write_cs(nt: np.ndarray, aa: np.ndarray, cigar: np.ndarray, *,
     if n < 0:
         raise ValueError("CIGAR does not consume the aligned window")
     return buf.raw[:n].decode("ascii")
+
+
+_lib.mx_refine_pairs.restype = ct.c_int64
+_lib.mx_refine_pairs.argtypes = [_u64p, ct.c_int64, ct.c_int64, ct.c_void_p]
+
+
+def refine_pairs(sd: np.ndarray, max_ava: int) -> np.ndarray:
+    """Per-hash genome x protein seed cross products (map.c:53-79)."""
+    assert sd.dtype == np.uint64 and sd.flags.c_contiguous
+    n = _lib.mx_refine_pairs(sd, len(sd), max_ava, None)
+    out = np.empty(n, np.uint64)
+    if n:
+        _lib.mx_refine_pairs(sd, len(sd), max_ava,
+                             out.ctypes.data_as(ct.c_void_p))
+    return out

@@ -1591,3 +1591,35 @@ MX_EXPORT int64_t mx_sort_u64_lsd(uint64_t *a, int64_t n)
 	free(buf);
 	return n;
 }
+
+/* Refine-round seed pairs (map.c:53-79): for each hash group of the
+ * sorted mixed array sd (genome entries hash<<32|pos, protein entries
+ * additionally bit31-flagged, so genome sorts first within a group),
+ * emit the (genome x protein) cross product as anchors
+ * (gpos<<32 | qpos) when 0 < n1*n2 <= max_ava.  out == NULL counts
+ * only.  Output order within the call is irrelevant: the caller
+ * value-sorts the scalar u64 anchors next. */
+MX_EXPORT int64_t mx_refine_pairs(const uint64_t *sd, int64_t n,
+                                  int64_t max_ava, uint64_t *out)
+{
+	int64_t i = 0, cnt = 0;
+	while (i < n) {
+		uint32_t h = sd[i] >> 32;
+		int64_t j = i + 1, k, n1, n2;
+		while (j < n && (uint32_t)(sd[j] >> 32) == h) ++j;
+		k = i;
+		while (k < j && !(sd[k] >> 31 & 1)) ++k;
+		n1 = k - i, n2 = j - k;
+		if (n1 > 0 && n2 > 0 && n1 * n2 <= max_ava) {
+			if (out) {
+				int64_t p, q;
+				for (p = i; p < k; ++p)
+					for (q = k; q < j; ++q)
+						out[cnt++] = (sd[p] & 0xFFFFFFFFULL) << 32
+							| (sd[q] & 0x7FFFFFFFULL);
+			} else cnt += n1 * n2;
+		}
+		i = j;
+	}
+	return cnt;
+}
