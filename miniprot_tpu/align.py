@@ -333,13 +333,16 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     if dbg_more_dp:  # debug: one DP over the whole region (align.c:303-305)
         _plan_gap(r.vs - as_, r.ve - as_, ae0, r.qe)
     else:  # patch gaps between marked anchors (align.c:306-314)
-        for i in range(i0, r.cnt):
-            if not (int(r.a[i]) >> 31) & 1:
-                continue
-            ne1 = int(r.a[i] >> np.uint64(32)) + 1
-            ae1 = int(r.a[i] & np.uint64(0x7FFFFFFF)) + 1
-            _plan_gap(ne0 + vs0 - as_, ne1 + vs0 - as_, ae0, ae1)
-            ne0, ae0 = ne1, ae1
+        av = r.a[i0:r.cnt]
+        mk = np.flatnonzero((av >> np.uint64(31)) & np.uint64(1))
+        if len(mk):
+            sel = av[mk]
+            ne1s = ((sel >> np.uint64(32)).astype(np.int64) + 1).tolist()
+            ae1s = ((sel & np.uint64(0x7FFFFFFF)).astype(np.int64) + 1).tolist()
+            base = vs0 - as_
+            for ne1, ae1 in zip(ne1s, ae1s):
+                _plan_gap(ne0 + base, ne1 + base, ae0, ae1)
+                ne0, ae0 = ne1, ae1
         r.ve = ne0 + vs0
         r.qe = ae0
     results = (yield ("cigars", jobs)) if jobs else []
