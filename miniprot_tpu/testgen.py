@@ -31,11 +31,13 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                   n_genes: int = 100, seed: int = 42, n_ctg: int = 2,
                   max_exons: int = 8, max_intron: int = 20000,
                   mut_rate: float = 0.05, line_len: int = 60,
-                  rev_frac: float = 0.0):
+                  rev_frac: float = 0.0, fs_frac: float = 0.0):
     """Write a synthetic genome FASTA + protein FASTA pair.
 
     rev_frac of the genes are implanted on the reverse strand (the gene
-    region is reverse-complemented in place after writing)."""
+    region is reverse-complemented in place after writing).  fs_frac of
+    the genes get a 1-2bp indel inside an exon body (a genomic
+    frameshift), exercising the F/G CIGAR ops end-to-end."""
     rng = np.random.default_rng(seed)
     aa2c = _aa2codons()
     per_ctg = genome_len // n_ctg
@@ -56,16 +58,33 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                 if cursor + need >= per_ctg:
                     break
                 pos = cursor
+                exon_spans = []
                 for e in range(n_ex):
+                    ex_start = pos
                     for ch in prot[bounds[e]:bounds[e + 1]]:
                         cod = aa2c[ch][int(rng.integers(len(aa2c[ch])))]
                         g[pos:pos + 3] = list(cod)
                         pos += 3
+                    exon_spans.append((ex_start, pos))
                     if e < n_ex - 1:
                         ilen = int(rng.integers(80, max_intron))
                         g[pos], g[pos + 1] = "G", "T"
                         g[pos + ilen - 2], g[pos + ilen - 1] = "A", "G"
                         pos += ilen
+                wide = [sp for sp in exon_spans if sp[1] - sp[0] > 60]
+                if fs_frac > 0 and rng.random() < fs_frac and wide \
+                        and pos + 2 < per_ctg:
+                    # genomic frameshift: 1-2bp indel inside an exon body
+                    es, ee = wide[int(rng.integers(len(wide)))]
+                    off = int(rng.integers(es + 20, ee - 20))
+                    k = int(rng.integers(1, 3))
+                    if rng.random() < 0.5:  # deletion
+                        g[off:pos - k] = g[off + k:pos].copy()
+                        pos -= k
+                    else:                   # insertion
+                        g[off + k:pos + k] = g[off:pos].copy()
+                        g[off:off + k] = rng.choice(list("ACGT"), k)
+                        pos += k
                 if rng.random() < rev_frac:
                     # flip the whole gene locus to the reverse strand
                     seg = "".join(g[cursor:pos])

@@ -99,3 +99,30 @@ def test_reverse_strand_parity(ref_binary, tmp_path, seed, mode):
     with contextlib.redirect_stdout(buf):
         assert cli.main([*mode, fa, faa]) == 0
     assert buf.getvalue() == ref
+
+
+@pytest.fixture(scope="module")
+def fs_workload(tmp_path_factory):
+    """Genes with implanted genomic frameshifts (F/G CIGAR ops)."""
+    from miniprot_tpu.testgen import make_workload
+    d = tmp_path_factory.mktemp("fs")
+    fa, faa = str(d / "g.fa"), str(d / "q.faa")
+    make_workload(fa, faa, genome_len=3_000_000, n_genes=60, seed=77,
+                  n_ctg=2, max_intron=8000, rev_frac=0.3, fs_frac=0.8)
+    return fa, faa
+
+
+@pytest.mark.parametrize("mode", [[], ["--gff"], ["--aln"], ["--trans"],
+                                  ["--gtf"]])
+def test_frameshift_parity(ref_binary, fs_workload, mode):
+    """Byte-parity on frameshift-heavy genes in every output mode (the
+    F/G CIGAR, fs counters, and residue renderers)."""
+    import contextlib, io as _io
+    from miniprot_tpu import cli
+    fa, faa = fs_workload
+    ref = subprocess.run([ref_binary, "-t1", *mode, fa, faa],
+                         capture_output=True, text=True).stdout
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main([*mode, fa, faa]) == 0
+    assert buf.getvalue() == ref
