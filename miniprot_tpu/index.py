@@ -29,11 +29,15 @@ _BUILD_CTX = None
 
 
 def _build_worker(job):
+    from . import native
     cid, strand = job
     nt, opt, bo = _BUILD_CTX
     seq = nt.get(cid, 0, -1, bool(strand))
-    return sketch_nt4(seq, opt.min_aa_len, opt.kmer, opt.mod_bit, opt.bbit,
+    part = sketch_nt4(seq, opt.min_aa_len, opt.kmer, opt.mod_bit, opt.bbit,
                       int(bo[cid << 1 | strand]), opt.trans_code)
+    # per-strand sort + dedup (sketch.c:94-99); block ranges are disjoint
+    # across strands, so no cross-part duplicates exist
+    return native.sort_dedup_u64(part)
 
 
 @dataclass
@@ -82,10 +86,10 @@ class Index:
         nt = fn_or_db if isinstance(fn_or_db, NtDB) else NtDB.from_fasta(fn_or_db)
         bo = cls._block_offsets(nt, opt.bbit)
         jobs = [(cid, strand) for cid in range(nt.n_ctg) for strand in (0, 1)]
+        global _BUILD_CTX
         if n_threads > 1 and len(jobs) > 1:
             import multiprocessing as mp
             import warnings
-            global _BUILD_CTX
             _BUILD_CTX = (nt, opt, bo)
             with warnings.catch_warnings():
                 # fork after jax/BLAS threads exist: safe here because the
@@ -97,35 +101,25 @@ class Index:
                                      chunksize=max(1, len(jobs) // (4 * n_threads)))
             _BUILD_CTX = None
         else:
-            parts = []
-            for cid, strand in jobs:
-                seq = nt.get(cid, 0, -1, bool(strand))
-                parts.append(sketch_nt4(seq, opt.min_aa_len, opt.kmer,
-                                        opt.mod_bit, opt.bbit,
-                                        int(bo[cid << 1 | strand]),
-                                        opt.trans_code))
-        # concatenate while releasing parts (halves the peak of the
-        # largest transient on whole-genome builds)
-        total = sum(len(p) for p in parts)
-        allv = np.empty(total, np.uint64)
-        off = 0
-        parts.reverse()
-        while parts:
-            p = parts.pop()
-            allv[off:off + len(p)] = p
-            off += len(p)
-        # contig-strand block ranges are disjoint, so a global sort+unique
-        # equals the reference's per-strand dedup + counting sort
-        from . import sysutil
+            _BUILD_CTX = (nt, opt, bo)
+            parts = [_build_worker(j) for j in jobs]
+            _BUILD_CTX = None
+        from . import native, sysutil
         sysutil.log("Index.build", "collected syncmers")
-        from . import native
-        allv = native.sort_dedup_u64(allv)
+        # counting-sort merge (build_bidx, index.c:71-95): parts are
+        # sorted+deduped per strand with disjoint, part-order-increasing
+        # block ranges, so per-bucket concatenation in part order equals
+        # the globally sorted bucket contents
         n_bucket = opt.n_bucket
-        counts = np.bincount((allv >> np.uint64(32)).astype(np.int64),
-                             minlength=n_bucket)
+        counts = np.zeros(n_bucket, np.int64)
+        for p in parts:
+            native.count_bucket(p, counts)
         ki = np.zeros(n_bucket, np.int64)
         np.cumsum(counts[:-1], out=ki[1:])
-        kb = allv.astype(np.uint32)  # low 32 bits
+        kb = np.empty(int(counts.sum()), np.uint32)
+        cursors = ki.copy()
+        for p in parts:
+            native.scatter_bucket(p, cursors, kb)
         sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
         profiler.stop("index_build")
         return cls(opt, nt, bo, ki, kb)

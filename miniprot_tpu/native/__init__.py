@@ -301,19 +301,28 @@ _lib.mx_sketch_nt4.argtypes = [_u8p, ct.c_int64, ct.c_int32, ct.c_int32,
                                _u8p, _u8p, _u64p]
 
 
+_sketch_buf: np.ndarray | None = None
+
+
 def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
                bbit: int, boff: int, codon: np.ndarray,
                codon13: np.ndarray) -> np.ndarray:
     """One-strand three-frame ORF modimer scan (mp_sketch_nt4,
-    sketch.c:40-100).  Multiset-equal to sketch.sketch_nt4_numpy."""
+    sketch.c:40-100).  Multiset-equal to sketch.sketch_nt4_numpy.
+
+    The worst-case output bound is one window per codon-end position
+    (n+8 entries); a grow-only module buffer is reused across calls so
+    whole-chromosome index builds don't cycle multi-100MB mappings."""
+    global _sketch_buf
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     n = len(seq)
-    out = np.empty(n + 8, np.uint64)  # <=1 window per codon-end position
+    if _sketch_buf is None or len(_sketch_buf) < n + 8:
+        _sketch_buf = np.empty(n + n // 2 + 64, np.uint64)
     cnt = _lib.mx_sketch_nt4(seq, n, min_aa_len, kmer, mod_bit, bbit, boff,
-                             codon, codon13, out)
+                             codon, codon13, _sketch_buf)
     if cnt < 0:
         raise MemoryError("mx_sketch_nt4")
-    return out[:cnt].copy()
+    return _sketch_buf[:cnt].copy()
 
 
 _lib.mx_filter_seed.argtypes = [ct.c_int64, _u64p, ct.c_int32, ct.c_int32,
@@ -396,3 +405,20 @@ def refine_pairs(sd: np.ndarray, max_ava: int) -> np.ndarray:
         _lib.mx_refine_pairs(sd, len(sd), max_ava,
                              out.ctypes.data_as(ct.c_void_p))
     return out
+
+
+_lib.mx_count_bucket.argtypes = [_u64p, ct.c_int64, _i64p]
+_lib.mx_scatter_bucket.argtypes = [_u64p, ct.c_int64, _i64p, _u32p]
+
+
+def count_bucket(a: np.ndarray, counts: np.ndarray) -> None:
+    """counts[hash] += occurrences, hash = entry >> 32."""
+    assert a.dtype == np.uint64 and counts.dtype == np.int64
+    _lib.mx_count_bucket(a, len(a), counts)
+
+
+def scatter_bucket(a: np.ndarray, cursors: np.ndarray, kb: np.ndarray) -> None:
+    """kb[cursors[hash]++] = low 32 bits, in input order."""
+    assert a.dtype == np.uint64 and cursors.dtype == np.int64
+    assert kb.dtype == np.uint32
+    _lib.mx_scatter_bucket(a, len(a), cursors, kb)

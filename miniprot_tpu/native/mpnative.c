@@ -1623,3 +1623,21 @@ MX_EXPORT int64_t mx_refine_pairs(const uint64_t *sd, int64_t n,
 	}
 	return cnt;
 }
+
+/* Bucket counting/scatter for the index merge (build_bidx semantics,
+ * index.c:71-95): parts are per-strand sorted+deduped (hash,block)
+ * arrays with disjoint block ranges increasing in part order, so a
+ * stable per-bucket concatenation in part order equals the globally
+ * sorted bucket contents. */
+MX_EXPORT void mx_count_bucket(const uint64_t *a, int64_t n, int64_t *counts)
+{
+	int64_t i;
+	for (i = 0; i < n; ++i) ++counts[a[i] >> 32];
+}
+
+MX_EXPORT void mx_scatter_bucket(const uint64_t *a, int64_t n,
+                                 int64_t *cursors, uint32_t *kb)
+{
+	int64_t i;
+	for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
+}
