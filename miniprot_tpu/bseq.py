@@ -29,6 +29,44 @@ def _open_maybe_gzip(fn: str) -> io.BufferedReader:
     return f
 
 
+def _split_hdr(hdr: bytes):
+    sp = -1
+    for i, ch in enumerate(hdr):
+        if ch in (0x20, 0x09):
+            sp = i
+            break
+    if sp < 0:
+        return hdr.decode(), None
+    return hdr[:sp].decode(), (hdr[sp + 1:].strip().decode() or None)
+
+
+def read_fasta_all(fn: str) -> list[Seq1]:
+    """Whole-file FASTA reader: the fast path for genome loading (the
+    streaming parser costs ~20ns/byte in Python; this is one read + two
+    C-speed scans per record).  Falls back to the streaming parser for
+    FASTQ or unusual layouts."""
+    with _open_maybe_gzip(fn) as f:
+        head = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if head != b">":
+            return list(read_fastx(fn))
+        data = f.read()
+    out = []
+    pos = data.find(b">")
+    while pos >= 0:
+        hdr_end = data.find(b"\n", pos)
+        if hdr_end < 0:
+            break
+        nxt = data.find(b"\n>", hdr_end)
+        body_end = len(data) if nxt < 0 else nxt + 1
+        name, comment = _split_hdr(data[pos + 1:hdr_end].rstrip(b"\r"))
+        seq = data[hdr_end + 1:body_end].replace(b"\n", b"")
+        if b"\r" in seq:
+            seq = seq.replace(b"\r", b"")
+        out.append(Seq1(name, seq, comment))
+        pos = -1 if nxt < 0 else nxt + 1
+    return out
+
+
 def read_fastx(fn: str) -> Iterator[Seq1]:
     """Stream records from a (possibly gzipped) FASTA/FASTQ file."""
     with _open_maybe_gzip(fn) as f:

@@ -53,7 +53,8 @@ class NtDB:
         nt4 = tables.get_tables(1).nt4  # nt4 mapping is code-independent
         codes: list[np.ndarray] = []
         off = 0
-        for rec in read_fastx(fn):
+        from .bseq import read_fasta_all
+        for rec in read_fasta_all(fn):
             c = nt4[np.frombuffer(rec.seq, dtype=np.uint8)]
             db.ctg.append(Contig(rec.name, off, len(c)))
             off += len(c)

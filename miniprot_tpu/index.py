@@ -33,11 +33,13 @@ def _build_worker(job):
     cid, strand = job
     nt, opt, bo = _BUILD_CTX
     seq = nt.get(cid, 0, -1, bool(strand))
+    # sketch into the shared module buffer, sort+dedup there, then copy
+    # only the deduped prefix out (saves one full-size copy per strand)
     part = sketch_nt4(seq, opt.min_aa_len, opt.kmer, opt.mod_bit, opt.bbit,
-                      int(bo[cid << 1 | strand]), opt.trans_code)
+                      int(bo[cid << 1 | strand]), opt.trans_code, copy=False)
     # per-strand sort + dedup (sketch.c:94-99); block ranges are disjoint
     # across strands, so no cross-part duplicates exist
-    return native.sort_dedup_u64(part)
+    return native.sort_dedup_u64(part).copy()
 
 
 @dataclass

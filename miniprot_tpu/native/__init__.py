@@ -306,7 +306,7 @@ _sketch_buf: np.ndarray | None = None
 
 def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
                bbit: int, boff: int, codon: np.ndarray,
-               codon13: np.ndarray) -> np.ndarray:
+               codon13: np.ndarray, copy: bool = True) -> np.ndarray:
     """One-strand three-frame ORF modimer scan (mp_sketch_nt4,
     sketch.c:40-100).  Multiset-equal to sketch.sketch_nt4_numpy.
 
@@ -322,7 +322,8 @@ def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
                              codon, codon13, _sketch_buf)
     if cnt < 0:
         raise MemoryError("mx_sketch_nt4")
-    return _sketch_buf[:cnt].copy()
+    out = _sketch_buf[:cnt]
+    return out.copy() if copy else out   # copy=False: view dies on next call
 
 
 _lib.mx_filter_seed.argtypes = [ct.c_int64, _u64p, ct.c_int32, ct.c_int32,

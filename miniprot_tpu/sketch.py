@@ -73,7 +73,8 @@ def sketch_prot(seq: bytes | np.ndarray, kmer: int, mod_bit: int) -> np.ndarray:
 
 
 def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
-               bbit: int, boff: int, trans_code: int = 1) -> np.ndarray:
+               bbit: int, boff: int, trans_code: int = 1,
+               copy: bool = True) -> np.ndarray:
     """Genome-strand modimers over 3-frame ORFs (mp_sketch_nt4 +
     mp_sketch_clean_orf, sketch.c:40-100).  Dispatches to the native C
     scanner; every caller sorts (+dedups) the scalar u64 output, so the
@@ -85,7 +86,7 @@ def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
     T = tables.get_tables(trans_code)
     return native.sketch_nt4(np.ascontiguousarray(seq, dtype=np.uint8),
                              min_aa_len, kmer, mod_bit, bbit, boff,
-                             T.codon, T.codon13)
+                             T.codon, T.codon13, copy=copy)
 
 
 def sketch_nt4_numpy(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
