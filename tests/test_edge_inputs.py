@@ -46,3 +46,29 @@ def test_gzip_inputs_match_reference(ref_binary, edge_files):
                           str(d / "q.faa.gz")],
                          capture_output=True, text=True).stdout
     assert run_mine([str(d / "g.fa.gz"), str(d / "q.faa.gz")]) == ref
+
+
+def test_long_protein_saturation_parity(ref_binary, tmp_path):
+    """A single-exon 6000-aa gene pushes path scores past int16: the
+    host DP must reproduce the reference's saturating-int16 behavior."""
+    import numpy as np
+    from miniprot_tpu.testgen import _aa2codons
+    rng = np.random.default_rng(14)
+    aa2c = _aa2codons()
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    plen = 6000
+    prot = "".join(rng.choice(list(AA), plen))
+    g = list("".join(rng.choice(list("ACGT"), 2000)))
+    for ch in prot:
+        g.extend(list(aa2c[ch][int(rng.integers(len(aa2c[ch])))]))
+    g.extend(list("".join(rng.choice(list("ACGT"), 2000))))
+    fa, faa = str(tmp_path / "l.fa"), str(tmp_path / "l.faa")
+    open(fa, "w").write(">lg\n" + "".join(g) + "\n")
+    p = list(prot)
+    for _ in range(150):
+        p[int(rng.integers(plen))] = AA[int(rng.integers(20))]
+    open(faa, "w").write(">lp\n" + "".join(p) + "\n")
+    ref = subprocess.run([ref_binary, "-t1", fa, faa],
+                         capture_output=True, text=True).stdout
+    assert "AS:i:" in ref
+    assert run_mine([fa, faa]) == ref
