@@ -72,6 +72,10 @@ Options:
     --outs=FLOAT output if score at least FLOAT*bestScore [0.99]
     --outc=FLOAT output if at least FLOAT fraction of query is aligned [0.1]
     -K NUM       query batch size [2M]
+  TPU-build extensions:
+    --tpu            batch the alignment-round DPs on the TPU
+    --profile        per-stage timers + DP cell/GCUPS counters to stderr
+    --profile-trace=DIR  write a jax profiler device trace to DIR
 """
 
 _LONG_OPTS = {
