@@ -79,7 +79,9 @@ def _cummax_sublanes(x, ge_masks):
 
 
 def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
-                # streamed per-row inputs (ROW_CHUNK, B):
+                # nas..logpen: streamed per-row inputs (ROW_CHUNK, B);
+                # nl_ref: one row per problem (8, B); prof/endmask/qpad:
+                # per-problem constants
                 nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref, am2_ref,
                 logpen_ref, nl_ref, prof_ref, endmask_ref, qpad_ref,
                 # outputs:
