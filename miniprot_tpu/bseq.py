@@ -54,7 +54,9 @@ def read_fasta_all(fn: str) -> list[Seq1]:
     pos = data.find(b">")
     while pos >= 0:
         hdr_end = data.find(b"\n", pos)
-        if hdr_end < 0:
+        if hdr_end < 0:  # header-only final record without newline
+            name, comment = _split_hdr(data[pos + 1:].rstrip(b"\r"))
+            out.append(Seq1(name, b"", comment))
             break
         nxt = data.find(b"\n>", hdr_end)
         body_end = len(data) if nxt < 0 else nxt + 1

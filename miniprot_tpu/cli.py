@@ -302,15 +302,17 @@ def main(argv: list[str] | None = None) -> int:
             from . import sysutil
             sysutil.warn("profiler trace unavailable: %s", ex)
             trace_dir = None
-    for fn in pos[1:]:
-        map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")),
-                 dbg=dbg)
-    if trace_dir:
-        try:
-            import jax
-            jax.profiler.stop_trace()
-        except Exception:
-            pass
+    try:
+        for fn in pos[1:]:
+            map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")),
+                     dbg=dbg)
+    finally:
+        if trace_dir:
+            try:
+                import jax
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
     from . import sysutil
     from . import MP_VERSION as _V
     sysutil.log("main", "Version: %s (miniprot_tpu %s)", _V, __import__("miniprot_tpu").__version__)

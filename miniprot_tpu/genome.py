@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import tables
-from .bseq import read_fastx
+from .bseq import read_fasta_all
 
 
 @dataclass
@@ -53,7 +53,6 @@ class NtDB:
         nt4 = tables.get_tables(1).nt4  # nt4 mapping is code-independent
         codes: list[np.ndarray] = []
         off = 0
-        from .bseq import read_fasta_all
         for rec in read_fasta_all(fn):
             c = nt4[np.frombuffer(rec.seq, dtype=np.uint8)]
             db.ctg.append(Contig(rec.name, off, len(c)))

@@ -123,6 +123,7 @@ class Index:
         for p in parts:
             native.scatter_bucket(p, cursors, kb)
         sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
+        native.release_sketch_buf()
         profiler.stop("index_build")
         return cls(opt, nt, bo, ki, kb)
 

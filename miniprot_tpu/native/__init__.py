@@ -304,6 +304,15 @@ _lib.mx_sketch_nt4.argtypes = [_u8p, ct.c_int64, ct.c_int32, ct.c_int32,
 _sketch_buf: np.ndarray | None = None
 
 
+def release_sketch_buf() -> None:
+    """Free the grow-only sketch buffer (it can reach ~12 bytes/bp of
+    the largest contig; callers release it after an index build so it
+    is not pinned — and forked into mapping workers — for the rest of
+    the run)."""
+    global _sketch_buf
+    _sketch_buf = None
+
+
 def sketch_nt4(seq: np.ndarray, min_aa_len: int, kmer: int, mod_bit: int,
                bbit: int, boff: int, codon: np.ndarray,
                codon13: np.ndarray, copy: bool = True) -> np.ndarray:
@@ -413,13 +422,19 @@ _lib.mx_scatter_bucket.argtypes = [_u64p, ct.c_int64, _i64p, _u32p]
 
 
 def count_bucket(a: np.ndarray, counts: np.ndarray) -> None:
-    """counts[hash] += occurrences, hash = entry >> 32."""
+    """counts[hash] += occurrences, hash = entry >> 32.  a must be
+    sorted (so the O(1) last-element check bounds every hash)."""
     assert a.dtype == np.uint64 and counts.dtype == np.int64
+    if len(a):
+        assert int(a[-1] >> np.uint64(32)) < len(counts), "hash out of range"
     _lib.mx_count_bucket(a, len(a), counts)
 
 
 def scatter_bucket(a: np.ndarray, cursors: np.ndarray, kb: np.ndarray) -> None:
-    """kb[cursors[hash]++] = low 32 bits, in input order."""
+    """kb[cursors[hash]++] = low 32 bits, in input order.  a must be
+    sorted (so the O(1) last-element check bounds every hash)."""
     assert a.dtype == np.uint64 and cursors.dtype == np.int64
     assert kb.dtype == np.uint32
+    if len(a):
+        assert int(a[-1] >> np.uint64(32)) < len(cursors), "hash out of range"
     _lib.mx_scatter_bucket(a, len(a), cursors, kb)
