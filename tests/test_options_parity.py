@@ -38,6 +38,10 @@ def run_mine(args):
     ["-k", "5", "-M", "0"], ["--no-pre-chain"], ["-O", "15", "-E", "2"],
     ["-J", "40"], ["--J2", "9"], ["-B", "0"], ["--xdrop", "50"],
     ["-p", "0.4", "-N", "5"], ["--outn", "2"], ["-j", "0"], ["-A"],
+    ["--max-intron-out", "5k"], ["--no-cs"], ["-K", "100k"],
+    ["--gff", "--gff-delim", "|"], ["--gff", "-P", "XX"],
+    ["--outs", "0.5", "--outc", "0.3"], ["--ie-coef", "2.0"],
+    ["--max-skip", "5"], ["-L", "15"], ["-b", "6"], ["-c", "50"],
 ])
 def test_flag_parity(ref_binary, workload, mode):
     fa, faa, _ = workload
