@@ -682,13 +682,205 @@ static void *mx_scratch(int slot, size_t size)
 {
 	if (mx_scr_cap[slot] < size) {
 		size_t cap = size + size / 2 + 256;
-		cap = (cap + 15) & ~(size_t)15;
+		cap = (cap + 63) & ~(size_t)63;   /* zmm state arrays deref aligned */
 		free(mx_scr[slot]);
-		mx_scr[slot] = aligned_alloc(16, cap);
+		mx_scr[slot] = aligned_alloc(64, cap);
 		mx_scr_cap[slot] = mx_scr[slot] ? cap : 0;
 	}
 	return mx_scr[slot];
 }
+
+
+
+/**************************************************
+ * AVX-512BW wide extension path (score-only)     *
+ **************************************************/
+
+/* The traceback bit layout pins the CIGAR path to the reference's 8-lane
+ * striping, but the score-only extension path is layout-free: the DP
+ * cell values are the unique fixpoint of the saturating max-plus
+ * recurrence, so any stripe width yields identical scores, end
+ * positions and x-drop decisions (the same argument that lets the TPU
+ * kernel use a completely different layout).  On AVX-512BW hosts the
+ * extension DP runs 32 int16 lanes per op instead of 8. */
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+#define VLW 32
+
+MX_EXPORT int32_t mx_no_wide_ext = 0;   /* test hook: force the 8-lane path */
+
+static int mx_have_avx512bw(void)
+{
+	static int c = -1;
+	if (c < 0) c = __builtin_cpu_supports("avx512bw");
+	return c && !mx_no_wide_ext;
+}
+
+__attribute__((target("avx512bw")))
+static inline __m512i w_shift_up(__m512i a, int16_t fill)
+{
+	static const uint16_t idx_[VLW] = {
+		0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+		16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30 };
+	__m512i r = _mm512_permutexvar_epi16(
+		_mm512_loadu_si512((const void *)idx_), a);
+	return _mm512_mask_set1_epi16(r, 1, fill);
+}
+
+__attribute__((target("avx512bw")))
+static inline int16_t w_hmax(__m512i a)
+{
+	__m256i b = _mm256_max_epi16(_mm512_castsi512_si256(a),
+	                             _mm512_extracti64x4_epi64(a, 1));
+	__m128i c = _mm_max_epi16(_mm256_castsi256_si128(b),
+	                          _mm256_extracti128_si256(b, 1));
+	c = _mm_max_epi16(c, _mm_srli_si128(c, 8));
+	c = _mm_max_epi16(c, _mm_srli_si128(c, 4));
+	c = _mm_max_epi16(c, _mm_srli_si128(c, 2));
+	return (int16_t)_mm_extract_epi16(c, 0);
+}
+
+__attribute__((target("avx512bw")))
+static void dp16_ext_w(
+	const uint8_t *nas, const int8_t *donor, const int8_t *acceptor,
+	const uint8_t *aas, int32_t nl, int32_t al,
+	const int8_t *mat, int32_t asize,
+	int32_t go_, int32_t ge_, int32_t io_, int32_t fs_,
+	int32_t xdrop, int32_t end_bonus, float ie_coef,
+	int32_t *out_score, int32_t *out_nt_len, int32_t *out_aa_len)
+{
+	const int32_t slen = (al + VLW - 1) / VLW;
+	int32_t i, j, k;
+	int16_t *prof;
+	__m512i *buf, *H, *H1, *H2, *H3, *Hmax, *D, *D1, *D2, *D3, *A, *B, *C, *tmpv;
+	const __m512i go = _mm512_set1_epi16((int16_t)go_);
+	const __m512i ge = _mm512_set1_epi16((int16_t)ge_);
+	const __m512i goe = _mm512_set1_epi16((int16_t)(go_ + ge_));
+	const __m512i io = _mm512_set1_epi16((int16_t)io_);
+	const __m512i fs = _mm512_set1_epi16((int16_t)fs_);
+	const __m512i neg = _mm512_set1_epi16(NEG16);
+	int32_t max_sc = MX_NEG_INF, max_sc_log = MX_NEG_INF, max_i = -1;
+	int32_t tmp_sc, tmp_sc_log, end_sc;
+	const int32_t pen_len = al * 3;
+
+	prof = (int16_t*)mx_scratch(4, (size_t)asize * slen * VLW * 2);
+	{
+		int16_t *t = prof;
+		for (i = 0; i < asize; ++i) {
+			const int8_t *ma = mat + i * asize;
+			for (j = 0; j < slen; ++j)
+				for (k = j; k < slen * VLW; k += slen)
+					*t++ = k >= al ? NEG16 : ma[aas[k]];
+		}
+	}
+	buf = (__m512i*)mx_scratch(5, ((size_t)(slen + 1) * 5 + (size_t)slen * 7) * 64);
+	H = buf + 1, H1 = buf + (slen + 1) + 1, H2 = buf + (slen + 1) * 2 + 1, H3 = buf + (slen + 1) * 3 + 1;
+	Hmax = buf + (slen + 1) * 4 + 1;
+	D = Hmax + slen, D1 = D + slen, D2 = D1 + slen, D3 = D2 + slen;
+	A = D3 + slen, B = A + slen, C = B + slen;
+	for (i = 0; i < (slen + 1) * 5 + slen * 7; ++i)
+		_mm512_storeu_si512(buf + i, neg);
+	((int16_t*)(H3 - 1))[0] = 0;
+	((int16_t*)(H2 - 1))[0] = (int16_t)-fs_;
+	((int16_t*)(H1 - 1))[0] = (int16_t)-fs_;
+
+	for (i = 2; i < nl; ++i) {
+		__m512i I, last_h, maxv, gei;
+		const __m512i dim1 = _mm512_set1_epi16(donor[i - 1]);
+		const __m512i di = _mm512_set1_epi16(donor[i]);
+		const __m512i dip1 = _mm512_set1_epi16(donor[i + 1]);
+		const __m512i ai = _mm512_set1_epi16(acceptor[i]);
+		const __m512i aim1 = _mm512_set1_epi16(acceptor[i - 1]);
+		const __m512i aim2 = _mm512_set1_epi16(acceptor[i - 2]);
+		const int16_t *S = prof + (size_t)nas[i] * slen * VLW;
+		gei = nas[i] == 20 ? fs : ge;
+		I = last_h = neg;
+		if (i > 2) {
+			H3[-1] = w_shift_up(H3[slen - 1], NEG16);
+			H2[-1] = w_shift_up(H2[slen - 1], NEG16);
+			H1[-1] = w_shift_up(H1[slen - 1], NEG16);
+		}
+		maxv = neg;
+		for (j = 0; j < slen; ++j) {
+			__m512i h, t, u, v, Sv;
+			Sv = _mm512_loadu_si512((const void *)(S + (size_t)j * VLW));
+			h = _mm512_adds_epi16(H3[j - 1], Sv);
+			/* I */
+			t = _mm512_subs_epi16(last_h, go);
+			t = _mm512_max_epi16(t, I);
+			I = _mm512_subs_epi16(t, ge);
+			h = _mm512_max_epi16(h, I);
+			/* D */
+			u = H3[j]; v = D3[j];
+			t = _mm512_max_epi16(_mm512_subs_epi16(u, go), v);
+			t = _mm512_subs_epi16(t, gei);
+			D[j] = t;
+			h = _mm512_max_epi16(h, t);
+			/* A */
+			u = _mm512_subs_epi16(H1[j], io); v = A[j];
+			t = _mm512_subs_epi16(u, dim1);
+			t = _mm512_max_epi16(t, v);
+			A[j] = t;
+			h = _mm512_max_epi16(h, _mm512_subs_epi16(t, ai));
+			/* B */
+			u = _mm512_subs_epi16(H1[j - 1], io); v = B[j];
+			t = _mm512_subs_epi16(u, di);
+			t = _mm512_max_epi16(t, v);
+			B[j] = t;
+			h = _mm512_max_epi16(h, _mm512_subs_epi16(t, aim2));
+			/* C */
+			v = C[j];
+			t = _mm512_subs_epi16(u, dip1);
+			t = _mm512_max_epi16(t, v);
+			C[j] = t;
+			h = _mm512_max_epi16(h, _mm512_subs_epi16(t, aim1));
+			/* frameshift transitions */
+			h = _mm512_max_epi16(h, _mm512_subs_epi16(H1[j], fs));
+			h = _mm512_max_epi16(h, _mm512_subs_epi16(H2[j], fs));
+			h = _mm512_max_epi16(h, _mm512_subs_epi16(H1[j - 1], fs));
+			h = _mm512_max_epi16(h, _mm512_subs_epi16(H2[j - 1], fs));
+			maxv = _mm512_max_epi16(maxv, h);
+			H[j] = h;
+			last_h = h;
+		}
+		I = _mm512_max_epi16(_mm512_subs_epi16(last_h, goe),
+		                     _mm512_subs_epi16(I, ge));
+		for (k = 0; k < VLW; ++k) { /* lazy-F */
+			I = w_shift_up(I, NEG16);
+			for (j = 0; j < slen; ++j) {
+				__m512i h = H[j];
+				h = _mm512_max_epi16(h, I);
+				maxv = _mm512_max_epi16(maxv, h);
+				H[j] = h;
+				h = _mm512_subs_epi16(h, goe);
+				I = _mm512_subs_epi16(I, ge);
+				if (!_mm512_cmpgt_epi16_mask(I, h)) break;
+			}
+			if (j < slen) break;
+		}
+		tmp_sc = w_hmax(maxv);
+		end_sc = ((int16_t*)H)[(size_t)((al - 1) % slen) * VLW + (al - 1) / slen] + end_bonus;
+		tmp_sc = tmp_sc > end_sc ? tmp_sc : end_sc;
+		tmp_sc_log = tmp_sc - (i - pen_len < 2 ? 0 : (int32_t)(ie_coef * mx_log2f(i - pen_len) + .5f));
+		if (tmp_sc_log > max_sc_log) {
+			max_sc = tmp_sc, max_sc_log = tmp_sc_log, max_i = i;
+			memcpy(Hmax - 1, H - 1, (size_t)(slen + 1) * 64);
+		}
+		tmpv = H3, H3 = H2, H2 = H1, H1 = H, H = tmpv;
+		tmpv = D3, D3 = D2, D2 = D1, D1 = D, D = tmpv;
+		if (max_sc_log - tmp_sc_log > xdrop) break;
+	}
+	for (j = 0; j < al; ++j) {
+		int32_t sc = ((int16_t*)Hmax)[(size_t)(j % slen) * VLW + j / slen];
+		if (j == al - 1) sc += end_bonus;
+		if (sc == max_sc) break;
+	}
+	*out_nt_len = max_i + 1, *out_aa_len = j + 1, *out_score = max_sc;
+}
+#else
+static int mx_have_avx512bw(void) { return 0; }
+#endif
 
 MX_EXPORT void mx_dp16(
 	const uint8_t *nsq, int32_t nl, const uint8_t *asq, int32_t al,
@@ -731,6 +923,16 @@ MX_EXPORT void mx_dp16(
 		prep_fwd(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, nas, donor, acceptor);
 		prep_nas(nsq, nl, nt4, codon_tab, aa_x, nas);
 	}
+
+#if defined(__x86_64__)
+	if (is_ext && al > 8 && mx_have_avx512bw()) {
+		/* wide score-only path: identical outputs, 32 lanes per op */
+		dp16_ext_w(nas, donor, acceptor, aas, nl, al, mat, asize,
+		           go_, ge_, io_, fs_, xdrop, end_bonus, ie_coef,
+		           out_score, out_nt_len, out_aa_len);
+		return;
+	}
+#endif
 
 	/* striped query profile; nasw-sse.c:212-224: vector j lane k = position k*slen+j */
 	prof = (int16_t*)mx_scratch(4, (size_t)asize * slen * VL * 2);

@@ -66,7 +66,7 @@ for shard in hits.addressable_shards:
             e = expect(int(hashes[q0 + qi, s]))
             got = data[qi, s][data[qi, s] > 0]
             assert sorted(got.tolist()) == sorted(e.tolist()), (q0 + qi, s)
-print("MP-OK", sys.argv[1], flush=True)
+print("MP-OK-" + sys.argv[1], flush=True)
 """
 
 
@@ -87,15 +87,15 @@ def test_two_process_sharded_anchor_gather():
     code = WORKER % {"repo": "/root/repo"}
     procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord],
                               env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
+                              stderr=subprocess.PIPE, text=True)
              for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append((p.returncode, out))
-    for i, (rc, out) in enumerate(outs):
-        assert rc == 0, f"proc {i}: {out[-2000:]}"
-        assert f"MP-OK {i}" in out, out[-2000:]
+        out, err = p.communicate(timeout=300)
+        outs.append((p.returncode, out, err))
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"proc {i}: {err[-2000:]}"
+        assert f"MP-OK-{i}" in out, (out, err[-2000:])
 
 
 MAP_WORKER = r"""
@@ -115,7 +115,7 @@ mi = Index.build(%(fa)r, IdxOpt())
 opt = MapOpt()
 with open(%(out)r, "w") if pid == 0 else open(os.devnull, "w") as out:
     map_file_multihost(mi, %(faa)r, opt, pid, 2, %(spool)r, out)
-print("MAP-OK", pid, flush=True)
+print("MAP-OK-" + str(pid), flush=True)
 """
 
 
@@ -149,10 +149,10 @@ def test_two_process_mapping_matches_single(tmp_path):
                          "out": out_path, "spool": spool}
     procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord],
                               env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
+                              stderr=subprocess.PIPE, text=True)
              for i in range(2)]
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=300)
-        assert p.returncode == 0 and f"MAP-OK {i}" in out, out[-2000:]
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0 and f"MAP-OK-{i}" in out, (out, err[-2000:])
     with open(out_path) as f:
         assert f.read() == golden
