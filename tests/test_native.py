@@ -216,3 +216,40 @@ def test_native_write_cs_matches_python_golden(dpp3_files):
     finally:
         fm.write_cs = orig
     assert calls
+
+
+def test_wide_ext_path_matches_8lane():
+    """The AVX-512BW 32-lane extension path must equal the 8-lane path
+    exactly (scores, end positions); skipped off-x86/AVX512 hosts."""
+    import ctypes as ct
+    from miniprot_tpu import native, tables
+    from miniprot_tpu.options import MapOpt
+    try:
+        flag_ptr = ct.c_int32.in_dll(native._lib, "mx_no_wide_ext")
+    except ValueError:
+        pytest.skip("non-x86 build")
+    opt = MapOpt()
+    T = tables.get_tables(1)
+    sp = (tables.splice_model_scores(1).astype(np.float32)
+          + np.float32(0.499)).astype(np.int32)
+    kw = dict(mat=opt.mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=opt.sp_null_bonus, go=11, ge=1, fs=23,
+              xdrop=100, end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(44)
+    for trial in range(60):
+        nl = int(rng.integers(10, 3000))
+        al = int(rng.integers(9, 400))
+        io = int(rng.integers(5, 45))
+        ns = rng.choice(list(b"ACGTN"), nl,
+                        p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+        fl = native.DPF_EXT_LEFT if trial % 2 else native.DPF_EXT_RIGHT
+        ss = rng.integers(0, 256, nl).astype(np.uint8) if trial % 5 == 0 else None
+        try:
+            flag_ptr.value = 1
+            a = native.dp16(ns, aa, flag=fl, io=io, ss=ss, **kw)[:3]
+            flag_ptr.value = 0
+            b = native.dp16(ns, aa, flag=fl, io=io, ss=ss, **kw)[:3]
+        finally:
+            flag_ptr.value = 0
+        assert a == b, (trial, nl, al, io, fl, a, b)
