@@ -90,16 +90,12 @@ class NtDB:
 
     def get(self, cid: int, st: int, en: int, rev: bool) -> np.ndarray:
         """Fetch contig bases [st, en) as nt4 codes; revcomp if rev
-        (mp_ntseq_get, ntseq.c:89-106)."""
+        (mp_ntseq_get, ntseq.c:89-106).  Runs in C."""
+        from . import native
         c = self.ctg[cid]
         if en < 0 or en > c.len:
             en = c.len
-        out = self._unpack(c.off + st, c.off + en)
-        if rev:
-            out = out[::-1].copy()
-            amb = out >= 4
-            out = np.where(amb, out, 3 - out).astype(np.uint8)
-        return out
+        return native.unpack(self.seq, c.off + st, c.off + en, rev)
 
     def get_by_v(self, vid: int, st: int, en: int) -> np.ndarray:
         """v-coordinate fetch (mp_ntseq_get_by_v, ntseq.c:108-114)."""

@@ -438,3 +438,16 @@ def scatter_bucket(a: np.ndarray, cursors: np.ndarray, kb: np.ndarray) -> None:
     if len(a):
         assert int(a[-1] >> np.uint64(32)) < len(cursors), "hash out of range"
     _lib.mx_scatter_bucket(a, len(a), cursors, kb)
+
+
+_lib.mx_unpack.argtypes = [_u8p, ct.c_int64, ct.c_int64, ct.c_int32, _u8p]
+
+
+def unpack(packed: np.ndarray, s: int, e: int, rev: bool) -> np.ndarray:
+    """Unpack genome bases [s, e) as nt4 codes, revcomp when rev
+    (mp_ntseq_get, ntseq.c:89-106)."""
+    n = max(0, e - s)
+    out = np.empty(n, np.uint8)
+    if n:
+        _lib.mx_unpack(packed, s, e, int(rev), out)
+    return out

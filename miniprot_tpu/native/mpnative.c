@@ -1843,3 +1843,25 @@ MX_EXPORT void mx_scatter_bucket(const uint64_t *a, int64_t n,
 	int64_t i;
 	for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
 }
+
+/* Unpack 4-bit-packed genome bases [s, e) into nt4 codes; optional
+ * reverse-complement (mp_ntseq_get semantics, ntseq.c:89-106:
+ * revcomp maps c < 4 to 3-c, ambiguous codes pass through). */
+MX_EXPORT void mx_unpack(const uint8_t *packed, int64_t s, int64_t e,
+                         int32_t rev, uint8_t *out)
+{
+	int64_t i, n = e - s;
+	if (n <= 0) return;
+	if (!rev) {
+		for (i = 0; i < n; ++i) {
+			uint8_t b = packed[(s + i) >> 1];
+			out[i] = (s + i) & 1 ? b >> 4 : b & 0xF;
+		}
+	} else {
+		for (i = 0; i < n; ++i) {
+			int64_t p = e - 1 - i;
+			uint8_t c = (p & 1) ? packed[p >> 1] >> 4 : packed[p >> 1] & 0xF;
+			out[i] = c < 4 ? 3 - c : c;
+		}
+	}
+}
