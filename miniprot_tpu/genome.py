@@ -79,15 +79,6 @@ class NtDB:
 
     # ---------- random access ----------
 
-    def _unpack(self, s: int, e: int) -> np.ndarray:
-        if e <= s:
-            return np.empty(0, np.uint8)
-        b = self.seq[s >> 1:(e + 1) >> 1]
-        out = np.empty(len(b) * 2, np.uint8)
-        out[0::2] = b & 0xF
-        out[1::2] = b >> 4
-        return out[s & 1: (s & 1) + (e - s)]
-
     def get(self, cid: int, st: int, en: int, rev: bool) -> np.ndarray:
         """Fetch contig bases [st, en) as nt4 codes; revcomp if rev
         (mp_ntseq_get, ntseq.c:89-106).  Runs in C."""
