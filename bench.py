@@ -77,10 +77,14 @@ def measure_pallas_gcups() -> float:
 
     from miniprot_tpu.kernels import nasw_pallas as nk
 
+    on_tpu = jax.default_backend() == "tpu"
     AL, B = 512, nk.B_LANES
-    NL = ((10240 + nk.ROW_CHUNK - 1) // nk.ROW_CHUNK) * nk.ROW_CHUNK
-    call = nk._compiled_ext(AL, NL, 11, 1, 23, 100, 5,
-                            jax.default_backend() != "tpu")
+    # interpret mode (no TPU present) runs ~10^4x slower: shrink the
+    # problem so the benchmark still completes and reports a rate
+    NL = ((10240 if on_tpu else 264) + nk.ROW_CHUNK - 1) // nk.ROW_CHUNK * nk.ROW_CHUNK
+    if not on_tpu:
+        AL = 64
+    call = nk._compiled_ext(AL, NL, 11, 1, 23, 100, 5, not on_tpu)
     rng = np.random.default_rng(1)
     nas = rng.integers(0, 20, (NL, B)).astype(np.int8)
     D = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)
@@ -95,7 +99,7 @@ def measure_pallas_gcups() -> float:
             (nas, D, A, logpen, nlv, prof, em, qpad)]
     r = call(*args)
     np.asarray(r[0])  # force full execution + transfer (warm-up)
-    iters = 20
+    iters = 20 if jax.default_backend() == "tpu" else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         r = call(*args)
