@@ -1768,6 +1768,9 @@ MX_EXPORT int64_t mx_write_cs(const uint8_t *nt, int64_t nt_len,
  * the permutation-sensitive case is only the 128-bit pair sort. */
 MX_EXPORT int64_t mx_sort_u64_lsd(uint64_t *a, int64_t n)
 {
+	static uint64_t *sbuf;        /* grow-only; DP/sort path is
+	                                 single-threaded per process */
+	static int64_t sbuf_cap;
 	int64_t cnt[256], pos[256];
 	int64_t i;
 	int b;
@@ -1775,7 +1778,12 @@ MX_EXPORT int64_t mx_sort_u64_lsd(uint64_t *a, int64_t n)
 	uint64_t *buf, *src, *dst;
 	if (n <= 1) return n;
 	if (n <= MX_RS_MIN) { ins_sort_u64(a, a + n); return n; }
-	buf = (uint64_t *)malloc(n * sizeof(uint64_t));
+	if (sbuf_cap < n) {
+		free(sbuf);
+		sbuf = (uint64_t *)malloc((n + n / 2) * sizeof(uint64_t));
+		sbuf_cap = sbuf ? n + n / 2 : 0;
+	}
+	buf = sbuf;
 	if (buf == 0) return -1;
 	for (i = 0; i < n; ++i) orx |= a[i], andx &= a[i];
 	src = a, dst = buf;
@@ -1790,7 +1798,6 @@ MX_EXPORT int64_t mx_sort_u64_lsd(uint64_t *a, int64_t n)
 		{ uint64_t *t = src; src = dst; dst = t; }
 	}
 	if (src != a) memcpy(a, src, n * sizeof(uint64_t));
-	free(buf);
 	return n;
 }
 
