@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from . import tables
+from . import native, tables
 from .genome import NtDB
 from .options import IdxOpt
 from .sketch import sketch_nt4
@@ -151,16 +151,11 @@ class Index:
         return i
 
     def print_stat(self, max_occ: int) -> str:
-        n = len(self.ki)
-        cnt = np.diff(np.concatenate([self.ki, [self.n_kb]]))[: n - 1]
-        occupied = int((cnt > 0).sum())
-        large = cnt > max_occ
-        n_large = int(large.sum())
-        tot = int(cnt[~large].sum())
+        occupied, n_large, tot, sum_large = native.idx_stat(self.ki, max_occ)
         mean = tot / (occupied - n_large) if occupied > n_large else 0.0
         return (f"{occupied} distinct k-mers; mean occ of infrequent k-mers: "
                 f"{mean:.2f}; {n_large} frequent k-mers accounting for "
-                f"{int(cnt[large].sum())} occurrences")
+                f"{sum_large} occurrences")
 
     # ---------- I/O (.mpi compatible; index.c:189-229) ----------
 

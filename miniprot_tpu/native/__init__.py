@@ -440,6 +440,19 @@ def scatter_bucket(a: np.ndarray, cursors: np.ndarray, kb: np.ndarray) -> None:
     _lib.mx_scatter_bucket(a, len(a), cursors, kb)
 
 
+_lib.mx_idx_stat.argtypes = [_i64p, ct.c_int64, ct.c_int32, _i64p]
+
+
+def idx_stat(ki: np.ndarray, max_occ: int) -> tuple[int, int, int, int]:
+    """Bucket-occupancy stats (occupied, n_large, tot, sum_large);
+    one C pass instead of three numpy passes over the 2^23 ki table
+    (mp_idx_print_stat, index.c:138-151)."""
+    ki = np.ascontiguousarray(ki, dtype=np.int64)
+    out = np.empty(4, np.int64)
+    _lib.mx_idx_stat(ki, len(ki), max_occ, out)
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])
+
+
 _lib.mx_unpack.argtypes = [_u8p, ct.c_int64, ct.c_int64, ct.c_int32, _u8p]
 
 

@@ -1851,6 +1851,21 @@ MX_EXPORT void mx_scatter_bucket(const uint64_t *a, int64_t n,
 	for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
 }
 
+/* One-pass bucket-occupancy stats (mp_idx_print_stat, index.c:138-151:
+ * the loop deliberately stops at n-1 buckets, ignoring the last). */
+MX_EXPORT void mx_idx_stat(const int64_t *ki, int64_t n, int32_t max_occ,
+                           int64_t *out /* occupied, n_large, tot, sum_large */)
+{
+	int64_t i, tot = 0, sum_large = 0, n_occupied = 0, n_large = 0;
+	for (i = 0; i < n - 1; ++i) {
+		int64_t c = ki[i + 1] - ki[i];
+		if (c > 0) ++n_occupied;
+		if (c > max_occ) ++n_large, sum_large += c;
+		else tot += c;
+	}
+	out[0] = n_occupied, out[1] = n_large, out[2] = tot, out[3] = sum_large;
+}
+
 /* Unpack 4-bit-packed genome bases [s, e) into nt4 codes; optional
  * reverse-complement (mp_ntseq_get semantics, ntseq.c:89-106:
  * revcomp maps c < 4 to 3-c, ambiguous codes pass through). */
