@@ -729,6 +729,20 @@ static inline __m512i w_shift_up(__m512i a, int16_t fill)
 }
 
 __attribute__((target("avx512bw")))
+static inline __m512i w_shift_up_n(__m512i a, int32_t d, __m512i fill)
+{
+	/* shift a up by d 16-bit lanes, filling the low d lanes from fill */
+	static const uint16_t base[VLW] = {
+		0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+		16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31 };
+	__m512i idx = _mm512_sub_epi16(
+		_mm512_loadu_si512((const void *)base),
+		_mm512_set1_epi16((int16_t)d));
+	__mmask32 keep = (__mmask32)(~0u << d);
+	return _mm512_mask_permutexvar_epi16(fill, keep, idx, a);
+}
+
+__attribute__((target("avx512bw")))
 static inline int16_t w_hmax(__m512i a)
 {
 	__m256i b = _mm256_max_epi16(_mm512_castsi512_si256(a),
@@ -846,18 +860,36 @@ static void dp16_ext_w(
 		}
 		I = _mm512_max_epi16(_mm512_subs_epi16(last_h, goe),
 		                     _mm512_subs_epi16(I, ge));
-		for (k = 0; k < VLW; ++k) { /* lazy-F */
-			I = w_shift_up(I, NEG16);
+		/* Exact cross-lane I correction, replacing the iterative
+		 * lazy-F loop (nasw-sse.c:409-422): lane k of I now holds the
+		 * I value entering lane k+1 computed with no cross-lane
+		 * carry-in.  The true carry obeys X(k) = max(E(k), X(k-1) -
+		 * slen*ge) (a carried insertion decays by ge per position and
+		 * a re-open from a carried-correction cell can never beat the
+		 * carry itself, since go > 0) — a max-scan with constant
+		 * decay, done in log2(VLW) shift-subtract-max steps instead
+		 * of up to VLW one-lane wrap passes.  Identical results; the
+		 * wrap loop was O(VLW*slen) on insertion-dominated rows
+		 * (the xdrop tail of every extension), which made 32 lanes
+		 * slower than 8 there. */
+		{
+			int32_t d, dec = slen * ge_;
+			__m512i X = I, carry;
+			for (d = 1; d < VLW; d <<= 1) {
+				int32_t step = d * dec < 32767 ? d * dec : 32767;
+				X = _mm512_max_epi16(X, _mm512_subs_epi16(
+					w_shift_up_n(X, d, neg),
+					_mm512_set1_epi16((int16_t)step)));
+			}
+			carry = w_shift_up(X, NEG16);
 			for (j = 0; j < slen; ++j) {
-				__m512i h = H[j];
-				h = _mm512_max_epi16(h, I);
+				__m512i h = _mm512_max_epi16(H[j], carry);
 				maxv = _mm512_max_epi16(maxv, h);
 				H[j] = h;
-				h = _mm512_subs_epi16(h, goe);
-				I = _mm512_subs_epi16(I, ge);
-				if (!_mm512_cmpgt_epi16_mask(I, h)) break;
+				carry = _mm512_subs_epi16(carry, ge);
+				if (!_mm512_cmpgt_epi16_mask(
+					carry, _mm512_subs_epi16(h, goe))) break;
 			}
-			if (j < slen) break;
 		}
 		tmp_sc = w_hmax(maxv);
 		end_sc = ((int16_t*)H)[(size_t)((al - 1) % slen) * VLW + (al - 1) / slen] + end_bonus;
