@@ -89,6 +89,20 @@ class DpEnv:
         self.io = opt.io
         self.io_end = opt.io_end
 
+    def dp_cigars(self, jobs):
+        """Batched CIGAR DPs (mx_dp16x4) -> [(score, cigar), ...]."""
+        from .sysutil import profiler
+        clean = []
+        for nsq, asq, ss in jobs:
+            nsq = np.ascontiguousarray(nsq, dtype=np.uint8)
+            asq = np.ascontiguousarray(asq, dtype=np.uint8)
+            if ss is not None:
+                ss = np.ascontiguousarray(ss, dtype=np.uint8)
+            if profiler.enabled:
+                profiler.add_host_dp(len(nsq), len(asq))
+            clean.append((nsq, asq, ss))
+        return self.ctx.dp_cigars(clean, self.io)
+
     def dp(self, nsq, asq, flag, ss=None, io=None):
         from .sysutil import profiler
         if profiler.enabled:
@@ -402,12 +416,8 @@ def run_steps_host(gen, env: DpEnv) -> None:
                                          DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT,
                                          ss=ss, io=io)
                 req = gen.send((sc, ntl, aal))
-            else:  # "cigars"
-                results = []
-                for nsq, asq, ss in req[1]:
-                    sc, _, _, c = env.dp(nsq, asq, DPF_CIGAR, ss=ss)
-                    results.append((sc, c))
-                req = gen.send(results)
+            else:  # "cigars": batch 4 similar-size problems per AVX-512 call
+                req = gen.send(env.dp_cigars(req[1]))
     except StopIteration:
         pass
 

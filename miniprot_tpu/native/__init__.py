@@ -224,6 +224,12 @@ _dp16_raw = ct.CFUNCTYPE(
     ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
     ct.c_void_p, ct.POINTER(ct.c_int32))(
         ct.cast(_lib.mx_dp16, ct.c_void_p).value)
+_lib.mx_dp16x4.argtypes = [
+    ct.c_int32, _i64p, _i32p, _i64p, _i32p, _i64p,
+    ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+    ct.c_void_p, ct.c_int32,
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+    _i32p, _u32p, _i64p, _i32p]
 _score_ungapped_raw = ct.CFUNCTYPE(
     ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
     ct.c_int32, ct.c_void_p, ct.c_void_p)(
@@ -232,6 +238,39 @@ _score_ungapped_many_raw = ct.CFUNCTYPE(
     None, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
     ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_void_p)(
         ct.cast(_lib.mx_score_ungapped_many, ct.c_void_p).value)
+
+
+_X4_PAYS: bool | None = None
+
+
+def _x4_pays(ctx: "Dp16Ctx") -> bool:
+    """One-shot probe: does the 4-problem AVX-512 CIGAR batch beat four
+    8-lane calls on this machine?  Cached for the process lifetime.
+    Override with MPX_X4=0/1."""
+    global _X4_PAYS
+    if _X4_PAYS is None:
+        import os
+        import time
+        envv = os.environ.get("MPX_X4")
+        if envv is not None:
+            _X4_PAYS = envv != "0"
+            return _X4_PAYS
+        rng = np.random.default_rng(0)
+        nsq = np.frombuffer(bytes(rng.choice(list(b"ACGT"), 420).astype(np.uint8)), np.uint8).copy()
+        asq = np.frombuffer(bytes(rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), 140).astype(np.uint8)), np.uint8).copy()
+        jobs = [(nsq, asq, None)] * 4
+        best = [float("inf"), float("inf")]  # [batched, singles]
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _X4_PAYS = True
+            ctx.dp_cigars(jobs, 29)
+            best[0] = min(best[0], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for a, b, s in jobs:
+                ctx.dp(a, b, 0x1, 29, s)
+            best[1] = min(best[1], time.perf_counter() - t0)
+        _X4_PAYS = best[0] < best[1] * 0.85
+    return _X4_PAYS
 
 
 class Dp16Ctx:
@@ -276,6 +315,76 @@ class Dp16Ctx:
                   ct.byref(sc), ct.byref(ntl), ct.byref(aal),
                   cig.ctypes.data, ct.byref(ncig))
         return int(sc.value), int(ntl.value), int(aal.value), cig[:ncig.value]
+
+    def dp_cigars(self, jobs: list, io: int) -> list:
+        """Run many CIGAR-mode DPs, batching 4 similar-size problems per
+        AVX-512 call (mx_dp16x4; bit-identical to per-problem mx_dp16).
+
+        jobs: list of (nsq, asq, ss_or_None) C-contiguous uint8 arrays.
+        Returns [(score, cigar_array), ...] in job order.
+
+        Whether 4-wide batching actually beats four 8-lane calls depends
+        on the host's 512-bit integer throughput (full-rate on Ice
+        Lake+/Zen4, half-rate on Skylake-X and most VMs), so the first
+        call runs a one-shot probe and the loser is never used again —
+        results are identical either way."""
+        if not _x4_pays(self):
+            out = []
+            for nsq, asq, ss in jobs:
+                sc, _, _, c = self.dp(nsq, asq, 0x1, io, ss)
+                out.append((sc, c))
+            return out
+        res = [None] * len(jobs)
+        order = sorted(range(len(jobs)), key=lambda i: -len(jobs[i][0]))
+        nq = np.empty(4, np.int64)
+        aq = np.empty(4, np.int64)
+        sq = np.empty(4, np.int64)
+        nls = np.empty(4, np.int32)
+        als = np.empty(4, np.int32)
+        offs = np.empty(4, np.int64)
+        scores = np.empty(4, np.int32)
+        ncigs = np.empty(4, np.int32)
+        chunks: list[list[int]] = []
+        cur: list[int] = []
+        cost = mnl = msl = 0
+        for i in order:  # sorted by nl desc; gate on padding waste
+            nl_i = len(jobs[i][0])
+            sl_i = (len(jobs[i][1]) + 7) // 8
+            if cur and (len(cur) == 4
+                        or ((len(cur) + 1) * mnl * max(msl, sl_i)
+                            > 1.3 * (cost + nl_i * sl_i))):
+                chunks.append(cur)
+                cur, cost = [], 0
+            if not cur:
+                mnl, msl = nl_i, sl_i
+            else:
+                msl = max(msl, sl_i)
+            cur.append(i)
+            cost += nl_i * sl_i
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            n = len(chunk)
+            tot = 0
+            for k, i in enumerate(chunk):
+                nsq, asq, ss = jobs[i]
+                nq[k] = nsq.ctypes.data
+                aq[k] = asq.ctypes.data
+                sq[k] = 0 if ss is None else ss.ctypes.data
+                nls[k] = len(nsq)
+                als[k] = len(asq)
+                offs[k] = tot
+                tot += len(nsq) + len(asq) + 16
+            cig = np.empty(tot, np.uint32)
+            _lib.mx_dp16x4(n, nq, nls, aq, als, sq,
+                           self._pmat, self.asize, self._pnt4, self._paa20,
+                           self._pcodon, self._psp, self.sp_null_bonus,
+                           self.go, self.ge, io, self.fs,
+                           scores, cig, offs, ncigs)
+            for k, i in enumerate(chunk):
+                o = int(offs[k])
+                res[i] = (int(scores[k]), cig[o:o + int(ncigs[k])].copy())
+        return res
 
     def score_ungapped(self, nsq: np.ndarray, asq: np.ndarray) -> int:
         return _score_ungapped_raw(nsq.ctypes.data, asq.ctypes.data, len(asq),

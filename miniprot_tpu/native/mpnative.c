@@ -608,12 +608,15 @@ static void prep_nas(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const u
 	}
 }
 
-/* backtrack over the striped tb matrix; nasw-sse.c:40-89 */
-static int32_t dp_backtrack_vl(const int16_t *tb, int32_t slen, int32_t vl, int32_t nl, int32_t al, uint32_t *cig)
+/* backtrack over the striped tb matrix; nasw-sse.c:40-89.
+ * row_stride: int16 units between consecutive genome rows (slen*vl for a
+ * single-problem matrix; larger when problems are interleaved). */
+static int32_t dp_backtrack_st(const int16_t *tb, int32_t slen, int32_t vl,
+                               int64_t row_stride, int32_t nl, int32_t al, uint32_t *cig)
 {
 	int32_t i = nl - 1, j = al - 1, last = 0, n = 0, k;
 	while (i >= 2 && j >= 0) {
-		const int16_t *tbi = tb + (int64_t)i * slen * vl;
+		const int16_t *tbi = tb + (int64_t)i * row_stride;
 		int32_t x = tbi[(j % slen) * vl + j / slen];
 		int32_t state, ext;
 		if (x >> 9 & 1) x = 1 | (x >> 4 << 4);
@@ -650,6 +653,12 @@ static int32_t dp_backtrack_vl(const int16_t *tb, int32_t slen, int32_t vl, int3
 	return n;
 }
 
+static int32_t dp_backtrack_vl(const int16_t *tb, int32_t slen, int32_t vl,
+                               int32_t nl, int32_t al, uint32_t *cig)
+{
+	return dp_backtrack_st(tb, slen, vl, (int64_t)slen * vl, nl, al, cig);
+}
+
 static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t al, uint32_t *cig)
 {
 	return dp_backtrack_vl(tb, slen, VL, nl, al, cig);
@@ -675,8 +684,8 @@ static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t
  * measurable fraction of host map time.  The DP path is single-threaded
  * within a process (mapping parallelism is process-based), so plain
  * statics are safe. */
-static void *mx_scr[8];
-static size_t mx_scr_cap[8];
+static void *mx_scr[26];
+static size_t mx_scr_cap[26];
 
 static void *mx_scratch(int slot, size_t size)
 {
@@ -709,12 +718,18 @@ static void *mx_scratch(int slot, size_t size)
 #define VLW 32
 
 MX_EXPORT int32_t mx_no_wide_ext = 0;   /* test hook: force the 8-lane path */
+MX_EXPORT int32_t mx_no_x4 = 0;         /* test hook: force per-problem CIGAR */
 
-static int mx_have_avx512bw(void)
+static int mx_have_avx512bw_raw(void)
 {
 	static int c = -1;
 	if (c < 0) c = __builtin_cpu_supports("avx512bw");
-	return c && !mx_no_wide_ext;
+	return c;
+}
+
+static int mx_have_avx512bw(void)
+{
+	return mx_have_avx512bw_raw() && !mx_no_wide_ext;
 }
 
 __attribute__((target("avx512bw")))
@@ -910,8 +925,304 @@ static void dp16_ext_w(
 	}
 	*out_nt_len = max_i + 1, *out_aa_len = j + 1, *out_score = max_sc;
 }
+/**************************************************************
+ * Batched 4-problem CIGAR DP (AVX-512BW, 8-lane semantics)   *
+ **************************************************************/
+
+/* The CIGAR traceback bit layout (and the lazy-F pass structure that
+ * feeds bit 9) is pinned to the reference's 8-lane striping, so a wider
+ * stripe cannot be used for traceback runs.  Instead, four independent
+ * DP problems run side by side: problem p occupies 16-bit lanes
+ * [8p, 8p+8) of each 512-bit vector, and _mm512_bslli_epi128 reproduces
+ * _mm_slli_si128 within each problem's 128-bit sublane exactly.  Each
+ * problem keeps its own stripe count slen[p]; stripes j >= slen[p] are
+ * masked off so the per-problem I chain, lazy-F passes and traceback
+ * bits are bit-identical to running mx_dp16 on that problem alone
+ * (fuzz-asserted in tests/test_native.py). */
+
+#define X4 4
+
+__attribute__((target("avx512bw")))
+static inline __m512i x4_shift_up128(__m512i a, __m512i fill)
+{
+	__m512i r = _mm512_bslli_epi128(a, 2);
+	return _mm512_mask_mov_epi16(r, (__mmask32)0x01010101u, fill);
+}
+
+__attribute__((target("avx512bw")))
+static inline __m512i x4_bcast4(const int16_t *v)
+{
+	/* lanes [8p, 8p+8) <- v[p] */
+	static const uint16_t idx_[VLW] = {
+		0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+		2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3 };
+	__m128i s = _mm_loadl_epi64((const __m128i *)v);
+	return _mm512_permutexvar_epi16(
+		_mm512_loadu_si512((const void *)idx_),
+		_mm512_castsi128_si512(s));
+}
+
+__attribute__((target("avx512bw")))
+static inline __m512i x4_load4(const int16_t *const *base, size_t off, int32_t n)
+{
+	__m512i r = _mm512_castsi128_si512(
+		_mm_loadu_si128((const __m128i *)(base[0] + off)));
+	if (n > 1) r = _mm512_inserti32x4(r,
+		_mm_loadu_si128((const __m128i *)(base[1] + off)), 1);
+	if (n > 2) r = _mm512_inserti32x4(r,
+		_mm_loadu_si128((const __m128i *)(base[2] + off)), 2);
+	if (n > 3) r = _mm512_inserti32x4(r,
+		_mm_loadu_si128((const __m128i *)(base[3] + off)), 3);
+	return r;
+}
+
+__attribute__((target("avx512bw")))
+static inline __m512i x4_gather_last(const __m512i *X, const int32_t *slen, int32_t n)
+{
+	/* sublane p <- 128 bits at X's stripe slen[p]-1, problem p's lanes */
+	const int16_t *b = (const int16_t *)X;
+	__m512i r = _mm512_castsi128_si512(_mm_loadu_si128(
+		(const __m128i *)(b + (int64_t)(slen[0] - 1) * VLW)));
+	if (n > 1) r = _mm512_inserti32x4(r, _mm_loadu_si128(
+		(const __m128i *)(b + (int64_t)(slen[1] - 1) * VLW + 8)), 1);
+	if (n > 2) r = _mm512_inserti32x4(r, _mm_loadu_si128(
+		(const __m128i *)(b + (int64_t)(slen[2] - 1) * VLW + 16)), 2);
+	if (n > 3) r = _mm512_inserti32x4(r, _mm_loadu_si128(
+		(const __m128i *)(b + (int64_t)(slen[3] - 1) * VLW + 24)), 3);
+	return r;
+}
+
+__attribute__((target("avx512bw")))
+static void dp16_cig_x4(
+	int32_t n, const uint8_t *const *nsqs, const int32_t *nls,
+	const uint8_t *const *asqs, const int32_t *als,
+	const uint8_t *const *sss,
+	const int8_t *mat, int32_t asize,
+	const uint8_t *nt4, const uint8_t *aa20, const uint8_t *codon_tab,
+	const int32_t *sp, int32_t sp_null_bonus,
+	int32_t go_, int32_t ge_, int32_t io_, int32_t fs_,
+	int32_t *out_scores, uint32_t *cig_buf, const int64_t *cig_off, int32_t *n_cigs)
+{
+	const uint8_t aa_x = aa20['X'];
+	int32_t p, i, j, k;
+	int32_t slen[X4], nl_max = 0, slen_max = 0;
+	uint8_t *nas[X4];
+	int8_t *donor[X4], *acceptor[X4];
+	int16_t *prof[X4];
+	const int16_t *Sp[X4];
+	__m512i *buf, *H, *H1, *H2, *H3, *D, *D1, *D2, *D3, *A, *B, *C, *tmpv;
+	int16_t *tb;
+	uint32_t *jmask;
+	const __m512i go = _mm512_set1_epi16((int16_t)go_);
+	const __m512i ge = _mm512_set1_epi16((int16_t)ge_);
+	const __m512i goe = _mm512_set1_epi16((int16_t)(go_ + ge_));
+	const __m512i io = _mm512_set1_epi16((int16_t)io_);
+	const __m512i fs = _mm512_set1_epi16((int16_t)fs_);
+	const __m512i neg = _mm512_set1_epi16(NEG16);
+
+	for (p = 0; p < n; ++p) {
+		slen[p] = (als[p] + VL - 1) / VL;
+		if (nls[p] > nl_max) nl_max = nls[p];
+		if (slen[p] > slen_max) slen_max = slen[p];
+	}
+
+	for (p = 0; p < n; ++p) {  /* per-problem prep into padded arrays */
+		int32_t nl = nls[p], al = als[p];
+		uint8_t *aas = (uint8_t*)mx_scratch(7, al);
+		int16_t *t;
+		nas[p] = (uint8_t*)mx_scratch(8 + p, nl_max + 8);
+		donor[p] = (int8_t*)mx_scratch(12 + p, nl_max + 8);
+		acceptor[p] = (int8_t*)mx_scratch(16 + p, nl_max + 8);
+		memset(nas[p] + nl, aa_x, nl_max + 8 - nl);
+		memset(donor[p] + nl, 0, nl_max + 8 - nl);
+		memset(acceptor[p] + nl, 0, nl_max + 8 - nl);
+		for (j = 0; j < al; ++j) aas[j] = aa20[asqs[p][j]];
+		prep_fwd(nsqs[p], nl, nt4, sp, sss[p], io_, sp_null_bonus,
+		         nas[p], donor[p], acceptor[p]);
+		prep_nas(nsqs[p], nl, nt4, codon_tab, aa_x, nas[p]);
+		prof[p] = (int16_t*)mx_scratch(20 + p, (size_t)asize * slen_max * VL * 2);
+		t = prof[p];
+		for (i = 0; i < asize; ++i) {
+			const int8_t *ma = mat + i * asize;
+			for (j = 0; j < slen_max; ++j)
+				for (k = 0; k < VL; ++k) {
+					int32_t pos = k * slen[p] + j;
+					*t++ = (j >= slen[p] || pos >= al) ? NEG16 : ma[aas[pos]];
+				}
+		}
+	}
+
+	jmask = (uint32_t*)mx_scratch(24, (size_t)slen_max * 4);
+	for (j = 0; j < slen_max; ++j) {
+		uint32_t m = 0;
+		for (p = 0; p < n; ++p)
+			if (j < slen[p]) m |= 0xffu << (p * 8);
+		jmask[j] = m;
+	}
+
+	buf = (__m512i*)mx_scratch(5, ((size_t)(slen_max + 1) * 4 + (size_t)slen_max * 7) * 64);
+	H = buf + 1, H1 = buf + (slen_max + 1) + 1;
+	H2 = buf + (slen_max + 1) * 2 + 1, H3 = buf + (slen_max + 1) * 3 + 1;
+	D = buf + (slen_max + 1) * 4, D1 = D + slen_max, D2 = D1 + slen_max, D3 = D2 + slen_max;
+	A = D3 + slen_max, B = A + slen_max, C = B + slen_max;
+	for (i = 0; i < (slen_max + 1) * 4 + slen_max * 7; ++i)
+		_mm512_store_si512(buf + i, neg);
+	{
+		__mmask32 m0 = (__mmask32)0x01010101u;  /* lane 0 of each problem */
+		H3[-1] = _mm512_mask_set1_epi16(H3[-1], m0, 0);
+		H2[-1] = _mm512_mask_set1_epi16(H2[-1], m0, (int16_t)-fs_);
+		H1[-1] = _mm512_mask_set1_epi16(H1[-1], m0, (int16_t)-fs_);
+	}
+
+	tb = (int16_t*)mx_scratch(6, (size_t)nl_max * slen_max * VLW * 2);
+
+	for (i = 2; i < nl_max; ++i) {
+		int16_t *tbi = tb + (int64_t)i * slen_max * VLW;
+		__m512i I, last_h, gei, dim1, di, dip1, ai, aim1, aim2;
+		__mmask32 live = 0;
+		int16_t v4[7][X4] = {{0}};
+		for (p = 0; p < n; ++p) {
+			if (i < nls[p]) live |= (__mmask32)0xffu << (p * 8);
+			v4[0][p] = donor[p][i - 1];
+			v4[1][p] = donor[p][i];
+			v4[2][p] = donor[p][i + 1];
+			v4[3][p] = acceptor[p][i];
+			v4[4][p] = acceptor[p][i - 1];
+			v4[5][p] = acceptor[p][i - 2];
+			v4[6][p] = nas[p][i] == 20 ? (int16_t)fs_ : (int16_t)ge_;
+			Sp[p] = prof[p] + (size_t)nas[p][i] * slen_max * VL;
+		}
+		dim1 = x4_bcast4(v4[0]), di = x4_bcast4(v4[1]), dip1 = x4_bcast4(v4[2]);
+		ai = x4_bcast4(v4[3]), aim1 = x4_bcast4(v4[4]), aim2 = x4_bcast4(v4[5]);
+		gei = x4_bcast4(v4[6]);
+		I = last_h = neg;
+		if (i > 2) {
+			H3[-1] = x4_shift_up128(x4_gather_last(H3, slen, n), neg);
+			H2[-1] = x4_shift_up128(x4_gather_last(H2, slen, n), neg);
+			H1[-1] = x4_shift_up128(x4_gather_last(H1, slen, n), neg);
+		}
+		for (j = 0; j < slen_max; ++j) {
+			__mmask32 mj = (__mmask32)jmask[j];
+			__m512i h, t, u, v, y, z, Sv;
+			Sv = x4_load4(Sp, (size_t)j * VL, n);
+			h = _mm512_adds_epi16(H3[j - 1], Sv);
+			/* I */
+			t = _mm512_subs_epi16(last_h, go);
+			z = _mm512_maskz_set1_epi16(_mm512_cmpgt_epi16_mask(I, t), 1 << 4);
+			t = _mm512_subs_epi16(_mm512_max_epi16(t, I), ge);
+			I = _mm512_mask_mov_epi16(I, mj, t);
+			y = _mm512_maskz_set1_epi16(_mm512_cmpgt_epi16_mask(I, h), 1);
+			h = _mm512_max_epi16(h, I);
+			/* D */
+			u = _mm512_subs_epi16(H3[j], go), v = D3[j];
+			z = _mm512_or_si512(z, _mm512_maskz_set1_epi16(
+				_mm512_cmpgt_epi16_mask(v, u), 1 << 5));
+			t = _mm512_subs_epi16(_mm512_max_epi16(u, v), gei);
+			D[j] = t;
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 2);
+			h = _mm512_max_epi16(h, t);
+			/* A */
+			u = _mm512_subs_epi16(H1[j], io), v = A[j];
+			t = _mm512_subs_epi16(u, dim1);
+			z = _mm512_or_si512(z, _mm512_maskz_set1_epi16(
+				_mm512_cmpgt_epi16_mask(v, t), 1 << 6));
+			t = _mm512_max_epi16(t, v);
+			A[j] = t;
+			t = _mm512_subs_epi16(t, ai);
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 3);
+			h = _mm512_max_epi16(h, t);
+			/* B */
+			u = _mm512_subs_epi16(H1[j - 1], io), v = B[j];
+			t = _mm512_subs_epi16(u, di);
+			z = _mm512_or_si512(z, _mm512_maskz_set1_epi16(
+				_mm512_cmpgt_epi16_mask(v, t), 1 << 7));
+			t = _mm512_max_epi16(t, v);
+			B[j] = t;
+			t = _mm512_subs_epi16(t, aim2);
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 4);
+			h = _mm512_max_epi16(h, t);
+			/* C */
+			v = C[j];
+			t = _mm512_subs_epi16(u, dip1);
+			z = _mm512_or_si512(z, _mm512_maskz_set1_epi16(
+				_mm512_cmpgt_epi16_mask(v, t), 1 << 8));
+			t = _mm512_max_epi16(t, v);
+			C[j] = t;
+			t = _mm512_subs_epi16(t, aim1);
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 5);
+			h = _mm512_max_epi16(h, t);
+			/* frameshift transitions */
+			t = _mm512_subs_epi16(H1[j], fs);
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 6);
+			h = _mm512_max_epi16(h, t);
+			t = _mm512_subs_epi16(H2[j], fs);
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 7);
+			h = _mm512_max_epi16(h, t);
+			t = _mm512_subs_epi16(H1[j - 1], fs);
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 8);
+			h = _mm512_max_epi16(h, t);
+			t = _mm512_subs_epi16(H2[j - 1], fs);
+			y = _mm512_mask_set1_epi16(y, _mm512_cmpgt_epi16_mask(t, h), 9);
+			h = _mm512_max_epi16(h, t);
+			z = _mm512_or_si512(z, y);
+			_mm512_storeu_si512((void *)(tbi + (size_t)j * VLW), z);
+			H[j] = h;
+			last_h = _mm512_mask_mov_epi16(last_h, mj, h);
+		}
+		I = _mm512_max_epi16(_mm512_subs_epi16(last_h, goe),
+		                     _mm512_subs_epi16(I, ge));
+		{
+			__mmask32 passm = live;
+			for (k = 0; k < VL && passm; ++k) { /* lazy-F, 8-lane semantics */
+				__mmask32 runm = passm;
+				I = x4_shift_up128(I, neg);
+				for (j = 0; j < slen_max && runm; ++j) {
+					__mmask32 m = runm & (__mmask32)jmask[j];
+					__m512i h = H[j], hn, z, hs;
+					__mmask32 gtm, gt2;
+					if (!m) break;  /* stripe masks shrink with j */
+					hn = _mm512_max_epi16(h, I);
+					gtm = _mm512_cmpgt_epi16_mask(I, h) & m;
+					if (gtm) {
+						z = _mm512_loadu_si512((void *)(tbi + (size_t)j * VLW));
+						z = _mm512_or_si512(z, _mm512_maskz_set1_epi16(gtm, 1 << 9));
+						_mm512_storeu_si512((void *)(tbi + (size_t)j * VLW), z);
+					}
+					H[j] = _mm512_mask_mov_epi16(h, m, hn);
+					hs = _mm512_subs_epi16(hn, goe);
+					I = _mm512_mask_mov_epi16(I, (__mmask32)jmask[j],
+					                          _mm512_subs_epi16(I, ge));
+					gt2 = _mm512_cmpgt_epi16_mask(I, hs);
+					for (p = 0; p < n; ++p) {
+						__mmask32 pm = (__mmask32)0xffu << (p * 8);
+						if ((m & pm) && !(gt2 & pm)) {
+							runm &= ~pm;  /* inner break */
+							passm &= ~pm; /* exits lazy-F */
+						}
+					}
+				}
+				passm &= runm;
+			}
+		}
+		tmpv = H3, H3 = H2, H2 = H1, H1 = H, H = tmpv;
+		tmpv = D3, D3 = D2, D2 = D1, D1 = D, D = tmpv;
+		for (p = 0; p < n; ++p)
+			if (i == nls[p] - 1)
+				out_scores[p] = ((const int16_t *)H1)[
+					(size_t)((als[p] - 1) % slen[p]) * VLW + p * VL
+					+ (als[p] - 1) / slen[p]];
+	}
+
+	for (p = 0; p < n; ++p)
+		n_cigs[p] = dp_backtrack_st(tb + p * VL, slen[p], VLW,
+		                            (int64_t)slen_max * VLW, nls[p], als[p],
+		                            cig_buf + cig_off[p]);
+}
+
 #else
 static int mx_have_avx512bw(void) { return 0; }
+static int mx_have_avx512bw_raw(void) { return 0; }
+MX_EXPORT int32_t mx_no_x4 = 0;
 #endif
 
 MX_EXPORT void mx_dp16(
@@ -1190,6 +1501,51 @@ MX_EXPORT void mx_dp16(
 	if (tb)
 		*n_cigar = dp_backtrack(tb, slen, nl, al, cigar);
 	/* all temporaries live in the grow-only scratch; nothing to free */
+}
+
+/* Batched CIGAR DP over up to 4 problems sharing one option set.
+ * Pointer args come in as int64 addresses (ctypes-friendly); ss_addr
+ * entries may be 0.  Problems must have al >= 1 and nl >= 3 to take the
+ * batched path; otherwise (or without AVX-512BW) each problem runs
+ * through mx_dp16.  Results are bit-identical either way. */
+MX_EXPORT void mx_dp16x4(
+	int32_t n,
+	const int64_t *nsq_addr, const int32_t *nls,
+	const int64_t *asq_addr, const int32_t *als,
+	const int64_t *ss_addr,
+	const int8_t *mat, int32_t asize,
+	const uint8_t *nt4, const uint8_t *aa20, const uint8_t *codon_tab,
+	const int32_t *sp, int32_t sp_null_bonus,
+	int32_t go_, int32_t ge_, int32_t io_, int32_t fs_,
+	int32_t *out_scores, uint32_t *cig_buf, const int64_t *cig_off, int32_t *n_cigs)
+{
+	int32_t p, use_x4;
+	use_x4 = n > 1 && n <= 4 && mx_have_avx512bw_raw() && !mx_no_x4;
+	for (p = 0; p < n && use_x4; ++p)
+		if (als[p] < 1 || nls[p] < 3) use_x4 = 0;
+#if defined(__x86_64__)
+	if (use_x4) {
+		const uint8_t *nsqs[X4], *asqs[X4], *sss[X4];
+		for (p = 0; p < n; ++p) {
+			nsqs[p] = (const uint8_t *)(intptr_t)nsq_addr[p];
+			asqs[p] = (const uint8_t *)(intptr_t)asq_addr[p];
+			sss[p] = (const uint8_t *)(intptr_t)ss_addr[p];
+		}
+		dp16_cig_x4(n, nsqs, nls, asqs, als, sss, mat, asize, nt4, aa20,
+		            codon_tab, sp, sp_null_bonus, go_, ge_, io_, fs_,
+		            out_scores, cig_buf, cig_off, n_cigs);
+		return;
+	}
+#endif
+	for (p = 0; p < n; ++p) {
+		int32_t ntl, aal;
+		mx_dp16((const uint8_t *)(intptr_t)nsq_addr[p], nls[p],
+		        (const uint8_t *)(intptr_t)asq_addr[p], als[p],
+		        (const uint8_t *)(intptr_t)ss_addr[p],
+		        mat, asize, nt4, aa20, codon_tab, sp, sp_null_bonus,
+		        DPF_CIGAR, go_, ge_, io_, fs_, 100, 5, 0.5f,
+		        out_scores + p, &ntl, &aal, cig_buf + cig_off[p], n_cigs + p);
+	}
 }
 
 /* Expose sequence prep for cross-validation of the vectorized Python prep. */

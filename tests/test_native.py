@@ -253,3 +253,35 @@ def test_wide_ext_path_matches_8lane():
         finally:
             flag_ptr.value = 0
         assert a == b, (trial, nl, al, io, fl, a, b)
+
+
+def test_x4_cigar_batch_matches_singles():
+    """The 4-problem AVX-512 CIGAR batch (mx_dp16x4) must produce the
+    exact per-problem scores and traceback CIGARs of mx_dp16, including
+    the --spsc track path and odd chunk sizes."""
+    from miniprot_tpu import native
+    from miniprot_tpu.align import DpEnv
+    from miniprot_tpu.options import MapOpt
+
+    env = DpEnv(MapOpt())
+    rng = np.random.default_rng(77)
+    old = native._X4_PAYS
+    native._X4_PAYS = True   # force the batched path regardless of probe
+    try:
+        for trial in range(40):
+            jobs = []
+            for _ in range(int(rng.integers(1, 11))):
+                nl = int(rng.integers(3, 900))
+                al = int(rng.integers(1, 250))
+                ss = (rng.integers(0, 256, nl).astype(np.uint8)
+                      if rng.random() < 0.25 else None)
+                nsq = rng.choice(list(b"ACGTN"), nl,
+                                 p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+                asq = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+                jobs.append((nsq, asq, ss))
+            batched = env.dp_cigars(jobs)
+            for (nsq, asq, ss), (bsc, bcig) in zip(jobs, batched):
+                sc, _, _, c = env.dp(nsq, asq, native.DPF_CIGAR, ss=ss)
+                assert sc == bsc and np.array_equal(c, bcig), (len(nsq), len(asq))
+    finally:
+        native._X4_PAYS = old
