@@ -85,13 +85,15 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
                 nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref, am2_ref,
                 logpen_ref, nl_ref, prof_ref, endmask_ref, qpad_ref,
                 # outputs:
-                max_sc_ref, max_i_ref, hmax_ref,
+                max_sc_ref, max_i_ref, aal_ref,
                 # scratch:
-                Hst, Dst, Aa, Bb, Cc, hmaxv, msc, mscl, mi, act):
+                Hst, Rst, Dst, Aa, Bb, Cc, hmaxv, msc, mscl, mi, act):
     """One grid step = ROW_CHUNK genome rows for all B problems."""
     chunk = pl.program_id(0)
+    n_chunks = n_rows // ROW_CHUNK
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (al, B_LANES), 0)
     qge = row_ids * ge
+    qge_go = qge + go
     is_row0 = row_ids == 0
     ge_masks = []
     s = 1
@@ -102,6 +104,13 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
     @pl.when(chunk == 0)
     def _init():
         Hst[:] = jnp.full_like(Hst, NEG)
+        # Rst[k] = pre-rolled copy of Hst[k] (computed once at store
+        # time instead of three rolls per consuming row).  The i==2
+        # boundary column (nasw-sse.c:267-271) lives in row 0 here.
+        Rst[:] = jnp.full_like(Rst, NEG)
+        Rst[2] = jnp.where(is_row0, 0, NEG)      # H3(-1) at i==2
+        Rst[1] = jnp.where(is_row0, -fs, NEG)    # H1(-1) at i==2
+        Rst[0] = jnp.where(is_row0, -fs, NEG)    # H2(-1) at i==2
         Dst[:] = jnp.full_like(Dst, NEG)
         Aa[:] = jnp.full_like(Aa, NEG)
         Bb[:] = jnp.full_like(Bb, NEG)
@@ -126,27 +135,21 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             H1 = Hst[s1]
             H2 = Hst[s2]
             D3 = Dst[slot]
-            # boundary column H(i-k, -1): the reference's -1-column
-            # initials exist only at i==2; for i>2 the striped shift
-            # overwrites them with neg_inf (nasw-sse.c:267-271)
-            hc3 = jnp.where(i == 2, 0, NEG)
-            hc1 = jnp.where(i == 2, -fs, NEG)
-            hc2 = jnp.where(i == 2, -fs, NEG)
-            H3m1 = _roll_down1(H3, hc3, is_row0)
-            H1m1 = _roll_down1(H1, hc1, is_row0)
-            H2m1 = _roll_down1(H2, hc2, is_row0)
+            H3m1 = Rst[slot]
+            H1m1 = Rst[s1]
+            H2m1 = Rst[s2]
 
             nas_i = nas_ref[ii, :][None, :]      # (1,B)
             # profile select: S[q,b] = mat[nas_i[b], aas[q,b]].  The
-            # profile packs 4 biased (value+128) alphabet rows per int32,
-            # so only ceil(22/4)=6 selects are needed, then a per-lane
-            # byte extract, de-bias, and the q>=al pad
+            # profile packs 4 raw signed alphabet rows per int32, so only
+            # ceil(22/4)=6 selects are needed, then a shl/sar per-lane
+            # byte sign-extension and the q>=al pad
             grp = nas_i >> 2
-            sub = (nas_i & 3) * 8
+            shl = 24 - (nas_i & 3) * 8
             P = prof_ref[0]
             for g in range(1, 6):
                 P = jnp.where(grp == g, prof_ref[g], P)
-            S = ((P >> sub) & 0xFF) - 128
+            S = (P << shl) >> 24      # arithmetic: sign-extends the byte
             S = jnp.where(qpad_ref[:] != 0, NEG, S)
             gei = jnp.where(nas_i == 20, fs, ge)
 
@@ -174,9 +177,11 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             # (lax.cummax does not lower in Mosaic here)
             M = _cummax_sublanes(h + qge, ge_masks)
             I = _roll_down1(M, jnp.full((1, B_LANES), NEG, jnp.int32),
-                            is_row0) - go - qge
+                            is_row0) - qge_go
             h = jnp.maximum(h, I)
             Hst[slot] = h
+            Rst[slot] = _roll_down1(h, jnp.full((1, B_LANES), NEG, jnp.int32),
+                                    is_row0)
 
             # extension bookkeeping
             cand = h + endb
@@ -193,24 +198,42 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
             act[0] = jnp.where(dropped | (i + 1 >= nl_row),
                                0, act[0])
 
-    def triple_body(t, _):
-        ii = t * 3
-        # per-triple early exit once every problem has x-dropped (act is
+    def hex_body(t, _):
+        ii = t * 6
+        # per-group early exit once every problem has x-dropped (act is
         # monotone-decreasing; the in_range gate keeps the trailing rows
-        # from touching the outputs)
+        # from touching the outputs).  6 rows per trip: ring slots cycle
+        # with period 3, so the slot pattern stays static.
         @pl.when(jnp.max(act[0]) > 0)
         def _():
             do_row(ii, 0, 2, 1)
             do_row(ii + 1, 1, 0, 2)
             do_row(ii + 2, 2, 1, 0)
+            do_row(ii + 3, 0, 2, 1)
+            do_row(ii + 4, 1, 0, 2)
+            do_row(ii + 5, 2, 1, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, ROW_CHUNK // 3, triple_body, 0)
+    jax.lax.fori_loop(0, ROW_CHUNK // 6, hex_body, 0)
 
     max_sc_ref[:] = msc[0]
     max_i_ref[:] = mi[0]
-    hmax_ref[:] = hmaxv[:]
+
+    @pl.when(chunk == n_chunks - 1)
+    def _fin():
+        # aa_len: first query row whose (Hmax + end-bonus) hits max_sc
+        # (nasw-sse.c:435-443), computed on device so the (al, B) Hmax
+        # tile never leaves the chip
+        BIGJ = jnp.int32(1 << 30)
+        real = qpad_ref[:] == 0
+        cand = hmaxv[:] + endb
+        jm = jnp.min(jnp.where((cand == msc[0]) & real, row_ids, BIGJ),
+                     axis=0, keepdims=True)
+        al_real = jnp.min(jnp.where(real, BIGJ, row_ids), axis=0, keepdims=True)
+        al_real = jnp.where(al_real == BIGJ, al, al_real)  # no padding
+        jm = jnp.where(jm == BIGJ, al_real - 1, jm)
+        aal_ref[:] = jm
 
 
 def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
@@ -237,10 +260,11 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
         out_specs=[
             pl.BlockSpec((1, B_LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B_LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((al, B_LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B_LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((3, al, B_LANES), jnp.int32),   # H ring
+            pltpu.VMEM((3, al, B_LANES), jnp.int32),   # rolled H ring
             pltpu.VMEM((3, al, B_LANES), jnp.int32),   # D ring
             pltpu.VMEM((1, al, B_LANES), jnp.int32),   # A
             pltpu.VMEM((1, al, B_LANES), jnp.int32),   # B
@@ -258,7 +282,7 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
         out_shape=[
             jax.ShapeDtypeStruct((1, B_LANES), jnp.int32),
             jax.ShapeDtypeStruct((1, B_LANES), jnp.int32),
-            jax.ShapeDtypeStruct((al, B_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, B_LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -494,7 +518,7 @@ class ExtBatch:
         assert pen.max() <= 127, "ie_coef too large for int8 logpen stream"
         self.logpen[:, b] = pen
         self.nlv[:, b] = nl
-        col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased byte
+        col = self.mat[:, aas].astype(np.int32) & 0xFF  # raw signed byte
         packed = np.zeros((6, al), np.int32)
         for g in range(6):
             for s in range(4):
@@ -526,18 +550,11 @@ class ExtBatch:
             jnp.asarray(self.qpad))
 
     def collect(self, handles):
-        max_sc, max_i, hmax = handles
+        max_sc, max_i, aal = handles
         max_sc = np.asarray(max_sc)[0]
         max_i = np.asarray(max_i)[0]
-        hmax = np.asarray(hmax)
-        # final aa_len scan (nasw-sse.c:435-443): first j with
-        # Hmax[j] (+ end_bonus at j=al-1) == max_sc
-        out = []
-        for b in range(self.n):
-            al = int(self.als[b])
-            col = hmax[:al, b].copy()
-            col[al - 1] += self.end_bonus
-            js = np.flatnonzero(col == max_sc[b])
-            j = int(js[0]) if len(js) else al - 1
-            out.append((int(max_sc[b]), int(max_i[b]) + 1, j + 1))
-        return out
+        aal = np.asarray(aal)[0]
+        # aa_len (first Hmax hit) is computed on device; see _fin in the
+        # kernel (nasw-sse.c:435-443)
+        return [(int(max_sc[b]), int(max_i[b]) + 1, int(aal[b]) + 1)
+                for b in range(self.n)]
