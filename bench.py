@@ -43,7 +43,10 @@ int main() {
     srand(7);
     for (int i = 0; i < nl; ++i) ns[i] = "ACGT"[rand()&3];
     for (int i = 0; i < al; ++i) as[i] = "ARNDCQEGHILKMFPSTWYV"[rand()%20];
-    ns_make_tables(1); ns_opt_init(&opt); opt.flag = NS_F_CIGAR;
+    /* score-only, x-drop off: the mode directly comparable to the
+       Pallas kernel (which also runs score-only over the full
+       rectangle in this benchmark) */
+    ns_make_tables(1); ns_opt_init(&opt); opt.flag = 0; opt.xdrop = 1<<28;
     struct timespec t0, t1;
     clock_gettime(CLOCK_MONOTONIC, &t0);
     long cells = 0;
@@ -84,7 +87,9 @@ def measure_pallas_gcups() -> float:
     NL = ((10240 if on_tpu else 264) + nk.ROW_CHUNK - 1) // nk.ROW_CHUNK * nk.ROW_CHUNK
     if not on_tpu:
         AL = 64
-    call = nk._compiled_ext(AL, NL, 11, 1, 23, 100, 5, not on_tpu)
+    # xdrop disabled so every genome row is genuinely computed (random
+    # inputs must not be allowed to trip the early exit)
+    call = nk._compiled_ext(AL, NL, 11, 1, 23, 1 << 28, 5, not on_tpu)
     rng = np.random.default_rng(1)
     nas = rng.integers(0, 20, (NL, B)).astype(np.int8)
     D = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)

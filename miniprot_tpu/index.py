@@ -116,10 +116,8 @@ class Index:
         counts = np.zeros(n_bucket, np.int64)
         for p in parts:
             native.count_bucket(p, counts)
-        ki = np.zeros(n_bucket, np.int64)
-        np.cumsum(counts[:-1], out=ki[1:])
-        kb = np.empty(int(counts.sum()), np.uint32)
-        cursors = ki.copy()
+        ki, cursors = native.bucket_prep(counts)
+        kb = np.empty(sum(len(p) for p in parts), np.uint32)
         for p in parts:
             native.scatter_bucket(p, cursors, kb)
         sysutil.log("Index.build", "%d kmer-block pairs", len(kb))

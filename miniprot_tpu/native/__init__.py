@@ -528,6 +528,16 @@ def refine_pairs(sd: np.ndarray, max_ava: int) -> np.ndarray:
 
 _lib.mx_count_bucket.argtypes = [_u64p, ct.c_int64, _i64p]
 _lib.mx_scatter_bucket.argtypes = [_u64p, ct.c_int64, _i64p, _u32p]
+_lib.mx_bucket_prep.argtypes = [_i64p, ct.c_int64, _i64p, _i64p]
+
+
+def bucket_prep(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exclusive-scan bucket counts into (ki, cursors) in one C pass."""
+    n = len(counts)
+    ki = np.empty(n, np.int64)
+    cursors = np.empty(n, np.int64)
+    _lib.mx_bucket_prep(counts, n, ki, cursors)
+    return ki, cursors
 
 
 def count_bucket(a: np.ndarray, counts: np.ndarray) -> None:

@@ -2232,6 +2232,19 @@ MX_EXPORT void mx_count_bucket(const uint64_t *a, int64_t n, int64_t *counts)
 	for (i = 0; i < n; ++i) ++counts[a[i] >> 32];
 }
 
+/* Exclusive prefix scan of bucket counts into both the final ki table
+ * and the scatter cursor array in one pass (replaces np.cumsum + a
+ * 64MB ki.copy() in the index build). */
+MX_EXPORT void mx_bucket_prep(const int64_t *counts, int64_t n,
+                              int64_t *ki, int64_t *cursors)
+{
+	int64_t i, s = 0;
+	for (i = 0; i < n; ++i) {
+		ki[i] = cursors[i] = s;
+		s += counts[i];
+	}
+}
+
 MX_EXPORT void mx_scatter_bucket(const uint64_t *a, int64_t n,
                                  int64_t *cursors, uint32_t *kb)
 {
