@@ -354,9 +354,22 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
             ne1s = ((sel >> np.uint64(32)).astype(np.int64) + 1).tolist()
             ae1s = ((sel & np.uint64(0x7FFFFFFF)).astype(np.int64) + 1).tolist()
             base = vs0 - as_
+            # inlined _plan_gap: this loop runs once per marked anchor
+            # (~250/query), the call overhead was measurable
+            k2 = opt.kmer2
+            plan_ap, triv_ap, jobs_ap = plan.append, triv.append, jobs.append
+            nt_s = ne0 + base
             for ne1, ae1 in zip(ne1s, ae1s):
-                _plan_gap(ne0 + base, ne1 + base, ae0, ae1)
-                ne0, ae0 = ne1, ae1
+                nt_e = ne1 + base
+                alen = ae1 - ae0
+                if nt_e - nt_s == alen * 3 and alen <= k2:
+                    plan_ap(("t", alen, len(triv)))
+                    triv_ap((nt_s, ae0, alen))
+                else:
+                    plan_ap(("d", len(jobs)))
+                    jobs_ap((nt[nt_s:nt_e], aa[ae0:ae1],
+                             None if ss is None else ss[nt_s:nt_e]))
+                ne0, ae0, nt_s = ne1, ae1, nt_e
         r.ve = ne0 + vs0
         r.qe = ae0
     results = (yield ("cigars", jobs)) if jobs else []

@@ -28,6 +28,8 @@ _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _lib.mx_sort_u64.argtypes = [_u64p, ct.c_int64]
 _lib.mx_sort_u64_lsd.restype = ct.c_int64
 _lib.mx_sort_u64_lsd.argtypes = [_u64p, ct.c_int64]
+_sort_u64_raw = ct.CFUNCTYPE(ct.c_int64, ct.c_void_p, ct.c_int64)(
+    ct.cast(_lib.mx_sort_u64_lsd, ct.c_void_p).value)
 _lib.mx_sort_pair.argtypes = [_u64p, ct.c_int64]
 _lib.mx_chain.restype = ct.c_int64
 _lib.mx_chain.argtypes = [ct.c_int32] * 7 + [ct.c_float] + [ct.c_int32] * 3 + \
@@ -61,7 +63,7 @@ def sort_u64(a: np.ndarray) -> np.ndarray:
     (sort_pair) must replicate the reference permutation."""
     assert a.dtype == np.uint64 and a.flags.c_contiguous
     if len(a) > 1:
-        if _lib.mx_sort_u64_lsd(a, len(a)) < 0:
+        if _sort_u64_raw(a.ctypes.data, len(a)) < 0:
             raise MemoryError("mx_sort_u64_lsd")
     return a
 
@@ -224,12 +226,13 @@ _dp16_raw = ct.CFUNCTYPE(
     ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
     ct.c_void_p, ct.POINTER(ct.c_int32))(
         ct.cast(_lib.mx_dp16, ct.c_void_p).value)
-_lib.mx_dp16x4.argtypes = [
-    ct.c_int32, _i64p, _i32p, _i64p, _i32p, _i64p,
-    ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_void_p,
-    ct.c_void_p, ct.c_int32,
+_dp16x4_raw = ct.CFUNCTYPE(
+    None, ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+    ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_void_p,
+    ct.c_void_p, ct.c_void_p, ct.c_int32,
     ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
-    _i32p, _u32p, _i64p, _i32p]
+    ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p)(
+        ct.cast(_lib.mx_dp16x4, ct.c_void_p).value)
 _score_ungapped_raw = ct.CFUNCTYPE(
     ct.c_int32, ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_void_p,
     ct.c_int32, ct.c_void_p, ct.c_void_p)(
@@ -376,11 +379,13 @@ class Dp16Ctx:
                 offs[k] = tot
                 tot += len(nsq) + len(asq) + 16
             cig = np.empty(tot, np.uint32)
-            _lib.mx_dp16x4(n, nq, nls, aq, als, sq,
-                           self._pmat, self.asize, self._pnt4, self._paa20,
-                           self._pcodon, self._psp, self.sp_null_bonus,
-                           self.go, self.ge, io, self.fs,
-                           scores, cig, offs, ncigs)
+            _dp16x4_raw(n, nq.ctypes.data, nls.ctypes.data,
+                        aq.ctypes.data, als.ctypes.data, sq.ctypes.data,
+                        self._pmat, self.asize, self._pnt4, self._paa20,
+                        self._pcodon, self._psp, self.sp_null_bonus,
+                        self.go, self.ge, io, self.fs,
+                        scores.ctypes.data, cig.ctypes.data,
+                        offs.ctypes.data, ncigs.ctypes.data)
             for k, i in enumerate(chunk):
                 o = int(offs[k])
                 res[i] = (int(scores[k]), cig[o:o + int(ncigs[k])].copy())

@@ -285,3 +285,29 @@ def test_x4_cigar_batch_matches_singles():
                 assert sc == bsc and np.array_equal(c, bcig), (len(nsq), len(asq))
     finally:
         native._X4_PAYS = old
+
+
+def test_idx_stat_matches_numpy():
+    from miniprot_tpu import native
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n = int(rng.integers(2, 5000))
+        counts = rng.integers(0, 30, n)
+        counts[rng.random(n) < 0.6] = 0
+        ki = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)[:n]
+        max_occ = int(rng.integers(1, 25))
+        occ, nl, tot, sl = native.idx_stat(ki, max_occ)
+        c = np.diff(ki)
+        assert occ == int((c > 0).sum())
+        assert nl == int((c > max_occ).sum())
+        assert sl == int(c[c > max_occ].sum())
+        assert tot == int(c[c <= max_occ].sum())
+
+
+def test_bucket_prep_matches_numpy():
+    from miniprot_tpu import native
+    rng = np.random.default_rng(4)
+    counts = rng.integers(0, 7, 100000)
+    ki, cursors = native.bucket_prep(counts)
+    want = np.concatenate([[0], np.cumsum(counts[:-1])])
+    assert np.array_equal(ki, want) and np.array_equal(cursors, want)
