@@ -6,6 +6,7 @@ suffixes, same defaults and derived-option behavior).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from . import MP_VERSION, tables
@@ -76,18 +77,21 @@ Options:
     --tpu            batch the alignment-round DPs on the TPU
     --profile        per-stage timers + DP cell/GCUPS counters to stderr
     --profile-trace=DIR  write a jax profiler device trace to DIR
+    -o FILE      write output to FILE instead of stdout
+    --resume     with -o: checkpoint after each mini-batch and resume an
+                 interrupted run from the last complete batch
 """
 
 _LONG_OPTS = {
     "tpu", "gff", "gff-only", "gtf", "aln", "trans", "no-cs", "no-pre-chain",
     "version", "no-kalloc", "profile", "dbg-qname", "dbg-no-refine",
-    "dbg-aflt", "dbg-anchor", "dbg-chain",
+    "dbg-aflt", "dbg-anchor", "dbg-chain", "resume",
 }
 _LONG_OPTS_ARG = {
     "xdrop", "outn", "gff-delim", "J2", "outs", "max-skip", "max-intron-out",
     "outc", "ie-coef", "spsc", "spsc0", "spsc-max", "profile-trace",
 }
-_SHORT_ARG = "kMLslbTtdcnmKpNOEJCFGegBPwj"
+_SHORT_ARG = "kMLslbTtdcnmKpNOEJCFGegBPwjo"
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -97,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
     n_threads = 4
     fn_idx = None
     fn_spsc = None
+    fn_out = None
+    resume = False
     set_I = set_G = keep_io = 0
     pos: list[str] = []
     dbg: dict = {}
@@ -125,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
                 mo.flag |= F_SHOW_TRANS
             elif key == "no-cs":
                 mo.flag |= F_NO_CS
+            elif key == "resume":
+                resume = True
             elif key == "no-pre-chain":
                 mo.flag |= F_NO_PRE_CHAIN
             elif key == "xdrop":
@@ -241,6 +249,8 @@ def main(argv: list[str] | None = None) -> int:
                 mo.end_bonus = int(val)
             elif c == "e":
                 mo.max_ext = parse_num(val)
+            elif c == "o":
+                fn_out = val
             elif c == "P":
                 mo.gff_prefix = val
             elif c == "u":
@@ -302,11 +312,30 @@ def main(argv: list[str] | None = None) -> int:
             from . import sysutil
             sysutil.warn("profiler trace unavailable: %s", ex)
             trace_dir = None
+    out = sys.stdout
+    ckpt = None
+    if resume and fn_out is None:
+        from . import sysutil
+        sysutil.error("--resume requires -o FILE")
+        return 1
+    if resume and len(pos) > 2:
+        from . import sysutil
+        sysutil.error("--resume supports a single query file")
+        return 1
+    if fn_out is not None:
+        mode = "r+" if resume and os.path.exists(fn_out) else "w"
+        out = open(fn_out, mode)
+        if resume:
+            ckpt = fn_out + ".ckpt"
+            if mode == "w" and os.path.exists(ckpt):
+                os.remove(ckpt)  # stale journal without its output file
     try:
         for fn in pos[1:]:
-            map_file(mi, fn, mo, n_threads, use_tpu=bool(dbg.get("use_tpu")),
-                     dbg=dbg)
+            map_file(mi, fn, mo, n_threads, out=out,
+                     use_tpu=bool(dbg.get("use_tpu")), dbg=dbg, ckpt=ckpt)
     finally:
+        if out is not sys.stdout:
+            out.close()
         if trace_dir:
             try:
                 import jax

@@ -105,14 +105,36 @@ class _Prefetcher:
 
 
 def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
-             out=None, use_tpu: bool = False, dbg: dict | None = None) -> int:
-    """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343)."""
+             out=None, use_tpu: bool = False, dbg: dict | None = None,
+             ckpt: str | None = None) -> int:
+    """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343).
+
+    ckpt: path of a mini-batch checkpoint journal (requires a seekable
+    `out`).  Mini-batches are idempotent work units (the reference's
+    kt_pipeline structure, kthread.c:97-159, has the same property);
+    after each batch the journal records (batch, n_mapped, id_counter,
+    byte offset).  On restart the output is truncated to the last
+    complete batch and mapping resumes at the next one, producing
+    byte-identical output to an uninterrupted run."""
     out = out or sys.stdout
     dbg = dbg or {}
     reader = BatchReader(fn)
     env = DpEnv(opt)
     id_counter = [0]
-    if opt.flag & F_GFF:
+    done_batches = -1
+    ckpt_f = None
+    if ckpt is not None:
+        if os.path.exists(ckpt):
+            with open(ckpt) as f:
+                lines = [ln for ln in f.read().splitlines()
+                         if ln.count("\t") == 3]
+            if lines:
+                b, nm, idc, off = lines[-1].split("\t")
+                done_batches, id_counter[0] = int(b), int(idc)
+                out.seek(int(off))
+                out.truncate()
+        ckpt_f = open(ckpt, "a")
+    if opt.flag & F_GFF and done_batches < 0:
         out.write("##gff-version 3\n")
     from .sysutil import profiler
     profiler.start("map")
@@ -125,10 +147,15 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     pool = _make_pool(mi, opt, n_workers) if n_workers > 1 else None
     pre = _Prefetcher(reader, opt.mini_batch_size)
     try:
+        batch_idx = -1
         while True:
             batch = pre.get()
             if not batch:
                 break
+            batch_idx += 1
+            if batch_idx <= done_batches:
+                n_mapped += len(batch)  # already emitted by a prior run
+                continue
             if engine is not None:
                 _map_batch_tpu(mi, opt, env, engine, batch, id_counter, out, pool)
             elif pool is not None:
@@ -145,10 +172,17 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
                     regs = map_query(mi, seq, opt, env=env, dbg=dbg)
                     _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
             n_mapped += len(batch)
+            if ckpt_f is not None:
+                out.flush()
+                ckpt_f.write(f"{batch_idx}\t{n_mapped}\t{id_counter[0]}\t"
+                             f"{out.tell()}\n")
+                ckpt_f.flush()
             from . import sysutil
             sysutil.log("map_file", "mapped %d sequences", len(batch))
     finally:
         profiler.stop("map")
+        if ckpt_f is not None:
+            ckpt_f.close()
         if pool is not None:
             pool.terminate()
             pool.join()
