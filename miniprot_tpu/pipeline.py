@@ -132,7 +132,9 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
                 b, nm, idc, off = lines[-1].split("\t")
                 done_batches, id_counter[0] = int(b), int(idc)
                 out.seek(int(off))
-                out.truncate()
+            else:
+                out.seek(0)  # crashed before the first journal entry
+            out.truncate()
         ckpt_f = open(ckpt, "a")
     if opt.flag & F_GFF and done_batches < 0:
         out.write("##gff-version 3\n")

@@ -78,3 +78,20 @@ def test_resume_partial_journal_line(tmp_path, workload):
     r = run_cli(["-t1", "-K", "2k", "--resume", "-o", str(out), fa, faa])
     assert r.returncode == 0, r.stderr
     assert out.read_bytes() == want
+
+
+def test_resume_empty_journal_truncates_partial_output(tmp_path, workload):
+    """A crash before the first journal entry leaves a partial output
+    file and an empty journal; resume must not leave stale bytes."""
+    fa, faa = workload
+    out = tmp_path / "o.out"
+    r = run_cli(["-t1", "-K", "2k", "--resume", "-o", str(out), fa, faa])
+    assert r.returncode == 0, r.stderr
+    want = out.read_bytes()
+    with open(str(out) + ".ckpt", "w"):
+        pass  # empty journal
+    with open(out, "ab") as f:
+        f.write(b"X" * (len(want) + 500))  # longer partial garbage
+    r = run_cli(["-t1", "-K", "2k", "--resume", "-o", str(out), fa, faa])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == want
