@@ -564,6 +564,24 @@ def scatter_bucket(a: np.ndarray, cursors: np.ndarray, kb: np.ndarray) -> None:
     _lib.mx_scatter_bucket(a, len(a), cursors, kb)
 
 
+_sketch_prot_raw = ct.CFUNCTYPE(
+    ct.c_int64, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int32,
+    ct.c_int32, ct.c_void_p)(
+        ct.cast(_lib.mx_sketch_prot, ct.c_void_p).value)
+
+
+def sketch_prot(seq: np.ndarray, aa13: np.ndarray, kmer: int,
+                mod_bit: int) -> np.ndarray:
+    """Protein modimers, query-position order (mp_sketch_prot,
+    sketch.c:18-38).  Multiset- and order-equal to sketch.sketch_prot's
+    numpy pipeline."""
+    n = len(seq)
+    out = np.empty(n if n else 1, np.uint64)
+    cnt = _sketch_prot_raw(seq.ctypes.data, n, aa13.ctypes.data, kmer,
+                           mod_bit, out.ctypes.data)
+    return out[:cnt]
+
+
 _lib.mx_idx_stat.argtypes = [_i64p, ct.c_int64, ct.c_int32, _i64p]
 
 

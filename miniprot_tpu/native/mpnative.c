@@ -2252,6 +2252,33 @@ MX_EXPORT void mx_scatter_bucket(const uint64_t *a, int64_t n,
 	for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
 }
 
+/* Protein modimer sketch (mp_sketch_prot, sketch.c:18-38): rolling
+ * 4-bit reduced-alphabet k-mer, reset at ambiguous residues (aa13 code
+ * >= 14), keep windows whose hash has the low mod_bit bits zero.
+ * out must have room for n entries; returns the count. */
+MX_EXPORT int64_t mx_sketch_prot(const uint8_t *seq, int64_t n,
+                                 const uint8_t *aa13, int32_t kmer,
+                                 int32_t mod_bit, uint64_t *out)
+{
+	int64_t i, cnt = 0;
+	int32_t l = 0;
+	uint32_t x = 0;
+	const uint32_t mask_k = (1u << (4 * kmer)) - 1;
+	const uint32_t mask_mod = (1u << mod_bit) - 1;
+	for (i = 0; i < n; ++i) {
+		uint8_t c = aa13[seq[i]];
+		if (c < 14) {
+			x = (x << 4 | c) & mask_k;
+			if (++l >= kmer) {
+				uint32_t y = mx_hash32(x, mask_k);
+				if ((y & mask_mod) == 0)
+					out[cnt++] = (uint64_t)(y >> mod_bit) << 32 | (uint32_t)i;
+			}
+		} else x = 0, l = 0;
+	}
+	return cnt;
+}
+
 /* One-pass bucket-occupancy stats (mp_idx_print_stat, index.c:138-151:
  * the loop deliberately stops at n-1 buckets, ignoring the last). */
 MX_EXPORT void mx_idx_stat(const int64_t *ki, int64_t n, int32_t max_occ,

@@ -56,7 +56,17 @@ def _rolling_kmers(codes: np.ndarray, ok: np.ndarray, kmer: int):
 
 def sketch_prot(seq: bytes | np.ndarray, kmer: int, mod_bit: int) -> np.ndarray:
     """Protein modimers: u64 = (hash>>mod_bit)<<32 | endpos
-    (mp_sketch_prot, sketch.c:18-38).  Entries in query-position order."""
+    (mp_sketch_prot, sketch.c:18-38).  Entries in query-position order.
+    Thin dispatch to the C scan; sketch_prot_numpy is the golden model."""
+    if not isinstance(seq, np.ndarray):
+        seq = np.frombuffer(seq, dtype=np.uint8)
+    from . import native
+    aa13 = tables.get_tables(1).aa13  # reduced alphabet is code-independent
+    return native.sketch_prot(np.ascontiguousarray(seq), aa13, kmer, mod_bit)
+
+
+def sketch_prot_numpy(seq: bytes | np.ndarray, kmer: int, mod_bit: int) -> np.ndarray:
+    """NumPy golden model for sketch_prot (cross-checked in tests)."""
     if not isinstance(seq, np.ndarray):
         seq = np.frombuffer(seq, dtype=np.uint8)
     aa13 = tables.get_tables(1).aa13  # reduced alphabet is code-independent

@@ -311,3 +311,16 @@ def test_bucket_prep_matches_numpy():
     ki, cursors = native.bucket_prep(counts)
     want = np.concatenate([[0], np.cumsum(counts[:-1])])
     assert np.array_equal(ki, want) and np.array_equal(cursors, want)
+
+
+def test_sketch_prot_c_matches_numpy():
+    from miniprot_tpu.sketch import sketch_prot, sketch_prot_numpy
+    rng = np.random.default_rng(6)
+    for _ in range(60):
+        n = int(rng.integers(0, 2000))
+        seq = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVXBZ*U"), n).astype(np.uint8)
+        k = int(rng.integers(3, 8))
+        m = int(rng.integers(0, 3))
+        a = sketch_prot(seq, k, m)
+        b = sketch_prot_numpy(seq, k, m)
+        assert np.array_equal(a, b), (n, k, m)
