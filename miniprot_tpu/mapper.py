@@ -193,6 +193,8 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
             align_region(env, opt, mi, qlen, seq, r, el, er,
                          dbg_more_dp=bool(dbg.get("more_dp")))
         regs = finish_align(mi, opt, regs)
+    # don't let one pathological DP pin its traceback scratch forever
+    native._lib.mx_scratch_trim(64 << 20)
     return regs
 
 

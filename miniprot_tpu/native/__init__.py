@@ -582,6 +582,7 @@ def sketch_prot(seq: np.ndarray, aa13: np.ndarray, kmer: int,
     return out[:cnt]
 
 
+_lib.mx_scratch_trim.argtypes = [ct.c_int64]
 _lib.mx_idx_stat.argtypes = [_i64p, ct.c_int64, ct.c_int32, _i64p]
 
 

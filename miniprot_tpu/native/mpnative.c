@@ -699,6 +699,21 @@ static void *mx_scratch(int slot, size_t size)
 	return mx_scr[slot];
 }
 
+/* Release scratch slots above a byte threshold.  The grow-only slots
+ * otherwise pin the high-water mark (one 200kb-intron x 1000aa
+ * traceback is ~0.4 GB) for the process lifetime; the mapper trims
+ * between queries so RSS tracks the typical, not the worst, DP. */
+MX_EXPORT void mx_scratch_trim(int64_t threshold)
+{
+	int i;
+	for (i = 0; i < (int)(sizeof(mx_scr) / sizeof(mx_scr[0])); ++i)
+		if (mx_scr_cap[i] > (size_t)threshold) {
+			free(mx_scr[i]);
+			mx_scr[i] = 0;
+			mx_scr_cap[i] = 0;
+		}
+}
+
 
 
 /**************************************************
