@@ -3,9 +3,15 @@
 Usage: python examples/api_demo.py genome.fa[.gz]|index.mpi proteins.faa[.gz]
 """
 
+import os
 import sys
 
 import numpy as np
+
+try:
+    import miniprot_tpu  # noqa: F401  (installed package)
+except ModuleNotFoundError:  # running from a source checkout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from miniprot_tpu.bseq import read_fastx
 from miniprot_tpu.index import Index
