@@ -11,7 +11,8 @@ import sys
 
 from . import MP_VERSION, tables
 from .index import Index
-from .options import (F_GFF, F_GTF, F_NO_ALIGN, F_NO_CS, F_NO_PAF,
+from .options import (f32,
+                      F_GFF, F_GTF, F_NO_ALIGN, F_NO_CS, F_NO_PAF,
                       F_NO_PRE_CHAIN, F_SHOW_RESIDUE, F_SHOW_TRANS,
                       F_SHOW_UNMAP, IdxOpt, MapOpt)
 from .pipeline import map_file
@@ -140,9 +141,9 @@ def main(argv: list[str] | None = None) -> int:
             elif key == "outn":
                 mo.out_n = parse_num(val)
             elif key == "outs":
-                mo.out_sim = float(val)
+                mo.out_sim = f32(val)
             elif key == "outc":
-                mo.out_cov = float(val)
+                mo.out_cov = f32(val)
             elif key == "gff-delim":
                 mo.gff_delim = ord(val[0])
             elif key == "J2":
@@ -153,7 +154,7 @@ def main(argv: list[str] | None = None) -> int:
             elif key == "max-intron-out":
                 mo.max_intron_flank = (parse_num(val) + 1) // 2
             elif key == "ie-coef":
-                mo.ie_coef = float(val)
+                mo.ie_coef = f32(val)
             elif key == "spsc":
                 fn_spsc = val
             elif key == "spsc0":
@@ -226,7 +227,7 @@ def main(argv: list[str] | None = None) -> int:
             elif c == "K":
                 mo.mini_batch_size = parse_num(val)
             elif c == "p":
-                mo.pri_ratio = float(val)
+                mo.pri_ratio = f32(val)
             elif c == "N":
                 mo.best_n = parse_num(val)
             elif c == "S":
@@ -242,7 +243,7 @@ def main(argv: list[str] | None = None) -> int:
                 mo.io = int(val)
                 keep_io = 1
             elif c == "C":
-                mo.sp_scale = float(val)
+                mo.sp_scale = f32(val)
             elif c == "F":
                 mo.set_fs(int(val))
             elif c == "B":
@@ -256,7 +257,7 @@ def main(argv: list[str] | None = None) -> int:
             elif c == "u":
                 mo.flag |= F_SHOW_UNMAP
             elif c == "w":
-                mo.chn_coef_log = float(val)
+                mo.chn_coef_log = f32(val)
             elif c == "j":
                 mo.sp_model = int(val)
             elif c == "g":

@@ -184,7 +184,11 @@ def set_parent(mask_level: float, mask_len: int, regs: list[Region],
                 ol = 0 if ei < sj else (ei - sj if ei < ej else ej - sj)
             else:
                 ol = 0 if ej < si else (ej - si if ej < ei else ei - si)
-            if float(ol) / mn - float(uncov_len) / mx > mask_level and uncov_len <= mask_len:
+            # float32 arithmetic, exactly as hit.c:168:
+            # (float)ol/min - (float)uncov_len/max > mask_level
+            ovl = np.float32(np.float32(np.float32(ol) / np.float32(mn))
+                             - np.float32(np.float32(uncov_len) / np.float32(mx)))
+            if ovl > np.float32(mask_level) and uncov_len <= mask_len:
                 cnt_sub = 0
                 sci = ri.chn_sc
                 ri.parent = rp.parent
@@ -241,13 +245,16 @@ def select_sub(pri_ratio: float, min_diff: int, best_n: int,
         scp = rp.p.dp_max if rp.p is not None else rp.chn_sc
         if p == i:
             out.append(r)
-        elif (sci >= scp * pri_ratio or sci + min_diff >= scp) and n_2nd < best_n:
+        elif ((np.float32(sci) >= np.float32(np.float32(scp) * np.float32(pri_ratio))
+               or sci + min_diff >= scp) and n_2nd < best_n):
             if not (r.qs == rp.qs and r.qe == rp.qe and r.vid == rp.vid
                     and r.vs == rp.vs and r.ve == rp.ve):
                 out.append(r)
                 n_2nd += 1
         elif (r.p is None and rp.p is None and chn_sc_ungap > 0
-              and r.chn_sc_ungap >= chn_sc_ungap * pri_ratio and n_2nd < best_n):
+              and np.float32(r.chn_sc_ungap)
+              >= np.float32(np.float32(chn_sc_ungap) * np.float32(pri_ratio))
+              and n_2nd < best_n):
             if not (r.qs == rp.qs and r.qe == rp.qe and r.vid == rp.vid
                     and r.vs == rp.vs and r.ve == rp.ve):
                 out.append(r)

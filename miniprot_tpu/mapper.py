@@ -168,11 +168,13 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
                         min_sc=opt.min_chn_sc, chn_coef_log=opt.chn_coef_log,
                         is_spliced=is_splice, kmer=io.kmer, bbit=io.bbit)
     regs = reg_gen_from_block(mi, u, a)
-    if dbg.get("chain"):
-        _dbg_chain(mi, regs, io.bbit, "Y1")
     regs = sort_reg(regs)
     set_parent(opt.mask_level, opt.mask_len, regs, io.kmer, 0)
-    regs = select_sub(opt.pri_ratio * opt.pri_ratio, io.kmer * 2, opt.best_n, regs)
+    regs = select_sub(float(np.float32(np.float32(opt.pri_ratio)
+                                      * np.float32(opt.pri_ratio))),
+                      io.kmer * 2, opt.best_n, regs)
+    if dbg.get("chain"):  # the reference dumps after selection (map.c:203)
+        _dbg_chain(mi, regs, io.bbit, "Y1")
 
     # refinement round (map.c:205-222)
     if not dbg.get("no_refine"):
@@ -184,7 +186,9 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
                 kept.append(r)
         regs = sort_reg(kept)
         set_parent(opt.mask_level, opt.mask_len, regs, io.kmer, 0)
-        regs = select_sub(opt.pri_ratio * opt.pri_ratio, io.kmer * 2, opt.best_n, regs)
+        regs = select_sub(float(np.float32(np.float32(opt.pri_ratio)
+                                      * np.float32(opt.pri_ratio))),
+                      io.kmer * 2, opt.best_n, regs)
 
     # alignment round (map.c:223-237)
     if not (opt.flag & F_NO_ALIGN):

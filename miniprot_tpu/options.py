@@ -13,6 +13,17 @@ import numpy as np
 
 from . import tables
 
+
+def f32(x) -> float:
+    """Round to float32 precision.
+
+    The reference stores these options in C float fields
+    (miniprot.h:57-69); e.g. 0.99f rounds UP to ~0.9900000095, so the
+    output filter drops a hit with score 891 against best 900 where a
+    double 0.99 keeps it.  Keeping them float32-rounded doubles makes
+    every promoted-to-double comparison match the C bit for bit."""
+    return float(np.float32(x))
+
 # flag bits (miniprot.h:8-17)
 F_NO_SPLICE = 0x1
 F_NO_ALIGN = 0x2
@@ -68,12 +79,12 @@ class MapOpt:
     max_chn_max_skip: int = 25
     max_chn_iter: int = 1_000_000
     min_chn_sc: int = 0
-    chn_coef_log: float = 0.75
-    mask_level: float = 0.5
+    chn_coef_log: float = f32(0.75)
+    mask_level: float = f32(0.5)
     mask_len: int = 2**31 - 1
-    pri_ratio: float = 0.7
-    out_sim: float = 0.99
-    out_cov: float = 0.1
+    pri_ratio: float = f32(0.7)
+    out_sim: float = f32(0.99)
+    out_cov: float = f32(0.1)
     best_n: int = 30
     out_n: int = 1000
     kmer2: int = 5
@@ -82,11 +93,11 @@ class MapOpt:
     io: int = 29
     fs: int = 23
     io_end: int = 19
-    ie_coef: float = 0.5
+    ie_coef: float = f32(0.5)
     sp_model: int = tables.SP_GENERIC
     sp_null_bonus: int = -7
     sp_max_bonus: int = 14
-    sp_scale: float = 1.0
+    sp_scale: float = f32(1.0)
     xdrop: int = 100
     end_bonus: int = 5
     asize: int = 22

@@ -126,3 +126,26 @@ def test_frameshift_parity(ref_binary, fs_workload, mode):
     with contextlib.redirect_stdout(buf):
         assert cli.main([*mode, fa, faa]) == 0
     assert buf.getvalue() == ref
+
+
+def test_out_sim_float32_boundary(ref_binary, tmp_path):
+    """Regression: option floats live in C `float` fields (miniprot.h:57-69).
+    0.99f rounds UP, so with best=900 the out_sim filter threshold is
+    891.00000858 and a second hit scoring exactly 891 must be DROPPED;
+    a double 0.99 threshold (891.0) would keep it.  Found by the soak
+    harness (-u -S, seed 2129301922)."""
+    from miniprot_tpu.testgen import make_workload
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=1253313, n_genes=119, seed=2129301922,
+                  n_ctg=3, max_intron=8000, rev_frac=0.4, fs_frac=0.0,
+                  mut_rate=0.2)
+    mode = ["-u", "-S"]
+    ref = subprocess.run([ref_binary, "-t1", *mode, fa, faa],
+                         capture_output=True, text=True).stdout
+    import contextlib
+    import io
+    from miniprot_tpu import cli
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main(["-t1", *mode, fa, faa]) == 0
+    assert buf.getvalue() == ref
