@@ -42,6 +42,8 @@ def run_mine(args):
     ["--gff", "--gff-delim", "|"], ["--gff", "-P", "XX"],
     ["--outs", "0.5", "--outc", "0.3"], ["--ie-coef", "2.0"],
     ["--max-skip", "5"], ["-L", "15"], ["-b", "6"], ["-c", "50"],
+    ["-C", "0.5"], ["-C", "0"], ["-C", "2.5"], ["-F", "30"],
+    ["-e", "3000"], ["-g", "800"], ["-w", "1.25"],
 ])
 def test_flag_parity(ref_binary, workload, mode):
     fa, faa, _ = workload
