@@ -112,14 +112,18 @@ class Index:
         # sorted+deduped per strand with disjoint, part-order-increasing
         # block ranges, so per-bucket concatenation in part order equals
         # the globally sorted bucket contents
+        # one int64 array serves as counts -> scatter cursors -> final ki
+        # (three fewer 64MB first-touch allocations than the naive
+        # counts/ki/cursors split; the array walk itself is cheap)
         n_bucket = opt.n_bucket
-        counts = np.zeros(n_bucket, np.int64)
+        ki = np.zeros(n_bucket, np.int64)
         for p in parts:
-            native.count_bucket(p, counts)
-        ki, cursors = native.bucket_prep(counts)
+            native.count_bucket(p, ki)
+        native.bucket_scan(ki)
         kb = np.empty(sum(len(p) for p in parts), np.uint32)
         for p in parts:
-            native.scatter_bucket(p, cursors, kb)
+            native.scatter_bucket(p, ki, kb)
+        native.bucket_shift(ki)
         sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
         native.release_sketch_buf()
         profiler.stop("index_build")

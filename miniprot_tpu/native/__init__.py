@@ -534,6 +534,8 @@ def refine_pairs(sd: np.ndarray, max_ava: int) -> np.ndarray:
 _lib.mx_count_bucket.argtypes = [_u64p, ct.c_int64, _i64p]
 _lib.mx_scatter_bucket.argtypes = [_u64p, ct.c_int64, _i64p, _u32p]
 _lib.mx_bucket_prep.argtypes = [_i64p, ct.c_int64, _i64p, _i64p]
+_lib.mx_bucket_scan.argtypes = [_i64p, ct.c_int64]
+_lib.mx_bucket_shift.argtypes = [_i64p, ct.c_int64]
 
 
 def bucket_prep(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -543,6 +545,19 @@ def bucket_prep(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cursors = np.empty(n, np.int64)
     _lib.mx_bucket_prep(counts, n, ki, cursors)
     return ki, cursors
+
+
+def bucket_scan(ki: np.ndarray) -> None:
+    """In-place exclusive scan: counts -> start offsets."""
+    assert ki.dtype == np.int64
+    _lib.mx_bucket_scan(ki, len(ki))
+
+
+def bucket_shift(ki: np.ndarray) -> None:
+    """In-place end-offsets -> start-offsets shift (after a scatter that
+    used ki as its cursor array)."""
+    assert ki.dtype == np.int64
+    _lib.mx_bucket_shift(ki, len(ki))
 
 
 def count_bucket(a: np.ndarray, counts: np.ndarray) -> None:

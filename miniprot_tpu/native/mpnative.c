@@ -2267,6 +2267,31 @@ MX_EXPORT void mx_scatter_bucket(const uint64_t *a, int64_t n,
 	for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
 }
 
+/* In-place exclusive scan: per-bucket counts -> start offsets.  Lets
+ * one int64 array serve as counts, then scatter cursors, then the final
+ * ki table (the reference's build_bidx reuses ki the same way,
+ * index.c:71-95) - on this target the dominant cost of the bucket build
+ * is first-touch page faults on fresh arrays, so one array instead of
+ * three (counts/ki/cursors) is a direct wall-clock win. */
+MX_EXPORT void mx_bucket_scan(int64_t *ki, int64_t n)
+{
+	int64_t i, s = 0;
+	for (i = 0; i < n; ++i) {
+		int64_t c = ki[i];
+		ki[i] = s;
+		s += c;
+	}
+}
+
+/* After scattering with ki as the cursor array, each ki[h] holds its
+ * bucket's END offset == the next bucket's start; restore start offsets
+ * with a one-slot backward shift. */
+MX_EXPORT void mx_bucket_shift(int64_t *ki, int64_t n)
+{
+	if (n > 1) memmove(ki + 1, ki, (size_t)(n - 1) * sizeof(int64_t));
+	if (n > 0) ki[0] = 0;
+}
+
 /* Protein modimer sketch (mp_sketch_prot, sketch.c:18-38): rolling
  * 4-bit reduced-alphabet k-mer, reset at ambiguous residues (aa13 code
  * >= 14), keep windows whose hash has the low mod_bit bits zero.

@@ -313,6 +313,23 @@ def test_bucket_prep_matches_numpy():
     assert np.array_equal(ki, want) and np.array_equal(cursors, want)
 
 
+def test_bucket_scan_shift_roundtrip():
+    """The in-place counts->offsets->cursors->offsets cycle used by
+    Index.build (one array instead of counts/ki/cursors)."""
+    from miniprot_tpu import native
+    rng = np.random.default_rng(5)
+    counts = rng.integers(0, 7, 100000).astype(np.int64)
+    want = np.concatenate([[0], np.cumsum(counts[:-1])])
+    ki = counts.copy()
+    native.bucket_scan(ki)
+    assert np.array_equal(ki, want)
+    # a full scatter advances each cursor by its bucket's count,
+    # leaving end offsets; shift restores start offsets
+    end = ki + counts
+    native.bucket_shift(end)
+    assert np.array_equal(end, want)
+
+
 def test_sketch_prot_c_matches_numpy():
     from miniprot_tpu.sketch import sketch_prot, sketch_prot_numpy
     rng = np.random.default_rng(6)
