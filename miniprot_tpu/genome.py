@@ -48,24 +48,59 @@ class NtDB:
 
     @classmethod
     def from_fasta(cls, fn: str) -> "NtDB":
-        """Read a (gzipped) FASTA into a packed DB (mp_ntseq_read, ntseq.c:29-77)."""
+        """Read a (gzipped) FASTA into a packed DB (mp_ntseq_read, ntseq.c:29-77).
+
+        Fast path: one whole-file read + a single C pass per record that
+        strips newlines, maps nt4 and packs nibbles in place (mx_fa_pack).
+        FASTQ and unusual layouts fall back to the streaming parser."""
         db = cls()
         nt4 = tables.get_tables(1).nt4  # nt4 mapping is code-independent
-        codes: list[np.ndarray] = []
-        off = 0
-        for rec in read_fasta_all(fn):
-            c = nt4[np.frombuffer(rec.seq, dtype=np.uint8)]
-            db.ctg.append(Contig(rec.name, off, len(c)))
-            off += len(c)
-            codes.append(c)
-        db.l_seq = off
+        from . import native
+        from .bseq import _open_maybe_gzip, _split_hdr
+        data = None
+        with _open_maybe_gzip(fn) as f:
+            head = f.peek(1)[:1] if hasattr(f, "peek") else b""
+            if head == b">":
+                data = f.read()
+        if data is None:
+            # FASTQ / non-FASTA genome: streaming parser, per-record pack
+            packed_parts: list[np.ndarray] = []
+            off = 0
+            for rec in read_fasta_all(fn):
+                c = nt4[np.frombuffer(rec.seq, dtype=np.uint8)]
+                db.ctg.append(Contig(rec.name, off, len(c)))
+                off += len(c)
+                packed_parts.append(c)
+            flat = (np.concatenate(packed_parts) if packed_parts
+                    else np.empty(0, np.uint8))
+            del packed_parts
+            if len(flat) & 1:
+                flat = np.concatenate([flat, np.zeros(1, np.uint8)])
+            db.l_seq = off
+            db.seq = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+        else:
+            packed = np.zeros(len(data) // 2 + 1, np.uint8)
+            off = 0
+            pos = data.find(b">")
+            while pos >= 0:
+                hdr_end = data.find(b"\n", pos)
+                if hdr_end < 0:  # header-only final record without newline
+                    name, _ = _split_hdr(data[pos + 1:].rstrip(b"\r"))
+                    db.ctg.append(Contig(name, off, 0))
+                    break
+                nxt = data.find(b"\n>", hdr_end)
+                body_end = len(data) if nxt < 0 else nxt + 1
+                name, _ = _split_hdr(data[pos + 1:hdr_end].rstrip(b"\r"))
+                new_off = native.fa_pack(data, hdr_end + 1, body_end, nt4,
+                                         packed, off)
+                db.ctg.append(Contig(name, off, new_off - off))
+                off = new_off
+                pos = -1 if nxt < 0 else nxt + 1
+            db.l_seq = off
+            db.seq = packed[: (off + 1) // 2]
         from . import sysutil
         sysutil.log("NtDB.from_fasta", "read %d bases in %d contigs",
                     db.l_seq, db.n_ctg)
-        flat = np.concatenate(codes) if codes else np.empty(0, np.uint8)
-        if len(flat) & 1:
-            flat = np.concatenate([flat, np.zeros(1, np.uint8)])
-        db.seq = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
         return db
 
     @property

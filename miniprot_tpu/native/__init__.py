@@ -536,6 +536,9 @@ _lib.mx_scatter_bucket.argtypes = [_u64p, ct.c_int64, _i64p, _u32p]
 _lib.mx_bucket_prep.argtypes = [_i64p, ct.c_int64, _i64p, _i64p]
 _lib.mx_bucket_scan.argtypes = [_i64p, ct.c_int64]
 _lib.mx_bucket_shift.argtypes = [_i64p, ct.c_int64]
+_lib.mx_fa_pack.argtypes = [ct.c_char_p, ct.c_int64, ct.c_int64, _u8p,
+                            _u8p, ct.c_int64]
+_lib.mx_fa_pack.restype = ct.c_int64
 
 
 def bucket_prep(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -558,6 +561,17 @@ def bucket_shift(ki: np.ndarray) -> None:
     used ki as its cursor array)."""
     assert ki.dtype == np.int64
     _lib.mx_bucket_shift(ki, len(ki))
+
+
+def fa_pack(data: bytes, st: int, en: int, nt4: np.ndarray,
+            packed: np.ndarray, off: int) -> int:
+    """Append the bases of data[st:en] (newlines skipped, chars mapped
+    via nt4) to the 4-bit packed stream at base offset off; returns the
+    new base offset."""
+    assert packed.dtype == np.uint8 and nt4.dtype == np.uint8
+    assert 0 <= st <= en <= len(data)
+    assert (off + (en - st) + 1) // 2 <= len(packed)
+    return _lib.mx_fa_pack(data, st, en, nt4, packed, off)
 
 
 def count_bucket(a: np.ndarray, counts: np.ndarray) -> None:

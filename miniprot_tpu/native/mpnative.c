@@ -2292,6 +2292,28 @@ MX_EXPORT void mx_bucket_shift(int64_t *ki, int64_t n)
 	if (n > 0) ki[0] = 0;
 }
 
+/* One-pass FASTA body packer (mp_ntseq_read's inner loop, ntseq.c:29-77):
+ * append the bases of body[st:en] - skipping newlines - to the 4-bit
+ * packed genome stream at base offset off (low nibble first), mapping
+ * characters through nt4[].  Returns the new base offset.  Replaces a
+ * newline-strip copy + table gather + concatenate + strided-interleave
+ * pack chain in numpy (4-5 full-size intermediates). */
+MX_EXPORT int64_t mx_fa_pack(const uint8_t *body, int64_t st, int64_t en,
+                             const uint8_t *nt4, uint8_t *packed, int64_t off)
+{
+	int64_t i, o = off;
+	for (i = st; i < en; ++i) {
+		uint8_t ch = body[i];
+		uint8_t c;
+		if (ch == '\n' || ch == '\r') continue;
+		c = nt4[ch];
+		if (o & 1) packed[o >> 1] |= (uint8_t)(c << 4);
+		else packed[o >> 1] = c;
+		++o;
+	}
+	return o;
+}
+
 /* Protein modimer sketch (mp_sketch_prot, sketch.c:18-38): rolling
  * 4-bit reduced-alphabet k-mer, reset at ambiguous residues (aa13 code
  * >= 14), keep windows whose hash has the low mod_bit bits zero.
