@@ -97,6 +97,17 @@ _SHORT_ARG = "kMLslbTtdcnmKpNOEJCFGegBPwjo"
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if "--tpu" in argv:
+        # Initialize the accelerator backend before any slow host work:
+        # on relay-attached devices (axon) the claim made at process
+        # start expires if the first backend touch comes seconds later,
+        # and a late first init then fails for the process's lifetime.
+        try:
+            import jax
+            jax.devices()
+        except Exception as e:  # degrade to host path in map_file
+            sys.stderr.write(f"WARNING: TPU backend unavailable ({e}); "
+                             "--tpu will fall back to the host engine\n")
     io = IdxOpt()
     mo = MapOpt()
     n_threads = 4

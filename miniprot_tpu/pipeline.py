@@ -143,8 +143,15 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     n_mapped = 0
     engine = None
     if use_tpu:
-        from .device import TpuExtEngine
-        engine = TpuExtEngine(opt)
+        try:
+            import jax
+            jax.devices()  # fail fast if no usable backend
+            from .device import TpuExtEngine
+            engine = TpuExtEngine(opt)
+        except Exception as e:
+            sys.stderr.write(f"WARNING: TPU engine unavailable ({e}); "
+                             "mapping on the host engine instead\n")
+            engine = None
     n_workers = max(1, min(n_threads, os.cpu_count() or 1))
     pool = _make_pool(mi, opt, n_workers) if n_workers > 1 else None
     pre = _Prefetcher(reader, opt.mini_batch_size)
