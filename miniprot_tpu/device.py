@@ -111,20 +111,47 @@ class TpuExtEngine:
             buckets.setdefault((al_b, nl_b), []).append(i)
         # two-phase dispatch: launch every batch (async device queue +
         # pipelined transfers), then collect — the device works on batch
-        # k while the host preps/ships batch k+1
+        # k while the host preps/ships batch k+1.  Jobs without an
+        # external splice track ship only raw nt4 windows (device-side
+        # prep, ~4.5x less transfer); --spsc jobs keep host prep.
+        from . import tables
+        from .sysutil import profiler
+        T = tables.get_tables()
         pending = []
         for (al_b, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), nk.B_LANES):
                 chunk = idxs[c0:c0 + nk.B_LANES]
-                batch = nk.ExtBatch(al_b, nl_b, self.mat, self.scalars)
-                for i in chunk:
-                    job = self.ext_jobs[i]
-                    nas, aas, d, a = self._prep(job, job.ext_left, job.io)
-                    batch.add(nas, aas, d, a, io=job.io)
-                pending.append((chunk, batch, batch.launch(self.interpret)))
-                self.n_tpu += len(chunk)
-                from .sysutil import profiler
-                profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n)
+                raw_idx = [i for i in chunk if self.ext_jobs[i].ss is None]
+                old_idx = [i for i in chunk if self.ext_jobs[i].ss is not None]
+                if raw_idx:
+                    batch = nk.RawExtBatch(
+                        al_b, nl_b, self.mat, self.scalars, sp=self.sp,
+                        trans_code=tables._default_code)
+                    for i in raw_idx:
+                        job = self.ext_jobs[i]
+                        nt4 = T.nt4[job.nsq]
+                        aas = T.aa20[job.asq]
+                        if job.ext_left:
+                            nt4 = nt4[::-1]
+                            aas = aas[::-1]
+                        batch.add_raw(nt4, aas, io=job.io,
+                                      ext_left=job.ext_left)
+                    pending.append((raw_idx, batch,
+                                    batch.launch(self.interpret)))
+                    self.n_tpu += len(raw_idx)
+                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
+                                        batch.n)
+                if old_idx:
+                    batch = nk.ExtBatch(al_b, nl_b, self.mat, self.scalars)
+                    for i in old_idx:
+                        job = self.ext_jobs[i]
+                        nas, aas, d, a = self._prep(job, job.ext_left, job.io)
+                        batch.add(nas, aas, d, a, io=job.io)
+                    pending.append((old_idx, batch,
+                                    batch.launch(self.interpret)))
+                    self.n_tpu += len(old_idx)
+                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
+                                        batch.n)
         for chunk, batch, handles in pending:
             for i, r in zip(chunk, batch.collect(handles)):
                 self.ext_jobs[i].result = r

@@ -558,3 +558,259 @@ class ExtBatch:
         # kernel (nasw-sse.c:435-443)
         return [(int(max_sc[b]), int(max_i[b]) + 1, int(aal[b]) + 1)
                 for b in range(self.n)]
+
+
+# ---------------------------------------------------------------------------
+# Device-side problem prep ("raw" path)
+#
+# The classic ExtBatch ships host-built tracks (nas, donor, acceptor,
+# logpen, masks) — ~27MB per full batch at the largest bucket.  All of
+# them are pure functions of the raw nt4 window, the per-problem scalars
+# and constant tables, so this path ships only
+#     nt (n_rows+8, B) int8  +  prof (6, al, B) int32  +  per-lane scalars
+# (~6MB) and rebuilds the tracks on device with fused XLA elementwise
+# ops feeding the same Pallas kernel.  Splice prep mirrors
+# ns_prep_seq / ns_prep_seq_left (nasw-sse.c:106-210) exactly; jobs with
+# an external --spsc track keep the host-prep path.
+# ---------------------------------------------------------------------------
+
+
+def _sd(x, k, fill):
+    """Shift down along axis 0 by k: out[i] = x[i-k], fill on top."""
+    if k == 0:
+        return x
+    top = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([top, x[:-k]], axis=0)
+
+
+def _su(x, k, fill):
+    """Shift up along axis 0 by k: out[i] = x[i+k], fill at bottom."""
+    if k == 0:
+        return x
+    bot = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[k:], bot], axis=0)
+
+
+def _sp_sel(t, sp):
+    """sp[t] for t in {-1..4}: t<0 -> 0 (select chain; sp is static)."""
+    v = jnp.full_like(t, int(sp[3]))
+    for k in (0, 1, 2, 4):
+        v = jnp.where(t == k, int(sp[k]), v)
+    return jnp.where(t < 0, 0, v)
+
+
+def _prep_tracks_device(nt8, leftb, iov, als, nlv1, *, sp, codon, thr,
+                        n_rows, al):
+    """Rebuild the kernel input tracks from raw nt4 codes on device.
+
+    nt8: (n_rows+8, B) int8 nt4 codes (already reversed for left-
+    extension lanes); leftb/iov/als/nlv1: (1, B) per-lane scalars.
+    Returns (nas, D, A, logpen, nlv, endmask, qpad) matching the host
+    prep (prep_problem + ExtBatch.add) bit-for-bit.
+    """
+    R8 = n_rows + 8
+    nt = nt8.astype(jnp.int32)
+    left = leftb.astype(jnp.int32) != 0          # (1,B) bool
+    nl = nlv1.astype(jnp.int32)                  # (1,B)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R8, B_LANES), 0)
+    ntm1 = _sd(nt, 1, 4)
+    ntm2 = _sd(nt, 2, 4)
+    ntp1 = _su(nt, 1, 4)
+    ntp2 = _su(nt, 2, 4)
+    ntp3 = _su(nt, 3, 4)
+
+    # --- nas: translated codon ending at row i (nasw-sse.c:91-104).
+    # fwd: codon (nt[i-2], nt[i-1], nt[i]); left (on the reversed seq):
+    # codon (ntr[i], ntr[i-1], ntr[i-2]) shifted by the host's 2-row pad
+    ok3 = (ntm2 < 4) & (ntm1 < 4) & (nt < 4) & (rows >= 2)
+    okl = ok3 & (rows <= nl - 1)
+    cod_f = (ntm2 << 4) | (ntm1 << 2) | nt
+    cod_l = (nt << 4) | (ntm1 << 2) | ntm2
+    ok = jnp.where(left, okl, ok3)
+    cod = jnp.where(ok, jnp.where(left, cod_l, cod_f), 0)
+    codon_t = jnp.asarray(np.asarray(codon, np.int32))
+    nas = jnp.where(ok, jnp.take(codon_t, cod, axis=0), 21)
+
+    sp3 = int(sp[3])
+    sp5 = int(sp[5])
+
+    # --- forward donor (nasw-sse.c:120-127): donor[i] from nt[i..i+3]
+    gt = (ntp1 == 2) & (ntp2 == 3)
+    gtr = gt & ((ntp3 == 0) | (ntp3 == 2))
+    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.where((ntp1 == 0) & (ntp2 == 3), 2, t)                 # AT.
+    t = jnp.where((ntp1 == 2) & (ntp2 == 1) & (nt == 2), 1, t)     # GGC.
+    t = jnp.where(gt & ~gtr, 0, t)
+    t = jnp.where(gtr & (nt != 2), 4, t)
+    t = jnp.where(gtr & (nt == 2), -1, t)
+    donor_f = jnp.where(rows <= nl - 4, _sp_sel(t, sp), sp3)
+
+    # --- forward acceptor (nasw-sse.c:128-137): acceptor[i] from
+    # nt[i-2..i] + poly-Y window notY[i-6..i-4]
+    notY = jnp.where((nt != 1) & (nt != 3), sp5, 0)
+    ag = (ntm1 == 0) & (nt == 2)
+    yag = ag & (rows >= 2) & ((ntm2 == 1) | (ntm2 == 3))
+    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.where((ntm1 == 0) & (nt == 1), 2, t)                   # .AC
+    t = jnp.where(ag & ~yag, 0, t)
+    t = jnp.where(yag, -1, t)
+    penY = _sd(notY, 4, 0) + _sd(notY, 5, 0) + _sd(notY, 6, 0)
+    acc = _sp_sel(t, sp)
+    acc = jnp.where((t == -1) | (t == 0), acc + penY, acc)
+    acceptor_f = jnp.where((rows >= 1) & (rows <= nl - 1), acc, sp3)
+
+    # --- reversed-sequence donor (acceptor role; nasw-sse.c:171-180)
+    ga = (ntp1 == 2) & (ntp2 == 0)
+    gay = ga & ((ntp3 == 1) | (ntp3 == 3))
+    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.where((ntp1 == 1) & (ntp2 == 0), 2, t)                 # CA.
+    t = jnp.where(ga & ~gay, 0, t)
+    t = jnp.where(gay, -1, t)
+    penY = (jnp.where(rows + 5 < nl, _su(notY, 5, 0), 0)
+            + jnp.where(rows + 6 < nl, _su(notY, 6, 0), 0)
+            + jnp.where(rows + 7 < nl, _su(notY, 7, 0), 0))
+    dn = _sp_sel(t, sp)
+    dn = jnp.where((t == -1) | (t == 0), dn + penY, dn)
+    donor_r = jnp.where(rows <= nl - 4, dn, sp3)
+
+    # --- reversed-sequence acceptor (donor role; nasw-sse.c:181-188)
+    tg = (ntm1 == 3) & (nt == 2)
+    tg_ok = tg & (rows >= 2) & ((ntm2 == 0) | (ntm2 == 2))
+    in_p1 = rows + 1 < nl
+    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.where((ntm1 == 3) & (nt == 0), 2, t)                   # .TA
+    t = jnp.where((ntm1 == 1) & (nt == 2) & in_p1 & (ntp1 == 1), 1, t)
+    t = jnp.where(tg & ~tg_ok, 0, t)
+    t = jnp.where(tg_ok & ~(in_p1 & (ntp1 == 2)), 4, t)
+    t = jnp.where(tg_ok & in_p1 & (ntp1 == 2), -1, t)
+    acceptor_r = jnp.where((rows >= 1) & (rows <= nl - 1),
+                           _sp_sel(t, sp), sp3)
+
+    donor = jnp.where(left, donor_r, donor_f)
+    acceptor = jnp.where(left, acceptor_r, acceptor_f)
+    # ExtBatch.add copies only rows [0, nl] (rest stays 0) and folds io
+    in_track = rows <= nl
+    D = jnp.where(in_track, donor + iov, 0)
+    A = jnp.where(in_track, acceptor, 0)
+
+    # --- logpen: pen(x) = #thresholds <= x, x = row - 3*al.  thr is the
+    # static, host-computed increment table of the reference's
+    # (int)(ie_coef*ns_log2(x)+.5) curve, so no device float log is
+    # needed (bit-parity with mp_log2_f32 regardless of FMA contraction)
+    x = rows[:n_rows] - 3 * als
+    pen = jnp.zeros((n_rows, B_LANES), jnp.int32)
+    for tk in thr:
+        pen = pen + (x >= tk).astype(jnp.int32)
+
+    # --- per-problem masks from al
+    arows = jax.lax.broadcasted_iota(jnp.int32, (al, B_LANES), 0)
+    qpad = (arows >= als).astype(jnp.int32)
+    endmask = (arows == als - 1).astype(jnp.int32)
+
+    nlv = jnp.broadcast_to(nl, (8, B_LANES))
+    return nas[:n_rows], D, A, pen, nlv, endmask, qpad
+
+
+@functools.lru_cache(maxsize=128)
+def _logpen_thresholds(ie_coef, max_x):
+    """x values where the reference's int log-penalty increments.
+
+    pen(x) = 0 for x < 2 else (int)(ie_coef*ns_log2(x)+.5)
+    (nasw-sse.c:426); returns the ascending thresholds t_k so that
+    pen(x) == #{k: t_k <= x}.  The curve is nondecreasing on x >= 2
+    (asserted) so the threshold form is exact.
+    """
+    xs = np.arange(2, max(max_x, 2) + 1)
+    pen = (np.float32(ie_coef) * tables.mp_log2_f32(xs)
+           + np.float32(0.5)).astype(np.int32)
+    assert np.all(np.diff(pen) >= 0), "log-penalty curve not monotone"
+    pen = np.concatenate([[0, 0], pen])  # x = 0, 1
+    kmax = int(pen[-1])
+    thr = np.searchsorted(pen, np.arange(1, kmax + 1), side="left")
+    return tuple(int(v) for v in thr)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_ext_raw(al, n_rows, go, ge, fs, xdrop, end_bonus,
+                      sp_key, trans_code, thr, interpret):
+    call = _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret)
+    sp = np.asarray(sp_key, np.int32)
+    codon = tables.get_tables(trans_code).codon
+
+    def wrapped(nt8, leftb, iov, als, nlv1, prof):
+        nas, D, A, logpen, nlv, endmask, qpad = _prep_tracks_device(
+            nt8, leftb, iov.astype(jnp.int32), als.astype(jnp.int32),
+            nlv1, sp=sp, codon=codon, thr=thr, n_rows=n_rows, al=al)
+        z1 = jnp.zeros((1, B_LANES), jnp.int32)
+        z2 = jnp.zeros((2, B_LANES), jnp.int32)
+        d0 = D[:n_rows]
+        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+        dp1 = D[1:n_rows + 1]
+        a0 = A[:n_rows]
+        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+        return call(nas, dm1, d0, dp1, a0, am1, am2,
+                    logpen, nlv, prof, endmask, qpad)
+
+    return jax.jit(wrapped)
+
+
+class RawExtBatch:
+    """Extension batch shipping raw nt windows; prep runs on device."""
+
+    def __init__(self, al_pad: int, nl_pad: int, mat: np.ndarray, opt_scalars,
+                 *, sp, trans_code: int = 1):
+        self.al = al_pad
+        self.nl = ((nl_pad + ROW_CHUNK - 1) // ROW_CHUNK) * ROW_CHUNK
+        (self.go, self.ge, self.fs, self.default_io, self.xdrop,
+         self.end_bonus, self.ie_coef) = opt_scalars
+        self.mat = mat.reshape(22, 22)
+        self.sp_key = tuple(int(v) for v in np.asarray(sp).reshape(-1))
+        self.trans_code = trans_code
+        self.nt = np.zeros((self.nl + 8, B_LANES), np.int8)
+        self.leftb = np.zeros((1, B_LANES), np.int8)
+        self.iov = np.zeros((1, B_LANES), np.int32)
+        self.als = np.ones((1, B_LANES), np.int32)
+        self.nlv1 = np.zeros((1, B_LANES), np.int32)
+        self.prof = np.zeros((6, self.al, B_LANES), np.int32)
+        self.n = 0
+
+    def add_raw(self, nt4: np.ndarray, aas: np.ndarray, *, io=None,
+                ext_left=False):
+        """Queue one problem from nt4 codes + aa20 query codes (both
+        already reversed by the caller for left extensions)."""
+        b = self.n
+        io = self.default_io if io is None else io
+        nl, al = len(nt4), len(aas)
+        assert nl <= self.nl and al <= self.al and b < B_LANES
+        self.nt[:nl, b] = nt4
+        self.leftb[0, b] = 1 if ext_left else 0
+        self.iov[0, b] = io
+        self.als[0, b] = al
+        self.nlv1[0, b] = nl
+        col = self.mat[:, aas].astype(np.int32) & 0xFF
+        packed = np.zeros((6, al), np.int32)
+        for g in range(6):
+            for s in range(4):
+                a_row = 4 * g + s
+                if a_row < 22:
+                    packed[g] |= col[a_row] << (8 * s)
+        self.prof[:, :al, b] = packed
+        self.n += 1
+        return b
+
+    def launch(self, interpret=None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        thr = _logpen_thresholds(float(np.float32(self.ie_coef)), self.nl)
+        call = _compiled_ext_raw(self.al, self.nl, self.go, self.ge, self.fs,
+                                 self.xdrop, self.end_bonus, self.sp_key,
+                                 self.trans_code, thr, interpret)
+        return call(jnp.asarray(self.nt), jnp.asarray(self.leftb),
+                    jnp.asarray(self.iov), jnp.asarray(self.als),
+                    jnp.asarray(self.nlv1), jnp.asarray(self.prof))
+
+    collect = ExtBatch.collect
+
+    def run(self, interpret=None):
+        return self.collect(self.launch(interpret))

@@ -172,3 +172,101 @@ def test_device_chain_matches_windowed_dp():
     diff = np.abs(f_dev.astype(np.int64) - f_ref)
     assert (diff <= 1).all()
     assert (diff == 0).mean() > 0.99
+
+
+def test_device_prep_matches_host_prep():
+    """_prep_tracks_device (raw-path XLA prep) is bit-identical to the
+    host prep_problem + ExtBatch.add track semantics, mixed left/right
+    lanes and per-lane io/al/nl (runs on any backend: plain jnp ops)."""
+    import jax
+    import jax.numpy as jnp
+    from miniprot_tpu.kernels import nasw_pallas as nk
+
+    rng = np.random.default_rng(33)
+    T = tables.get_tables(1)
+    for sp_model in (1, 2):
+        sp = tables.splice_model_scores(sp_model)
+        R, AL, B = nk.ROW_CHUNK, 64, nk.B_LANES
+        nt8 = np.zeros((R + 8, B), np.int8)
+        leftb = np.zeros((1, B), np.int8)
+        iov = np.zeros((1, B), np.int32)
+        als = np.ones((1, B), np.int32)
+        nlv1 = np.zeros((1, B), np.int32)
+        jobs = []
+        for b in range(B):
+            nl = int(rng.integers(5, R))
+            al = int(rng.integers(2, AL))
+            nsq = rng.choice(list(b"ACGTNacgtn"), nl).astype(np.uint8)
+            asq = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+            left = bool(rng.integers(0, 2))
+            io = int(rng.integers(5, 60))
+            jobs.append((nsq, asq, left, io, nl, al))
+            nt = T.nt4[nsq]
+            nt8[:nl, b] = nt[::-1] if left else nt
+            leftb[0, b] = left
+            iov[0, b] = io
+            als[0, b] = al
+            nlv1[0, b] = nl
+        thr = nk._logpen_thresholds(0.5, R)
+        f = jax.jit(lambda *a: nk._prep_tracks_device(
+            *a, sp=sp, codon=T.codon, thr=thr, n_rows=R, al=AL))
+        nas_d, D_d, A_d, pen_d, _, em_d, qp_d = [
+            np.asarray(x) for x in f(nt8, jnp.asarray(leftb),
+                                     jnp.asarray(iov), jnp.asarray(als),
+                                     jnp.asarray(nlv1))]
+        for b, (nsq, asq, left, io, nl, al) in enumerate(jobs):
+            nas, _, donor, acceptor = prep_problem(
+                nsq, asq, sp=sp, sp_null_bonus=-7, io=io, ext_left=left)
+            D_h = np.zeros(R + 8, np.int32)
+            D_h[:nl + 1] = donor.astype(np.int32)[:nl + 1] + io
+            A_h = np.zeros(R + 8, np.int32)
+            A_h[:nl + 1] = acceptor.astype(np.int32)[:nl + 1]
+            x = np.arange(R) - 3 * al
+            pen_h = np.where(x < 2, 0,
+                             (np.float32(0.5) * tables.mp_log2_f32(np.maximum(x, 2))
+                              + np.float32(0.5)).astype(np.int32))
+            assert np.array_equal(nas_d[:nl, b], nas), (sp_model, b)
+            assert np.array_equal(D_d[:, b], D_h), (sp_model, b)
+            assert np.array_equal(A_d[:, b], A_h), (sp_model, b)
+            assert np.array_equal(pen_d[:, b], pen_h), (sp_model, b)
+            assert np.array_equal(qp_d[:, b], (np.arange(AL) >= al)), b
+            assert np.array_equal(em_d[:, b], (np.arange(AL) == al - 1)), b
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_raw_ext_batch_matches_host_dp():
+    """RawExtBatch (raw nt upload + device prep) reproduces the host
+    striped DP exactly, mixed left/right lanes with per-lane io."""
+    from miniprot_tpu.kernels.nasw_pallas import RawExtBatch
+    from miniprot_tpu.native import DPF_EXT_LEFT, DPF_EXT_RIGHT
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    rng = np.random.default_rng(11)
+    batch = RawExtBatch(al_pad=128, nl_pad=256, mat=mat,
+                        opt_scalars=(11, 1, 23, 29, 100, 5, 0.5), sp=sp,
+                        trans_code=1)
+    cases = []
+    for _ in range(16):
+        nl = int(rng.integers(10, 250))
+        al = int(rng.integers(1, 120))
+        ext_left = bool(rng.integers(0, 2))
+        io = int(rng.choice([19, 29]))
+        ns = rng.choice(list(b"ACGT"), nl).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), al).astype(np.uint8)
+        cases.append((ns, aa, ext_left, io))
+        nt4 = T.nt4[ns]
+        aas = T.aa20[aa]
+        if ext_left:
+            nt4 = nt4[::-1]
+            aas = aas[::-1]
+        batch.add_raw(nt4, aas, io=io, ext_left=ext_left)
+    for (ns, aa, ext_left, io), got in zip(cases, batch.run(interpret=False)):
+        kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+                  sp_null_bonus=-7, go=11, ge=1, io=io, fs=23, xdrop=100,
+                  end_bonus=5, ie_coef=0.5)
+        rsc, rntl, raal, _ = native.dp16(
+            ns, aa, flag=DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT, **kw)
+        assert got == (rsc, rntl, raal)
