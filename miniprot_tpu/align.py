@@ -273,11 +273,15 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
                        dbg_more_dp: bool = False):
     """Per-region alignment as a generator (mp_align, align.c:239-342).
 
-    Yields ("ext", nsq, asq, ss, io, ext_left) extension-DP requests and
-    expects (score, nt_len, aa_len) sent back; this lets the pipeline
-    batch extension DPs across regions/queries onto the TPU Pallas
-    kernel while the host-C path answers each request inline.
-    Gap-patching CIGAR DPs stay synchronous (small rectangles).
+    Yields LISTS of DP requests — ("ext", nsq, asq, ss, io, ext_left)
+    expecting (score, nt_len, aa_len) back, or ("cigars", jobs)
+    expecting [(score, cigar), ...] — and receives the matching list of
+    results at each send.  The rounds are arranged to minimize device
+    round trips: round 1 issues the left AND right extensions together
+    (the right extension's rectangle depends only on the anchor walk,
+    not on the left result), round 2 only the io_end retries when
+    needed, round 3 one merged CIGAR batch covering the left-clip
+    rectangle, every anchor gap and the right-tail rectangle.
     """
     assert r.cnt > 0
     i0 = 0
@@ -310,19 +314,63 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     cig: list[int] = []
     score = 0
 
-    # left extension (align.c:280-301)
+    # anchor walk first: the right extension's rectangle depends only on
+    # the last marked anchor, so both extensions issue in one round
     vs1 = vs0 + int(r.a[i0] >> np.uint64(32)) + 1
     as1 = int(r.a[i0] & np.uint64(0x7FFFFFFF)) + 1
-    _, nt_len, aa_len = yield ("ext", nt[: vs1 - as_], aa[:as1],
-                               None if ss is None else ss[: vs1 - as_],
-                               env.io, True)
-    if aa_len != as1 and nt_len < opt.max_ext and env.io > env.io_end:
+    if dbg_more_dp:
+        ne1s = ae1s = None
+        r_ve, r_qe = r.ve, r.qe
+    else:
+        av = r.a[i0:r.cnt]
+        mk = np.flatnonzero((av >> np.uint64(31)) & np.uint64(1))
+        sel = av[mk]          # i0 itself is marked, so mk is non-empty
+        ne1s = ((sel >> np.uint64(32)).astype(np.int64) + 1).tolist()
+        ae1s = ((sel & np.uint64(0x7FFFFFFF)).astype(np.int64) + 1).tolist()
+        r_ve = ne1s[-1] + vs0
+        r_qe = ae1s[-1]
+
+    # round 1: left (align.c:280-301) + right (align.c:316-327) extensions
+    reqs = [("ext", nt[: vs1 - as_], aa[:as1],
+             None if ss is None else ss[: vs1 - as_], env.io, True)]
+    do_right = r_qe < qlen and r_ve < ae
+    if do_right:
+        reqs.append(("ext", nt[r_ve - as_:], aa[r_qe:],
+                     None if ss is None else ss[r_ve - as_:], env.io, False))
+    res1 = yield reqs
+    _, nt_len, aa_len = res1[0]
+    r_ntl = r_aal = 0
+    if do_right:
+        _, r_ntl, r_aal = res1[1]
+
+    # round 2 (only when needed): io_end retries for terminal exons
+    retry = []
+    need_l = aa_len != as1 and nt_len < opt.max_ext and env.io > env.io_end
+    if need_l:
         as_alt = vs1 - opt.max_ext if vs1 - as_ > opt.max_ext else as_
-        _, ntl2, aal2 = yield ("ext", nt[as_alt - as_: vs1 - as_], aa[:as1],
-                               None if ss is None else ss[as_alt - as_: vs1 - as_],
-                               env.io_end, True)
-        if aal2 == as1:
-            nt_len, aa_len = ntl2, aal2
+        retry.append(("ext", nt[as_alt - as_: vs1 - as_], aa[:as1],
+                      None if ss is None else ss[as_alt - as_: vs1 - as_],
+                      env.io_end, True))
+    need_r = (do_right and r_aal < qlen - r_qe and r_ntl < opt.max_ext
+              and env.io > env.io_end)
+    if need_r:
+        l_ext = min(ae - r_ve, opt.max_ext)
+        retry.append(("ext", nt[r_ve - as_: r_ve - as_ + l_ext], aa[r_qe:],
+                      None if ss is None else ss[r_ve - as_: r_ve - as_ + l_ext],
+                      env.io_end, False))
+    if retry:
+        res2 = yield retry
+        k = 0
+        if need_l:
+            _, ntl2, aal2 = res2[k]
+            k += 1
+            if aal2 == as1:
+                nt_len, aa_len = ntl2, aal2
+        if need_r:
+            _, ntl2, aal2 = res2[k]
+            if aal2 == qlen - r_qe:
+                r_ntl, r_aal = ntl2, aal2
+
     r.vs = vs1 - nt_len
     r.qs = as1 - aa_len
     ne0 = r.vs - vs0
@@ -347,32 +395,41 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     if dbg_more_dp:  # debug: one DP over the whole region (align.c:303-305)
         _plan_gap(r.vs - as_, r.ve - as_, ae0, r.qe)
     else:  # patch gaps between marked anchors (align.c:306-314)
-        av = r.a[i0:r.cnt]
-        mk = np.flatnonzero((av >> np.uint64(31)) & np.uint64(1))
-        if len(mk):
-            sel = av[mk]
-            ne1s = ((sel >> np.uint64(32)).astype(np.int64) + 1).tolist()
-            ae1s = ((sel & np.uint64(0x7FFFFFFF)).astype(np.int64) + 1).tolist()
-            base = vs0 - as_
-            # inlined _plan_gap: this loop runs once per marked anchor
-            # (~250/query), the call overhead was measurable
-            k2 = opt.kmer2
-            plan_ap, triv_ap, jobs_ap = plan.append, triv.append, jobs.append
-            nt_s = ne0 + base
-            for ne1, ae1 in zip(ne1s, ae1s):
-                nt_e = ne1 + base
-                alen = ae1 - ae0
-                if nt_e - nt_s == alen * 3 and alen <= k2:
-                    plan_ap(("t", alen, len(triv)))
-                    triv_ap((nt_s, ae0, alen))
-                else:
-                    plan_ap(("d", len(jobs)))
-                    jobs_ap((nt[nt_s:nt_e], aa[ae0:ae1],
-                             None if ss is None else ss[nt_s:nt_e]))
-                ne0, ae0, nt_s = ne1, ae1, nt_e
+        base = vs0 - as_
+        # inlined _plan_gap: this loop runs once per marked anchor
+        # (~250/query), the call overhead was measurable
+        k2 = opt.kmer2
+        plan_ap, triv_ap, jobs_ap = plan.append, triv.append, jobs.append
+        nt_s = ne0 + base
+        for ne1, ae1 in zip(ne1s, ae1s):
+            nt_e = ne1 + base
+            alen = ae1 - ae0
+            if nt_e - nt_s == alen * 3 and alen <= k2:
+                plan_ap(("t", alen, len(triv)))
+                triv_ap((nt_s, ae0, alen))
+            else:
+                plan_ap(("d", len(jobs)))
+                jobs_ap((nt[nt_s:nt_e], aa[ae0:ae1],
+                         None if ss is None else ss[nt_s:nt_e]))
+            ne0, ae0, nt_s = ne1, ae1, nt_e
         r.ve = ne0 + vs0
         r.qe = ae0
-    results = (yield ("cigars", jobs)) if jobs else []
+
+    # right-tail CIGAR rectangle (align.c:328-333) joins the same batch
+    tail_idx = -1
+    tail_triv = None
+    if do_right:
+        nseq = nt[r_ve - as_: r_ve - as_ + r_ntl]
+        aseq = aa[r_qe: r_qe + r_aal]
+        if len(nseq) == len(aseq) * 3 and len(aseq) <= opt.kmer2:
+            tail_triv = (nseq, aseq)
+        else:
+            tail_idx = len(jobs)
+            jobs.append((nseq, aseq,
+                         None if ss is None else ss[r_ve - as_: r_ve - as_ + r_ntl]))
+
+    # round 3: one merged CIGAR batch for left clip + gaps + right tail
+    results = (yield [("cigars", jobs)])[0] if jobs else []
     tscores = env.ctx.score_ungapped_many(nt, aa, triv) if triv else None
     for step in plan:
         if step[0] == "t":
@@ -384,32 +441,19 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
             for op in c:
                 push_cigar(cig, int(op) & 0xF, int(op) >> 4)
 
-    # right extension (align.c:316-333)
-    if r.qe < qlen and r.ve < ae:
-        _, nt_len, aa_len = yield ("ext", nt[r.ve - as_:], aa[r.qe:],
-                                   None if ss is None else ss[r.ve - as_:],
-                                   env.io, False)
-        if aa_len < qlen - r.qe and nt_len < opt.max_ext and env.io > env.io_end:
-            l_ext = min(ae - r.ve, opt.max_ext)
-            _, ntl2, aal2 = yield ("ext", nt[r.ve - as_: r.ve - as_ + l_ext], aa[r.qe:],
-                                   None if ss is None else ss[r.ve - as_: r.ve - as_ + l_ext],
-                                   env.io_end, False)
-            if aal2 == qlen - r.qe:
-                nt_len, aa_len = ntl2, aal2
-        nseq = nt[r.ve - as_: r.ve - as_ + nt_len]
-        aseq = aa[r.qe: r.qe + aa_len]
-        if len(nseq) == len(aseq) * 3 and len(aseq) <= opt.kmer2:
+    if do_right:
+        if tail_triv is not None:
+            nseq, aseq = tail_triv
             push_cigar(cig, C_M, len(aseq))
             score += env.ctx.score_ungapped(np.ascontiguousarray(nseq, dtype=np.uint8),
                                             np.ascontiguousarray(aseq, dtype=np.uint8))
         else:
-            ((sc, c),) = yield ("cigars", [(nseq, aseq,
-                None if ss is None else ss[r.ve - as_: r.ve - as_ + nt_len])])
+            sc, c = results[tail_idx]
             score += sc
             for op in c:
                 push_cigar(cig, int(op) & 0xF, int(op) >> 4)
-        r.ve += nt_len
-        r.qe += aa_len
+        r.ve = r_ve + r_ntl
+        r.qe = r_qe + r_aal
 
     r.p = Extra(dp_score=score, cigar=np.array(cig, dtype=np.uint32))
     r.p.dist_stop = extra_stop(r, nt, as_, ae)
@@ -421,16 +465,19 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
 def run_steps_host(gen, env: DpEnv) -> None:
     """Drive an align_region_steps generator with the host-C DP."""
     try:
-        req = next(gen)
+        reqs = next(gen)
         while True:
-            if req[0] == "ext":
-                _, nsq, asq, ss, io, ext_left = req
-                sc, ntl, aal, _ = env.dp(nsq, asq,
-                                         DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT,
-                                         ss=ss, io=io)
-                req = gen.send((sc, ntl, aal))
-            else:  # "cigars": batch 4 similar-size problems per AVX-512 call
-                req = gen.send(env.dp_cigars(req[1]))
+            outs = []
+            for req in reqs:
+                if req[0] == "ext":
+                    _, nsq, asq, ss, io, ext_left = req
+                    sc, ntl, aal, _ = env.dp(
+                        nsq, asq, DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT,
+                        ss=ss, io=io)
+                    outs.append((sc, ntl, aal))
+                else:  # "cigars": batch 4 similar problems per AVX-512 call
+                    outs.append(env.dp_cigars(req[1]))
+            reqs = gen.send(outs)
     except StopIteration:
         pass
 

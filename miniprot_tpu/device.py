@@ -220,7 +220,8 @@ class TpuExtEngine:
 
 def pump_align_generators(gens: list, engine: TpuExtEngine) -> None:
     """Advance align_region_steps generators in lockstep, batching their
-    DP requests through the engine."""
+    DP requests through the engine.  Each generator yields a LIST of
+    requests per round and receives the matching list of results."""
     waiting = {}
     for gi, g in enumerate(gens):
         try:
@@ -228,12 +229,13 @@ def pump_align_generators(gens: list, engine: TpuExtEngine) -> None:
         except StopIteration:
             pass
     while waiting:
-        handles = {gi: engine.submit(req) for gi, req in waiting.items()}
+        handles = {gi: [engine.submit(req) for req in reqs]
+                   for gi, reqs in waiting.items()}
         results = engine.flush()
         nxt = {}
-        for gi, h in handles.items():
+        for gi, hs in handles.items():
             try:
-                nxt[gi] = gens[gi].send(results[h])
+                nxt[gi] = gens[gi].send([results[h] for h in hs])
             except StopIteration:
                 pass
         waiting = nxt

@@ -309,7 +309,7 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, interpret):
+def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
     call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret)
 
     def wrapped(nas, D, A, nlv, prof, endsel, qpad):
@@ -328,10 +328,11 @@ def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, interpret):
         tb, score = call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
                          nlv, prof, endsel.astype(jnp.int32),
                          qpad.astype(jnp.int32))
-        # lanes-major repack on device + slice to the used-lane bucket:
-        # the traceback fetch is the dominant device->host transfer and
-        # batches are often sparsely filled
-        tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes]
+        # lanes-major repack on device + slice to the used-lane bucket
+        # and to the batch's tallest problem: the traceback fetch is the
+        # dominant device->host transfer, batches are often sparsely
+        # filled, and nl_b padding would otherwise ship as zeros
+        tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes, :rows_used]
         return tb, score
 
     return jax.jit(wrapped)
@@ -399,8 +400,11 @@ class CigarBatch:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
+        # round the row clip to 512 so the compile-key count stays small
+        max_nl = max((nl for nl, _ in self.dims), default=self.nl)
+        rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
         call = _compiled_cigar(self.slen, self.nl, self.go, self.ge, self.fs,
-                               n_lanes, interpret)
+                               n_lanes, rows_used, interpret)
         return call(
             jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
             jnp.asarray(self.nlv), jnp.asarray(self.prof),

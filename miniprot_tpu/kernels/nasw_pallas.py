@@ -312,9 +312,12 @@ def _compiled_ext(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
         a0 = A[:n_rows]
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
-        return call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
-                    logpen.astype(jnp.int32), nlv, prof,
-                    endmask.astype(jnp.int32), qpad.astype(jnp.int32))
+        max_sc, max_i, aal = call(
+            nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
+            logpen.astype(jnp.int32), nlv, prof,
+            endmask.astype(jnp.int32), qpad.astype(jnp.int32))
+        # one (3, B) result: a single device->host fetch per batch
+        return jnp.concatenate([max_sc, max_i, aal], axis=0)
 
     return jax.jit(wrapped)
 
@@ -550,10 +553,8 @@ class ExtBatch:
             jnp.asarray(self.qpad))
 
     def collect(self, handles):
-        max_sc, max_i, aal = handles
-        max_sc = np.asarray(max_sc)[0]
-        max_i = np.asarray(max_i)[0]
-        aal = np.asarray(aal)[0]
+        out = np.asarray(handles)       # (3, B): one fetch
+        max_sc, max_i, aal = out[0], out[1], out[2]
         # aa_len (first Hmax hit) is computed on device; see _fin in the
         # kernel (nasw-sse.c:435-443)
         return [(int(max_sc[b]), int(max_i[b]) + 1, int(aal[b]) + 1)
@@ -599,14 +600,14 @@ def _sp_sel(t, sp):
     return jnp.where(t < 0, 0, v)
 
 
-def _prep_tracks_device(nt8, leftb, iov, als, nlv1, *, sp, codon, thr,
-                        n_rows, al):
-    """Rebuild the kernel input tracks from raw nt4 codes on device.
+def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows):
+    """Rebuild nas + folded donor/acceptor tracks from raw nt4 codes on
+    device.
 
     nt8: (n_rows+8, B) int8 nt4 codes (already reversed for left-
-    extension lanes); leftb/iov/als/nlv1: (1, B) per-lane scalars.
-    Returns (nas, D, A, logpen, nlv, endmask, qpad) matching the host
-    prep (prep_problem + ExtBatch.add) bit-for-bit.
+    extension lanes); leftb/iov/nlv1: (1, B) per-lane scalars.
+    Returns (nas[:n_rows], D, A) matching the host prep (prep_problem +
+    *Batch.add) bit-for-bit; D/A cover rows [0, n_rows+8).
     """
     R8 = n_rows + 8
     nt = nt8.astype(jnp.int32)
@@ -688,16 +689,29 @@ def _prep_tracks_device(nt8, leftb, iov, als, nlv1, *, sp, codon, thr,
 
     donor = jnp.where(left, donor_r, donor_f)
     acceptor = jnp.where(left, acceptor_r, acceptor_f)
-    # ExtBatch.add copies only rows [0, nl] (rest stays 0) and folds io
+    # *Batch.add copies only rows [0, nl] (rest stays 0) and folds io
     in_track = rows <= nl
     D = jnp.where(in_track, donor + iov, 0)
     A = jnp.where(in_track, acceptor, 0)
+    return nas[:n_rows], D, A
+
+
+def _prep_tracks_device(nt8, leftb, iov, als, nlv1, *, sp, codon, thr,
+                        n_rows, al):
+    """Extension-kernel input tracks from raw nt4 codes (device).
+
+    Adds the log-length penalty stream and the per-problem al masks on
+    top of _prep_seq_device; matches the host ExtBatch path bit-for-bit.
+    """
+    nas, D, A = _prep_seq_device(nt8, leftb, iov, nlv1, sp=sp, codon=codon,
+                                 n_rows=n_rows)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, B_LANES), 0)
 
     # --- logpen: pen(x) = #thresholds <= x, x = row - 3*al.  thr is the
     # static, host-computed increment table of the reference's
     # (int)(ie_coef*ns_log2(x)+.5) curve, so no device float log is
     # needed (bit-parity with mp_log2_f32 regardless of FMA contraction)
-    x = rows[:n_rows] - 3 * als
+    x = rows - 3 * als
     pen = jnp.zeros((n_rows, B_LANES), jnp.int32)
     for tk in thr:
         pen = pen + (x >= tk).astype(jnp.int32)
@@ -707,8 +721,8 @@ def _prep_tracks_device(nt8, leftb, iov, als, nlv1, *, sp, codon, thr,
     qpad = (arows >= als).astype(jnp.int32)
     endmask = (arows == als - 1).astype(jnp.int32)
 
-    nlv = jnp.broadcast_to(nl, (8, B_LANES))
-    return nas[:n_rows], D, A, pen, nlv, endmask, qpad
+    nlv = jnp.broadcast_to(nlv1.astype(jnp.int32), (8, B_LANES))
+    return nas, D, A, pen, nlv, endmask, qpad
 
 
 @functools.lru_cache(maxsize=128)
@@ -749,8 +763,9 @@ def _compiled_ext_raw(al, n_rows, go, ge, fs, xdrop, end_bonus,
         a0 = A[:n_rows]
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
-        return call(nas, dm1, d0, dp1, a0, am1, am2,
-                    logpen, nlv, prof, endmask, qpad)
+        max_sc, max_i, aal = call(nas, dm1, d0, dp1, a0, am1, am2,
+                                  logpen, nlv, prof, endmask, qpad)
+        return jnp.concatenate([max_sc, max_i, aal], axis=0)
 
     return jax.jit(wrapped)
 
