@@ -93,18 +93,14 @@ class TpuExtEngine:
 
     def _run_ext(self) -> None:
         buckets: dict[tuple, list[int]] = {}
+        host_jobs: list[int] = []
         for i, job in enumerate(self.ext_jobs):
             if job.result is not None:
                 continue
             nl, al = len(job.nsq), len(job.asq)
             if (nl < MIN_TPU_NL or al > AL_BUCKETS[-1] or nl > NL_BUCKETS[-1]
                     or self.opt.ie_coef > 8.0):  # int8 logpen stream limit
-                sc, ntl, aal, _ = self.env.dp(
-                    job.nsq, job.asq,
-                    DPF_EXT_LEFT if job.ext_left else DPF_EXT_RIGHT,
-                    ss=job.ss, io=job.io)
-                job.result = (sc, ntl, aal)
-                self.n_host += 1
+                host_jobs.append(i)   # runs after launch, overlapped
                 continue
             al_b = next(b for b in AL_BUCKETS if al <= b)
             nl_b = next(b for b in NL_BUCKETS if nl <= b)
@@ -152,12 +148,23 @@ class TpuExtEngine:
                     self.n_tpu += len(old_idx)
                     profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
                                         batch.n)
+        # host-engine fallbacks run between launch and collect so they
+        # overlap the device's work on the queued batches
+        for i in host_jobs:
+            job = self.ext_jobs[i]
+            sc, ntl, aal, _ = self.env.dp(
+                job.nsq, job.asq,
+                DPF_EXT_LEFT if job.ext_left else DPF_EXT_RIGHT,
+                ss=job.ss, io=job.io)
+            job.result = (sc, ntl, aal)
+            self.n_host += 1
         for chunk, batch, handles in pending:
             for i, r in zip(chunk, batch.collect(handles)):
                 self.ext_jobs[i].result = r
 
     def _run_cig(self) -> None:
         buckets: dict[tuple, list[int]] = {}
+        host_jobs: list[int] = []
         for i, job in enumerate(self.cig_jobs):
             if job.result is not None:
                 continue
@@ -165,20 +172,38 @@ class TpuExtEngine:
             slen = (al + 7) // 8
             if (nl < CIG_MIN_NL or slen not in CIG_SLENS
                     or nl > CIG_NL_BUCKETS[-1]):
-                sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR,
-                                          ss=job.ss)
-                job.result = (sc, c)
-                self.n_host += 1
+                host_jobs.append(i)   # runs after launch, overlapped
                 continue
             nl_b = next(b for b in CIG_NL_BUCKETS if nl <= b)
             buckets.setdefault((slen, nl_b), []).append(i)
+        from . import tables
+        from .sysutil import profiler
+        T = tables.get_tables()
         pending = []
         for (slen, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), ck.B):
                 chunk = idxs[c0:c0 + ck.B]
-                batch = ck.CigarBatch(slen * 8, nl_b, self.mat, self.scalars)
+                raw_idx = [i for i in chunk if self.cig_jobs[i].ss is None]
+                old_idx = [i for i in chunk if self.cig_jobs[i].ss is not None]
+                if raw_idx:
+                    # no --spsc track: donor >= 0 by construction, so the
+                    # folded donor stream cannot go negative and the raw
+                    # nt upload + device prep path is always valid
+                    batch = ck.RawCigarBatch(
+                        slen * 8, nl_b, self.mat, self.scalars, sp=self.sp,
+                        trans_code=tables._default_code)
+                    for i in raw_idx:
+                        job = self.cig_jobs[i]
+                        batch.add_raw(T.nt4[job.nsq], T.aa20[job.asq],
+                                      io=self.opt.io)
+                    pending.append((raw_idx, batch,
+                                    batch.launch(self.interpret)))
+                    self.n_tpu += len(raw_idx)
+                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
+                                        batch.n)
                 usable = []
-                for i in chunk:
+                batch = ck.CigarBatch(slen * 8, nl_b, self.mat, self.scalars)
+                for i in old_idx:
                     job = self.cig_jobs[i]
                     nas, aas, d, a = self._prep(job, False, self.opt.io)
                     if int(d.min()) + self.opt.io < 0:
@@ -196,9 +221,13 @@ class TpuExtEngine:
                     pending.append((usable, batch,
                                     batch.launch(self.interpret)))
                     self.n_tpu += len(usable)
-                    from .sysutil import profiler
                     profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
                                         batch.n)
+        for i in host_jobs:
+            job = self.cig_jobs[i]
+            sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR, ss=job.ss)
+            job.result = (sc, c)
+            self.n_host += 1
         for usable, batch, handles in pending:
             for i, r in zip(usable, batch.collect(handles)):
                 self.cig_jobs[i].result = r

@@ -425,3 +425,101 @@ class CigarBatch:
             cig = native.backtrack(tb_b, self.slen, nl, al)
             out.append((int(score[b]), cig))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Raw-upload path: nas/donor/acceptor rebuilt on device from nt4 codes
+# (same device prep as the extension kernel; CIGAR jobs are always
+# forward-strand and carry no --spsc track on this path, so the folded
+# donor stream donor+io is provably non-negative and the kernel's
+# single-saturation fold stays bit-exact).
+# ---------------------------------------------------------------------------
+
+from .nasw_pallas import _prep_seq_device  # noqa: E402
+from .. import tables as _tables           # noqa: E402
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_cigar_raw(slen, n_rows, go, ge, fs, n_lanes, rows_used,
+                        sp_key, trans_code, interpret):
+    call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret)
+    sp = np.asarray(sp_key, np.int32)
+    codon = _tables.get_tables(trans_code).codon
+
+    def wrapped(nt8, iov, nlv1, nlv, prof, endsel, qpad):
+        zero_left = jnp.zeros((1, B), jnp.int8)
+        nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
+                                     nlv1, sp=sp, codon=codon, n_rows=n_rows)
+        z1 = jnp.zeros((1, B), jnp.int32)
+        z2 = jnp.zeros((2, B), jnp.int32)
+        d0 = D[:n_rows]
+        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+        dp1 = D[1:n_rows + 1]
+        a0 = A[:n_rows]
+        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+        tb, score = call(nas, dm1, d0, dp1, a0, am1, am2,
+                         nlv, prof, endsel.astype(jnp.int32),
+                         qpad.astype(jnp.int32))
+        tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes, :rows_used]
+        return tb, score
+
+    return jax.jit(wrapped)
+
+
+class RawCigarBatch(CigarBatch):
+    """CigarBatch variant shipping raw nt4 windows (device-side prep)."""
+
+    def __init__(self, al_pad, nl_pad, mat, opt_scalars, *, sp,
+                 trans_code: int = 1):
+        super().__init__(al_pad, nl_pad, mat, opt_scalars)
+        self.sp_key = tuple(int(v) for v in np.asarray(sp).reshape(-1))
+        self.trans_code = trans_code
+        self.nt = np.zeros((self.nl + 8, B), np.int8)
+        self.iov = np.zeros((1, B), np.int32)
+        self.nlv1 = np.zeros((1, B), np.int32)
+        # nas/D/A stay unused on this path
+
+    def add_raw(self, nt4: np.ndarray, aas: np.ndarray, io=None):
+        b = self.n
+        io = self.default_io if io is None else io
+        nl, al = len(nt4), len(aas)
+        slen = self.slen
+        assert nl <= self.nl and al <= self.al and b < B
+        self.nt[:nl, b] = nt4
+        self.iov[0, b] = io
+        self.nlv1[0, b] = nl
+        self.nlv[:, b] = nl
+        col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased
+        packed22 = np.zeros((6, al), np.int32)
+        for g in range(6):
+            for s in range(4):
+                a_row = 4 * g + s
+                if a_row < 22:
+                    packed22[g] |= col[a_row] << (8 * s)
+        q = np.arange(al)
+        pstriped = (q % slen) * VL + q // slen
+        prof = np.zeros((6, self.al), np.int32)
+        prof[:, pstriped] = packed22
+        self.prof[:, :, b] = prof
+        self.qpad[pstriped, b] = 0
+        qe = al - 1
+        self.endsel[(qe % slen) * VL + qe // slen, b] = 1
+        self.dims.append((nl, al))
+        self.n += 1
+        return b
+
+    def launch(self, interpret=None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
+        max_nl = max((nl for nl, _ in self.dims), default=self.nl)
+        rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
+        call = _compiled_cigar_raw(self.slen, self.nl, self.go, self.ge,
+                                   self.fs, n_lanes, rows_used, self.sp_key,
+                                   self.trans_code, interpret)
+        return call(jnp.asarray(self.nt), jnp.asarray(self.iov),
+                    jnp.asarray(self.nlv1), jnp.asarray(self.nlv),
+                    jnp.asarray(self.prof),
+                    jnp.asarray(self.endsel.astype(np.int8)),
+                    jnp.asarray(self.qpad))

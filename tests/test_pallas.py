@@ -270,3 +270,35 @@ def test_raw_ext_batch_matches_host_dp():
         rsc, rntl, raal, _ = native.dp16(
             ns, aa, flag=DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT, **kw)
         assert got == (rsc, rntl, raal)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_raw_cigar_batch_bit_exact_traceback():
+    """RawCigarBatch (raw nt upload + device prep + tb row clip) yields
+    bit-identical scores and CIGARs to the host striped DP."""
+    from miniprot_tpu.kernels.nasw_cigar_pallas import RawCigarBatch
+    from miniprot_tpu.native import DPF_CIGAR
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(13)
+    batch = RawCigarBatch(al_pad=16, nl_pad=256, mat=mat,
+                          opt_scalars=(11, 1, 23, 29, 100, 5, 0.5), sp=sp,
+                          trans_code=1)
+    cases = []
+    for _ in range(12):
+        nl = int(rng.integers(9, 250))
+        al = int(rng.integers(9, 17))  # ceil(al/8)==2 == batch slen
+        ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        batch.add_raw(T.nt4[ns], T.aa20[aa], io=29)
+    for (ns, aa), (sc, cig) in zip(cases, batch.run(interpret=False)):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc
+        assert np.array_equal(cig, rcig)
