@@ -225,7 +225,7 @@ class NtDB:
         for _ in range(n_ctg):
             (ln,) = struct.unpack("<q", fp.read(8))
             lens.append(ln)
-        db.seq = np.frombuffer(fp.read((db.l_seq + 1) >> 1), dtype=np.uint8).copy()
+        db.seq = np.fromfile(fp, dtype=np.uint8, count=(db.l_seq + 1) >> 1)
         names = fp.read(l_name).split(b"\0")
         for i in range(n_ctg):
             db.ctg.append(Contig(names[i].decode(), off, lens[i]))

@@ -184,8 +184,11 @@ class Index:
             tables.set_default_code(trans_code)
             (n_kb,) = struct.unpack("<q", fp.read(8))
             nt = NtDB.restore(fp)
-            ki = np.frombuffer(fp.read(8 * opt.n_bucket), dtype="<i8").copy()
-            kb = np.frombuffer(fp.read(4 * n_kb), dtype="<u4").copy()
+            # np.fromfile reads straight into one fresh array (the
+            # fp.read + frombuffer + copy chain costs two extra
+            # full-size passes on 500MB-class tables)
+            ki = np.fromfile(fp, dtype="<i8", count=opt.n_bucket)
+            kb = np.fromfile(fp, dtype="<u4", count=n_kb)
         bo = cls._block_offsets(nt, opt.bbit)
         from . import sysutil
         sysutil.log("Index.restore", "loaded the index")
