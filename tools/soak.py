@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Randomized end-to-end parity soak against the reference binary.
+
+Generates synthetic whole-genome workloads (miniprot_tpu.testgen) with
+randomized genome size, gene count, contig count, strand mix, genomic
+frameshifts and mutation rate, runs BOTH the reference miniprot and
+miniprot_tpu under a randomized option mix, and byte-diffs the outputs.
+Any divergence writes a repro bundle under --keep-dir and exits nonzero.
+
+Usage:
+    python tools/soak.py --runs 100 [--seed0 1] [--ref /tmp/refbuild/miniprot]
+                         [--tpu]   # also run the --tpu path when a chip is up
+
+The option mixes cover the output formats, splice models, scoring and
+chaining knobs that change behavior (same matrix the fixed tests pin).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OPTION_MIXES = [
+    [],
+    ["--gff"],
+    ["--gtf"],
+    ["--aln"],
+    ["--trans"],
+    ["-u"],
+    ["--gff-only"],
+    ["-j", "2"],
+    ["-j", "0"],
+    ["-S"],
+    ["-O", "6", "-E", "2"],
+    ["-J", "17"],
+    ["-F", "30"],
+    ["-C", "0"],
+    ["-C", "2.5"],
+    ["-B", "0"],
+    ["-p", "0.3"],
+    ["-N", "5"],
+    ["--outs", "0.5"],
+    ["--outc", "0.6"],
+    ["--outn", "2"],
+    ["-n", "5"],
+    ["-w", "1.5"],
+    ["-l", "4"],
+    ["-k", "5"],
+    ["-M", "0"],
+    ["-L", "60"],
+    ["--no-cs"],
+    ["--max-skip", "5"],
+    ["--ie-coef", "1.5"],
+    ["-e", "2000"],
+    ["-G", "5k"],
+    ["--aln", "--trans", "--gff"],
+]
+
+
+def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str) -> bool:
+    from miniprot_tpu.testgen import make_workload
+    rng = np.random.default_rng(seed)
+    params = dict(
+        genome_len=int(rng.integers(100_000, 3_000_000)),
+        n_genes=int(rng.integers(2, 30)),
+        seed=seed,
+        n_ctg=int(rng.integers(1, 4)),
+        max_exons=int(rng.integers(1, 9)),
+        max_intron=int(rng.choice([1000, 5000, 20000])),
+        mut_rate=float(rng.choice([0.0, 0.02, 0.08, 0.15])),
+        rev_frac=float(rng.choice([0.0, 0.3, 1.0])),
+        fs_frac=float(rng.choice([0.0, 0.15])),
+    )
+    mix = OPTION_MIXES[int(rng.integers(len(OPTION_MIXES)))]
+    tmp = tempfile.mkdtemp(prefix="soak")
+    fa = os.path.join(tmp, "g.fa")
+    faa = os.path.join(tmp, "p.faa")
+    try:
+        make_workload(fa, faa, **params)
+        ref = subprocess.run([ref_bin, "-t1", *mix, fa, faa],
+                             capture_output=True, timeout=600)
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra = env.get("PYTHONPATH", "")
+        env["PYTHONPATH"] = repo + (os.pathsep + extra if extra else "")
+        args = ["-t1", *mix]
+        if use_tpu:
+            args.append("--tpu")
+        mine = subprocess.run([sys.executable, "-m", "miniprot_tpu.cli",
+                               *args, fa, faa],
+                              capture_output=True, timeout=1200, env=env)
+        if ref.stdout == mine.stdout and mine.returncode == 0:
+            return True
+        os.makedirs(keep_dir, exist_ok=True)
+        dst = os.path.join(keep_dir, f"seed{seed}")
+        shutil.copytree(tmp, dst, dirs_exist_ok=True)
+        with open(os.path.join(dst, "info.txt"), "w") as f:
+            f.write(f"seed={seed}\nparams={params}\nmix={mix}\n"
+                    f"ref_bytes={len(ref.stdout)} mine_bytes={len(mine.stdout)}\n"
+                    f"mine_rc={mine.returncode}\n"
+                    f"mine_stderr:\n{mine.stderr.decode()[-3000:]}\n")
+        with open(os.path.join(dst, "ref.out"), "wb") as f:
+            f.write(ref.stdout)
+        with open(os.path.join(dst, "mine.out"), "wb") as f:
+            f.write(mine.stdout)
+        print(f"DIVERGENCE at seed {seed}: mix={mix} params={params} "
+              f"-> repro in {dst}", flush=True)
+        return False
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=50)
+    ap.add_argument("--seed0", type=int, default=int(time.time()) % 100000)
+    ap.add_argument("--ref", default="/tmp/refbuild/miniprot")
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--keep-dir", default="/tmp/soak_failures")
+    a = ap.parse_args()
+    t0 = time.time()
+    bad = 0
+    for k in range(a.runs):
+        seed = a.seed0 + k
+        ok = run_one(seed, a.ref, a.tpu, a.keep_dir)
+        bad += 0 if ok else 1
+        if (k + 1) % 10 == 0 or not ok:
+            print(f"[{k + 1}/{a.runs}] {bad} divergence(s), "
+                  f"{time.time() - t0:.0f}s", flush=True)
+    print(f"done: {a.runs} runs, {bad} divergence(s)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
