@@ -371,13 +371,9 @@ class CigarBatch:
         self.nlv[:, b] = nl
         # striped profile: sublane r = stripe-lane, position q = lane*slen + stripe
         # profile row layout here: index p = j*VL + k  <->  q = k*slen + j
+        from .nasw_pallas import _pack_profile
         col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased
-        packed22 = np.zeros((6, al), np.int32)
-        for g in range(6):
-            for s in range(4):
-                a_row = 4 * g + s
-                if a_row < 22:
-                    packed22[g] |= col[a_row] << (8 * s)
+        packed22 = _pack_profile(col)
         q = np.arange(al)
         pstriped = (q % slen) * VL + q // slen
         prof = np.zeros((6, self.al), np.int32)
@@ -490,13 +486,9 @@ class RawCigarBatch(CigarBatch):
         self.iov[0, b] = io
         self.nlv1[0, b] = nl
         self.nlv[:, b] = nl
+        from .nasw_pallas import _pack_profile
         col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased
-        packed22 = np.zeros((6, al), np.int32)
-        for g in range(6):
-            for s in range(4):
-                a_row = 4 * g + s
-                if a_row < 22:
-                    packed22[g] |= col[a_row] << (8 * s)
+        packed22 = _pack_profile(col)
         q = np.arange(al)
         pstriped = (q % slen) * VL + q // slen
         prof = np.zeros((6, self.al), np.int32)

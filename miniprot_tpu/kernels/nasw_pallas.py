@@ -484,6 +484,18 @@ def _translate(nt: np.ndarray, T) -> np.ndarray:
     return nas
 
 
+def _pack_profile(col: np.ndarray) -> np.ndarray:
+    """Pack 22 alphabet rows of raw bytes into 6 int32 rows, 4 bytes
+    each (vectorized form of the per-(g,s) or/shift loop; int32 shift
+    overflow wraps exactly like the loop did)."""
+    al = col.shape[1]
+    col24 = np.zeros((24, al), np.int64)
+    col24[:22] = col
+    shifts = np.array([0, 8, 16, 24], np.int64)
+    packed = (col24.reshape(6, 4, al) << shifts[None, :, None]).sum(1)
+    return packed.astype(np.uint32).astype(np.int32)
+
+
 class ExtBatch:
     """A padded batch of extension problems for the Pallas kernel."""
 
@@ -522,13 +534,7 @@ class ExtBatch:
         self.logpen[:, b] = pen
         self.nlv[:, b] = nl
         col = self.mat[:, aas].astype(np.int32) & 0xFF  # raw signed byte
-        packed = np.zeros((6, al), np.int32)
-        for g in range(6):
-            for s in range(4):
-                a_row = 4 * g + s
-                if a_row < 22:
-                    packed[g] |= col[a_row] << (8 * s)
-        self.prof[:, :al, b] = packed
+        self.prof[:, :al, b] = _pack_profile(col)
         self.qpad[:al, b] = 0
         self.endmask[al - 1, b] = 1
         self.als[b] = al
@@ -804,13 +810,7 @@ class RawExtBatch:
         self.als[0, b] = al
         self.nlv1[0, b] = nl
         col = self.mat[:, aas].astype(np.int32) & 0xFF
-        packed = np.zeros((6, al), np.int32)
-        for g in range(6):
-            for s in range(4):
-                a_row = 4 * g + s
-                if a_row < 22:
-                    packed[g] |= col[a_row] << (8 * s)
-        self.prof[:, :al, b] = packed
+        self.prof[:, :al, b] = _pack_profile(col)
         self.n += 1
         return b
 

@@ -26,9 +26,14 @@ k-mer's bucket lives on exactly one "g" shard) and the per-shard tables
 memory-balanced (hashes are uniform); the all_gather payload is only the
 per-query candidate lists, which ride ICI.
 
-This module provides both the real sharded-lookup step used by the
-pipeline when multiple devices are present and the tiny dry-run used to
-validate compilation on an N-device mesh.
+This module provides the sharded lookup/anchor-gather steps of that
+plan (exercised against real index data on a virtual mesh in
+tests/test_dist.py) and the tiny dry-run used to validate compilation
+on an N-device mesh.  Whole-file multi-host mapping ships through
+parallel/runner.py (query-sharded data parallelism with an ordered
+process-0 merge), which is the configuration that matters while a
+genome index fits one host's memory; the hash-range-sharded lookup here
+is the building block for genomes that do not.
 """
 
 from __future__ import annotations
