@@ -338,7 +338,12 @@ class Dp16Ctx:
                 out.append((sc, c))
             return out
         res = [None] * len(jobs)
-        order = sorted(range(len(jobs)), key=lambda i: -len(jobs[i][0]))
+        for i, (nsq, asq, ss) in enumerate(jobs):
+            if len(asq) == 0:  # degenerate: the single-call path guards slen==0
+                sc, _, _, c = self.dp(nsq, asq, 0x1, io, ss)
+                res[i] = (sc, c)
+        order = sorted((i for i in range(len(jobs)) if res[i] is None),
+                       key=lambda i: -len(jobs[i][0]))
         nq = np.empty(4, np.int64)
         aq = np.empty(4, np.int64)
         sq = np.empty(4, np.int64)

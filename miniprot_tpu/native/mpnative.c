@@ -1265,6 +1265,30 @@ MX_EXPORT void mx_dp16(
 	*n_cigar = 0;
 	*out_nt_len = nl, *out_aa_len = al, *out_score = MX_NEG_INF;
 
+	if (al == 0) {
+		/* degenerate rectangle (reachable via block-resolution debug
+		 * paths): slen would be 0 and the stripe arithmetic divides by
+		 * it — the reference binary crashes here (nasw-sse.c j%slen).
+		 * Emit the deterministic all-deletion tail the backtracker
+		 * produces for an exhausted query instead. */
+		if (is_ext) { *out_nt_len = 0; *out_aa_len = 0; return; }
+		if (flag & DPF_CIGAR) {
+			int32_t n = 0;
+			if (nl - 1 >= 0) {
+				int32_t l = nl / 3 * 3, t = nl % 3;
+				if (l > 0) n = push_cigar(cigar, n, C_D, l);
+				if (t != 0) n = push_cigar(cigar, n, C_F, t);
+			}
+			for (k = 0; k < n >> 1; ++k) {
+				uint32_t tmp = cigar[k];
+				cigar[k] = cigar[n - 1 - k];
+				cigar[n - 1 - k] = tmp;
+			}
+			*n_cigar = n;
+		}
+		return;
+	}
+
 	nas = (uint8_t*)mx_scratch(0, nl);
 	aas = (uint8_t*)mx_scratch(1, al > 0 ? al : 1);
 	donor = (int8_t*)mx_scratch(2, nl + 1);
@@ -1274,8 +1298,13 @@ MX_EXPORT void mx_dp16(
 		prep_rev(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, nas, donor, acceptor);
 		prep_nas(nsq, nl, nt4, codon_tab, aa_x, nas);
 		for (i = 0; i < nl >> 1; ++i) { uint8_t t = nas[i]; nas[i] = nas[nl - 1 - i]; nas[nl - 1 - i] = t; }
-		memmove(nas + 2, nas, nl - 2);
-		nas[0] = nas[1] = aa_x;
+		/* nl < 2 would make the shift length negative (size_t-huge);
+		 * the reference's ns_prep_seq_left has the same unguarded
+		 * memmove (nasw-sse.c:207) but is never reached with nl < 3 -
+		 * our --dbg-no-refine path can be (block-resolution anchors) */
+		if (nl > 2) memmove(nas + 2, nas, nl - 2);
+		if (nl > 0) nas[0] = aa_x;
+		if (nl > 1) nas[1] = aa_x;
 	} else {
 		for (j = 0; j < al; ++j) aas[j] = aa20[asq[j]];
 		prep_fwd(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, nas, donor, acceptor);
@@ -1577,8 +1606,9 @@ MX_EXPORT void mx_prep(
 		prep_rev(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, tmp, out_donor, out_acceptor);
 		prep_nas(nsq, nl, nt4, codon_tab, aa_x, tmp);
 		for (i = 0; i < nl; ++i) out_nas[i] = tmp[nl - 1 - i];
-		memmove(out_nas + 2, out_nas, nl - 2);
-		out_nas[0] = out_nas[1] = aa_x;
+		if (nl > 2) memmove(out_nas + 2, out_nas, nl - 2);
+		if (nl > 0) out_nas[0] = aa_x;
+		if (nl > 1) out_nas[1] = aa_x;
 		free(tmp);
 	} else {
 		prep_fwd(nsq, nl, nt4, sp, ss, io_, sp_null_bonus, out_nas, out_donor, out_acceptor);
@@ -1655,6 +1685,22 @@ MX_EXPORT void mx_dp32(
 
 	*n_cigar = 0;
 	*out_score = NEG32;
+
+	if (al == 0) { /* see mx_dp16: slen==0 stripe math divides by zero */
+		int32_t n = 0;
+		if (nl - 1 >= 0) {
+			int32_t l = nl / 3 * 3, t = nl % 3;
+			if (l > 0) n = push_cigar(cigar, n, C_D, l);
+			if (t != 0) n = push_cigar(cigar, n, C_F, t);
+		}
+		for (k = 0; k < n >> 1; ++k) {
+			uint32_t tmp = cigar[k];
+			cigar[k] = cigar[n - 1 - k];
+			cigar[n - 1 - k] = tmp;
+		}
+		*n_cigar = n;
+		return;
+	}
 
 	nas = (uint8_t*)malloc(nl);
 	aas = (uint8_t*)malloc(al > 0 ? al : 1);

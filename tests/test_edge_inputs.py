@@ -72,3 +72,15 @@ def test_long_protein_saturation_parity(ref_binary, tmp_path):
                          capture_output=True, text=True).stdout
     assert "AS:i:" in ref
     assert run_mine([fa, faa]) == ref
+
+
+def test_dbg_no_refine_does_not_crash(dpp3_files):
+    """--dbg-no-refine reaches the alignment stage with block-resolution
+    anchors; a 1-nt left-extension window used to make the C prep's
+    nas-shift length negative (heap smash).  The reference binary itself
+    segfaults on larger no-refine workloads (its ns_prep_seq_left has
+    the same unguarded memmove, nasw-sse.c:207); ours must complete and
+    emit the same (empty) output the reference produces on this input."""
+    genome, query = dpp3_files
+    out = run_mine(["--dbg-no-refine", genome, query])
+    assert out == ""
