@@ -65,7 +65,8 @@ OPTION_MIXES = [
 ]
 
 
-def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str) -> bool:
+def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
+            timeout: int = 1200) -> bool:
     from miniprot_tpu.testgen import make_workload
     rng = np.random.default_rng(seed)
     params = dict(
@@ -97,7 +98,8 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str) -> bool:
         try:
             mine = subprocess.run([sys.executable, "-m", "miniprot_tpu.cli",
                                    *args, fa, faa],
-                                  capture_output=True, timeout=1200, env=env)
+                                  capture_output=True, timeout=timeout,
+                                  env=env)
         except subprocess.TimeoutExpired:
             # on --tpu runs this is almost always a wedged device relay,
             # an environmental failure, not a parity divergence; log and
@@ -133,12 +135,14 @@ def main() -> int:
     ap.add_argument("--ref", default="/tmp/refbuild/miniprot")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--keep-dir", default="/tmp/soak_failures")
+    ap.add_argument("--timeout", type=int, default=1200,
+                    help="per-run CLI timeout (relay wedges on --tpu)")
     a = ap.parse_args()
     t0 = time.time()
     bad = 0
     for k in range(a.runs):
         seed = a.seed0 + k
-        ok = run_one(seed, a.ref, a.tpu, a.keep_dir)
+        ok = run_one(seed, a.ref, a.tpu, a.keep_dir, timeout=a.timeout)
         bad += 0 if ok else 1
         if (k + 1) % 10 == 0 or not ok:
             print(f"[{k + 1}/{a.runs}] {bad} divergence(s), "
