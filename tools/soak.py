@@ -86,6 +86,20 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
     faa = os.path.join(tmp, "p.faa")
     try:
         make_workload(fa, faa, **params)
+        # ~20% of runs add a randomized external splice-score track
+        # (not with -S, which disables splicing)
+        if rng.random() < 0.2 and "-S" not in mix:
+            spsc = os.path.join(tmp, "s.spsc")
+            per_ctg = params["genome_len"] // params["n_ctg"]
+            with open(spsc, "w") as f:
+                for _ in range(int(rng.integers(10, 200))):
+                    ctg = f"ctg{int(rng.integers(params['n_ctg']))}"
+                    pos = int(rng.integers(1, max(per_ctg - 2, 2)))
+                    strand = "+-"[int(rng.integers(2))]
+                    typ = "DA"[int(rng.integers(2))]
+                    sc = int(rng.integers(-30, 31))
+                    f.write(f"{ctg}\t{pos}\t{strand}\t{typ}\t{sc}\n")
+            mix = mix + [f"--spsc={spsc}"]
         ref = subprocess.run([ref_bin, "-t1", *mix, fa, faa],
                              capture_output=True, timeout=600)
         env = dict(os.environ)
