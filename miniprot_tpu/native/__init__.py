@@ -38,6 +38,15 @@ _lib.mx_chn_sc_ungap.restype = ct.c_int32
 _lib.mx_chn_sc_ungap.argtypes = [ct.c_int64, _u64p, ct.c_int32]
 _lib.mx_chn_sc_ungap_approx.restype = ct.c_int32
 _lib.mx_chn_sc_ungap_approx.argtypes = [ct.c_int64, _u64p, ct.c_int32]
+# prebound raw-pointer entry points for the per-call hot path (skips
+# ndpointer from_param marshalling; ~10us/call at mapping call rates)
+_chain_raw = ct.CFUNCTYPE(
+    ct.c_int64, *([ct.c_int32] * 7), ct.c_float, *([ct.c_int32] * 3),
+    ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p)(
+        ct.cast(_lib.mx_chain, ct.c_void_p).value)
+_chn_sc_ungap_approx_raw = ct.CFUNCTYPE(
+    ct.c_int32, ct.c_int64, ct.c_void_p, ct.c_int32)(
+        ct.cast(_lib.mx_chn_sc_ungap_approx, ct.c_void_p).value)
 _lib.mx_dp16.argtypes = [
     _u8p, ct.c_int32, _u8p, ct.c_int32,            # nsq, nl, asq, al
     ct.c_void_p,                                    # ss (may be None)
@@ -93,9 +102,10 @@ def chain(a: np.ndarray, *, max_dist_x: int, max_dist_y: int, bw: int,
     out_a = np.empty(n, np.uint64)
     out_u = np.empty(n, np.uint64)
     n_a_out = ct.c_int64(0)
-    n_u = _lib.mx_chain(max_dist_x, max_dist_y, bw, max_skip, max_iter,
-                        min_cnt, min_sc, chn_coef_log, int(is_spliced),
-                        kmer, bbit, n, a, out_a, out_u, ct.byref(n_a_out))
+    n_u = _chain_raw(max_dist_x, max_dist_y, bw, max_skip, max_iter,
+                     min_cnt, min_sc, chn_coef_log, int(is_spliced),
+                     kmer, bbit, n, a.ctypes.data, out_a.ctypes.data,
+                     out_u.ctypes.data, ct.byref(n_a_out))
     return out_a[:n_a_out.value].copy(), out_u[:n_u].copy()
 
 
@@ -106,7 +116,7 @@ def chn_sc_ungap(a: np.ndarray, kmer: int) -> int:
 
 def chn_sc_ungap_approx(a: np.ndarray, kmer: int) -> int:
     a = np.ascontiguousarray(a, dtype=np.uint64)
-    return int(_lib.mx_chn_sc_ungap_approx(len(a), a, kmer))
+    return int(_chn_sc_ungap_approx_raw(len(a), a.ctypes.data, kmer))
 
 
 def dp16(nsq: np.ndarray, asq: np.ndarray, *, mat: np.ndarray, nt4: np.ndarray,
@@ -525,14 +535,18 @@ _lib.mx_refine_pairs.restype = ct.c_int64
 _lib.mx_refine_pairs.argtypes = [_u64p, ct.c_int64, ct.c_int64, ct.c_void_p]
 
 
+_refine_pairs_raw = ct.CFUNCTYPE(
+    ct.c_int64, ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p)(
+        ct.cast(_lib.mx_refine_pairs, ct.c_void_p).value)
+
+
 def refine_pairs(sd: np.ndarray, max_ava: int) -> np.ndarray:
     """Per-hash genome x protein seed cross products (map.c:53-79)."""
     assert sd.dtype == np.uint64 and sd.flags.c_contiguous
-    n = _lib.mx_refine_pairs(sd, len(sd), max_ava, None)
+    n = _refine_pairs_raw(sd.ctypes.data, len(sd), max_ava, None)
     out = np.empty(n, np.uint64)
     if n:
-        _lib.mx_refine_pairs(sd, len(sd), max_ava,
-                             out.ctypes.data_as(ct.c_void_p))
+        _refine_pairs_raw(sd.ctypes.data, len(sd), max_ava, out.ctypes.data)
     return out
 
 
@@ -633,11 +647,16 @@ def idx_stat(ki: np.ndarray, max_occ: int) -> tuple[int, int, int, int]:
 _lib.mx_unpack.argtypes = [_u8p, ct.c_int64, ct.c_int64, ct.c_int32, _u8p]
 
 
+_unpack_raw = ct.CFUNCTYPE(
+    None, ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int32, ct.c_void_p)(
+        ct.cast(_lib.mx_unpack, ct.c_void_p).value)
+
+
 def unpack(packed: np.ndarray, s: int, e: int, rev: bool) -> np.ndarray:
     """Unpack genome bases [s, e) as nt4 codes, revcomp when rev
     (mp_ntseq_get, ntseq.c:89-106)."""
     n = max(0, e - s)
     out = np.empty(n, np.uint8)
     if n:
-        _lib.mx_unpack(packed, s, e, int(rev), out)
+        _unpack_raw(packed.ctypes.data, s, e, int(rev), out.ctypes.data)
     return out
