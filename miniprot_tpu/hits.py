@@ -80,42 +80,58 @@ class Region:
 
 def reg_gen_from_block(mi, u: np.ndarray, a: np.ndarray) -> list[Region]:
     """Chains (block resolution) -> regions, splitting chains that span a
-    contig-strand boundary (mp_reg_gen_from_block, hit.c:32-76)."""
-    regs: list[Region] = []
-    k = 0
+    contig-strand boundary (mp_reg_gen_from_block, hit.c:32-76).
+
+    The block->contig lookups and field extractions are vectorized over
+    all chains (the per-chain binary searches were measurable at
+    high-occupancy workloads); the rare boundary-split branch stays
+    per-chain."""
+    if len(u) == 0:
+        return []
     bo = mi.bo
-    for ui in u:
-        n = int(ui & np.uint64(0xFFFFFFFF))
+    bbit = mi.opt.bbit
+    cnts = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    scs = (u >> np.uint64(32)).astype(np.int64)
+    ks = np.zeros(len(u), np.int64)
+    np.cumsum(cnts[:-1], out=ks[1:])
+    ies = ks + cnts - 1
+    blk = (a >> np.uint64(32)).astype(np.int64)
+    qpos = (a & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    ts_all = np.searchsorted(bo, blk[ks], side="right").astype(np.int64) - 1
+    te_all = np.searchsorted(bo, blk[ies], side="right").astype(np.int64) - 1
+    regs: list[Region] = []
+    for ci in range(len(u)):
+        n = int(cnts[ci])
+        k = int(ks[ci])
         r = Region()
-        is_, ie = k, k + n - 1
-        ts = mi.block2pos(int(a[is_] >> np.uint64(32)))
-        te = mi.block2pos(int(a[ie] >> np.uint64(32)))
+        is_, ie = k, int(ies[ci])
+        ts, te = int(ts_all[ci]), int(te_all[ci])
         assert ts <= te
         if ts == te:
             r.vid = ts
         else:  # split at the contig boundary, keep the bigger side
             js = is_
-            while js < k + n and int(a[js] >> np.uint64(32)) < int(bo[ts + 1]):
+            while js < k + n and blk[js] < bo[ts + 1]:
                 js += 1
             assert js < k + n
             je = k + n - 1
-            while je >= js and int(a[je] >> np.uint64(32)) >= int(bo[te]):
+            while je >= js and blk[je] >= bo[te]:
                 je -= 1
             je += 1
             if js - k > k + n - je:
                 r.vid, ie = ts, js - 1
             else:
                 r.vid, is_ = te, je
-        r.vs = (int(a[is_] >> np.uint64(32)) - int(bo[r.vid])) << mi.opt.bbit
-        r.ve = (int(a[ie] >> np.uint64(32)) - int(bo[r.vid]) + 1) << mi.opt.bbit
-        r.qs = int(a[is_] & np.uint64(0xFFFFFFFF))
-        r.qe = int(a[ie] & np.uint64(0xFFFFFFFF))
-        sc = int(ui >> np.uint64(32))
+        bov = int(bo[r.vid])
+        r.vs = (int(blk[is_]) - bov) << bbit
+        r.ve = (int(blk[ie]) - bov + 1) << bbit
+        r.qs = int(qpos[is_])
+        r.qe = int(qpos[ie])
+        sc = int(scs[ci])
         r.chn_sc = sc if ts == te else int(float(sc) * (ie - is_ + 1) / n + 0.499)
         r.a = a[k:k + n].copy()
         r.chn_sc_ungap = native.chn_sc_ungap_approx(r.a, mi.opt.kmer)
         regs.append(r)
-        k += n
     return regs
 
 
@@ -162,14 +178,17 @@ def set_parent(mask_level: float, mask_len: int, regs: list[Region],
                 ri.n_sub = 0
                 w.append(i)
                 continue
-            cov_arr = np.array(cov, dtype=np.uint64)
-            native.sort_u64(cov_arr)
+            # plain list sort: cov is tiny and scalar-u64 ordering is
+            # value-determined, so this matches the radix sort exactly
+            # without an array allocation per region pair group
+            cov.sort()
             x = si
-            for cv in cov_arr:
-                cs, ce = int(cv >> np.uint64(32)), int(cv & np.uint64(0xFFFFFFFF))
+            for cv in cov:
+                cs, ce = cv >> 32, cv & 0xFFFFFFFF
                 if cs > x:
                     uncov_len += cs - x
-                x = max(ce, x)
+                if ce > x:
+                    x = ce
             if ei > x:
                 uncov_len += ei - x
         placed = False
