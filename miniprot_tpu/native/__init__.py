@@ -311,10 +311,14 @@ class Dp16Ctx:
         self.xdrop, self.end_bonus, self.ie_coef = xdrop, end_bonus, ie_coef
         self.asize = asize
 
+    _EMPTY_CIG = np.empty(16, np.uint32)
+
     def dp(self, nsq: np.ndarray, asq: np.ndarray, flag: int, io: int,
            ss: np.ndarray | None = None):
         nl, al = len(nsq), len(asq)
-        cig = np.empty(nl + al + 16, np.uint32)
+        # extension modes never emit CIGAR ops; skip the nl-sized buffer
+        cig = (np.empty(nl + al + 16, np.uint32) if flag & DPF_CIGAR
+               else Dp16Ctx._EMPTY_CIG)
         sc = ct.c_int32(0)
         ntl = ct.c_int32(0)
         aal = ct.c_int32(0)
