@@ -97,6 +97,9 @@ _SHORT_ARG = "kMLslbTtdcnmKpNOEJCFGegBPwjo"
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    server_parse = "--server-parse" in argv
+    if server_parse:
+        argv = [a for a in argv if a != "--server-parse"]
     if "--tpu" in argv:
         # Initialize the accelerator backend before any slow host work:
         # on relay-attached devices (axon) the claim made at process
@@ -289,7 +292,7 @@ def main(argv: list[str] | None = None) -> int:
         from . import sysutil
         sysutil.error("%s", ex)
         return 1
-    if not pos or (len(pos) == 1 and fn_idx is None):
+    if not pos or (len(pos) == 1 and fn_idx is None and not server_parse):
         sys.stderr.write(USAGE)
         return 1
     try:
@@ -315,6 +318,8 @@ def main(argv: list[str] | None = None) -> int:
     if len(pos) > 1:
         from . import sysutil
         sysutil.log("main", mi.print_stat(mo.max_occ))
+    if server_parse:  # miniprot_tpu.server: hand back the loaded state
+        return (mi, mo, n_threads, bool(dbg.get("use_tpu")))
     trace_dir = dbg.get("profile_trace")
     if trace_dir:
         try:  # device trace (jax profiler); unsupported backends warn
