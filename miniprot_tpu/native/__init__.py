@@ -496,7 +496,8 @@ def sort_dedup_u64(a: np.ndarray) -> np.ndarray:
     return a[:m]
 
 
-_lib.mx_extra_stats.argtypes = [_u8p, _u8p, _u32p, ct.c_int32, _i8p,
+_lib.mx_extra_stats.argtypes = [_u8p, _u8p, ct.c_int64, ct.c_int64,
+                                _u32p, ct.c_int32, _i8p,
                                 ct.c_int32, _u8p, _u8p,
                                 ct.c_int32, ct.c_int32, ct.c_int32, _i32p]
 
@@ -508,8 +509,9 @@ def extra_stats(nt: np.ndarray, aa: np.ndarray, cigar: np.ndarray, *,
     (the codon loops of mp_extra_cal, align.c:82-201)."""
     cigar = np.ascontiguousarray(cigar, dtype=np.uint32)
     out = np.empty((len(cigar), 4), np.int32)
-    _lib.mx_extra_stats(np.ascontiguousarray(nt, dtype=np.uint8),
-                        np.ascontiguousarray(aa, dtype=np.uint8),
+    nt = np.ascontiguousarray(nt, dtype=np.uint8)
+    aa = np.ascontiguousarray(aa, dtype=np.uint8)
+    _lib.mx_extra_stats(nt, aa, len(nt), len(aa),
                         cigar, len(cigar),
                         np.ascontiguousarray(mat.reshape(-1), dtype=np.int8),
                         asize, codon, aa20, go, ge, fs, out.reshape(-1))

@@ -20,9 +20,23 @@ CFLAGS = ["-O3", "-std=c11", "-ffp-contract=off", "-fPIC", "-shared",
 
 
 def ensure_built() -> str:
-    if (not os.path.exists(SO)
-            or os.path.getmtime(SO) < os.path.getmtime(SRC)):
+    """Compile libmpnative.so if stale.
+
+    MINIPROT_TPU_ASAN=1 builds an AddressSanitizer variant instead (the
+    reference's `make asan=1` analog, Makefile:12-15) into a separate
+    .so; run python under
+        LD_PRELOAD=$(cc -print-file-name=libasan.so) MINIPROT_TPU_ASAN=1
+    so the sanitizer runtime loads first (see tools/asan_check.sh).
+    """
+    asan = os.environ.get("MINIPROT_TPU_ASAN") == "1"
+    so = SO.replace(".so", ".asan.so") if asan else SO
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(SRC)):
         cc = os.environ.get("CC", "cc")
-        cmd = [cc, *CFLAGS, SRC, "-o", SO, "-lm"]
+        flags = list(CFLAGS)
+        if asan:
+            flags = ["-O1", "-g", "-fsanitize=address",
+                     "-fno-omit-frame-pointer"] + flags[1:]
+        cmd = [cc, *flags, SRC, "-o", so, "-lm"]
         subprocess.run(cmd, check=True, capture_output=True, text=True)
-    return SO
+    return so

@@ -2058,12 +2058,16 @@ MX_EXPORT int64_t mx_sort_dedup_u64(uint64_t *a, int64_t n)
  * codon, I/D ops charge the affine gap, F/G ops charge the frameshift
  * penalty.  nt starts at r.vs, aa at r.qs (nt4 / raw byte codes). */
 MX_EXPORT void mx_extra_stats(const uint8_t *nt, const uint8_t *aa,
+                              int64_t l_nt, int64_t l_aa,
                               const uint32_t *cig, int32_t n_cig,
                               const int8_t *mat, int32_t asize,
                               const uint8_t *codon, const uint8_t *aa20,
                               int32_t go, int32_t ge, int32_t fs,
                               int32_t *out)
 {
+	/* l_nt/l_aa bound every sequence read: a valid CIGAR never crosses
+	 * them (align.c:194-200 asserts consumption), but block-resolution
+	 * debug regions can - the reference reads out of bounds there */
 	int64_t nl = 0, al = 0;
 	int32_t k;
 	for (k = 0; k < n_cig; ++k) {
@@ -2072,9 +2076,9 @@ MX_EXPORT void mx_extra_stats(const uint8_t *nt, const uint8_t *aa,
 		if (op == 0) {          /* M */
 			int64_t i = nl, j = al;
 			for (t = 0; t < ln; ++t, i += 3, ++j) {
-				int nt_aa = 21, aa_aa = aa20[aa[j]];
+				int nt_aa = 21, aa_aa = j < l_aa ? aa20[aa[j]] : 21;
 				int8_t s;
-				if (nt[i] < 4 && nt[i+1] < 4 && nt[i+2] < 4)
+				if (i + 2 < l_nt && nt[i] < 4 && nt[i+1] < 4 && nt[i+2] < 4)
 					nt_aa = codon[nt[i] << 4 | nt[i+1] << 2 | nt[i+2]];
 				s = mat[nt_aa * asize + aa_aa];
 				st += nt_aa == 20;
@@ -2089,7 +2093,7 @@ MX_EXPORT void mx_extra_stats(const uint8_t *nt, const uint8_t *aa,
 		} else if (op == 2) {   /* D */
 			int64_t i = nl;
 			for (t = 0; t < ln; ++t, i += 3)
-				if (nt[i] < 4 && nt[i+1] < 4 && nt[i+2] < 4)
+				if (i + 2 < l_nt && nt[i] < 4 && nt[i+1] < 4 && nt[i+2] < 4)
 					st += codon[nt[i] << 4 | nt[i+1] << 2 | nt[i+2]] == 20;
 			sc = -(go + ge * ln);
 			nl += 3 * (int64_t)ln;
@@ -2101,11 +2105,14 @@ MX_EXPORT void mx_extra_stats(const uint8_t *nt, const uint8_t *aa,
 			nl += ln, al += 1;
 		} else if (op == 3 || op == 12 || op == 13) {  /* N/U/V introns */
 			if (op != 3) {      /* split codon at a phase-1/2 intron */
-				uint8_t n0 = nt[nl], n1, n2;
-				int nt_aa = 21, aa_aa = aa20[aa[al]];
+				int in_nt = nl + ln - 1 < l_nt && ln >= 2;
+				uint8_t n0 = in_nt ? nt[nl] : 4, n1 = 4, n2 = 4;
+				int nt_aa = 21, aa_aa = al < l_aa ? aa20[aa[al]] : 21;
 				int8_t s;
-				if (op == 12) n1 = nt[nl + ln - 2], n2 = nt[nl + ln - 1];
-				else          n1 = nt[nl + 1],      n2 = nt[nl + ln - 1];
+				if (in_nt) {
+					if (op == 12) n1 = nt[nl + ln - 2], n2 = nt[nl + ln - 1];
+					else          n1 = nt[nl + 1],      n2 = nt[nl + ln - 1];
+				}
 				if (n0 < 4 && n1 < 4 && n2 < 4)
 					nt_aa = codon[n0 << 4 | n1 << 2 | n2];
 				s = mat[nt_aa * asize + aa_aa];
