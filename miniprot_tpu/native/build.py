@@ -37,6 +37,14 @@ def ensure_built() -> str:
         if asan:
             flags = ["-O1", "-g", "-fsanitize=address",
                      "-fno-omit-frame-pointer"] + flags[1:]
-        cmd = [cc, *flags, SRC, "-o", so, "-lm"]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        # compile to a private temp then atomically replace: a process
+        # dlopen-ing mid-compile must never see a half-written .so
+        tmp = f"{so}.{os.getpid()}.tmp"
+        cmd = [cc, *flags, SRC, "-o", tmp, "-lm"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.replace(tmp, so)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return so
