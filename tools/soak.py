@@ -66,20 +66,33 @@ OPTION_MIXES = [
 
 
 def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
-            timeout: int = 1200) -> bool:
+            timeout: int = 1200, big: bool = False) -> bool:
     from miniprot_tpu.testgen import make_workload
     rng = np.random.default_rng(seed)
-    params = dict(
-        genome_len=int(rng.integers(100_000, 3_000_000)),
-        n_genes=int(rng.integers(2, 30)),
-        seed=seed,
-        n_ctg=int(rng.integers(1, 4)),
-        max_exons=int(rng.integers(1, 9)),
-        max_intron=int(rng.choice([1000, 5000, 20000])),
-        mut_rate=float(rng.choice([0.0, 0.02, 0.08, 0.15])),
-        rev_frac=float(rng.choice([0.0, 0.3, 1.0])),
-        fs_frac=float(rng.choice([0.0, 0.15])),
-    )
+    if big:  # whole-genome scale: dynamic max_occ, saturation regimes
+        params = dict(
+            genome_len=int(rng.integers(5_000_000, 40_000_000)),
+            n_genes=int(rng.integers(30, 400)),
+            seed=seed,
+            n_ctg=int(rng.integers(1, 9)),
+            max_exons=int(rng.integers(1, 12)),
+            max_intron=int(rng.choice([1000, 20000, 100000])),
+            mut_rate=float(rng.choice([0.0, 0.05, 0.15, 0.25])),
+            rev_frac=float(rng.choice([0.0, 0.3, 1.0])),
+            fs_frac=float(rng.choice([0.0, 0.15, 0.4])),
+        )
+    else:
+        params = dict(
+            genome_len=int(rng.integers(100_000, 3_000_000)),
+            n_genes=int(rng.integers(2, 30)),
+            seed=seed,
+            n_ctg=int(rng.integers(1, 4)),
+            max_exons=int(rng.integers(1, 9)),
+            max_intron=int(rng.choice([1000, 5000, 20000])),
+            mut_rate=float(rng.choice([0.0, 0.02, 0.08, 0.15])),
+            rev_frac=float(rng.choice([0.0, 0.3, 1.0])),
+            fs_frac=float(rng.choice([0.0, 0.15])),
+        )
     mix = OPTION_MIXES[int(rng.integers(len(OPTION_MIXES)))]
     tmp = tempfile.mkdtemp(prefix="soak")
     fa = os.path.join(tmp, "g.fa")
@@ -151,12 +164,15 @@ def main() -> int:
     ap.add_argument("--keep-dir", default="/tmp/soak_failures")
     ap.add_argument("--timeout", type=int, default=1200,
                     help="per-run CLI timeout (relay wedges on --tpu)")
+    ap.add_argument("--big", action="store_true",
+                    help="5-40Mb genomes (dynamic max_occ, saturation)")
     a = ap.parse_args()
     t0 = time.time()
     bad = 0
     for k in range(a.runs):
         seed = a.seed0 + k
-        ok = run_one(seed, a.ref, a.tpu, a.keep_dir, timeout=a.timeout)
+        ok = run_one(seed, a.ref, a.tpu, a.keep_dir, timeout=a.timeout,
+                     big=a.big)
         bad += 0 if ok else 1
         if (k + 1) % 10 == 0 or not ok:
             print(f"[{k + 1}/{a.runs}] {bad} divergence(s), "
