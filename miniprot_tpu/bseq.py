@@ -40,6 +40,26 @@ def _split_hdr(hdr: bytes):
     return hdr[:sp].decode(), (hdr[sp + 1:].strip().decode() or None)
 
 
+def iter_fasta_spans(data: bytes):
+    """Yield (header_bytes, body_start, body_end) spans over an
+    in-memory '>'-led FASTA buffer.  The body span [start, end) still
+    contains newlines; a header-only final record without a trailing
+    newline yields an empty span.  This is the single home of the
+    record-boundary rules (header split point, the ``\\n>`` scan, the
+    header-only-EOF edge) shared by read_fasta_all and
+    genome.NtDB.from_fasta."""
+    pos = data.find(b">")
+    while pos >= 0:
+        hdr_end = data.find(b"\n", pos)
+        if hdr_end < 0:  # header-only final record without newline
+            yield data[pos + 1:].rstrip(b"\r"), len(data), len(data)
+            return
+        nxt = data.find(b"\n>", hdr_end)
+        body_end = len(data) if nxt < 0 else nxt + 1
+        yield data[pos + 1:hdr_end].rstrip(b"\r"), hdr_end + 1, body_end
+        pos = -1 if nxt < 0 else nxt + 1
+
+
 def read_fasta_all(fn: str) -> list[Seq1]:
     """Whole-file FASTA reader: the fast path for genome loading (the
     streaming parser costs ~20ns/byte in Python; this is one read + two
@@ -51,21 +71,12 @@ def read_fasta_all(fn: str) -> list[Seq1]:
             return list(read_fastx(fn))
         data = f.read()
     out = []
-    pos = data.find(b">")
-    while pos >= 0:
-        hdr_end = data.find(b"\n", pos)
-        if hdr_end < 0:  # header-only final record without newline
-            name, comment = _split_hdr(data[pos + 1:].rstrip(b"\r"))
-            out.append(Seq1(name, b"", comment))
-            break
-        nxt = data.find(b"\n>", hdr_end)
-        body_end = len(data) if nxt < 0 else nxt + 1
-        name, comment = _split_hdr(data[pos + 1:hdr_end].rstrip(b"\r"))
-        seq = data[hdr_end + 1:body_end].replace(b"\n", b"")
+    for hdr, body_s, body_e in iter_fasta_spans(data):
+        name, comment = _split_hdr(hdr)
+        seq = data[body_s:body_e].replace(b"\n", b"")
         if b"\r" in seq:
             seq = seq.replace(b"\r", b"")
         out.append(Seq1(name, seq, comment))
-        pos = -1 if nxt < 0 else nxt + 1
     return out
 
 

@@ -96,10 +96,20 @@ _SHORT_ARG = "kMLslbTtdcnmKpNOEJCFGegBPwjo"
 
 
 def main(argv: list[str] | None = None) -> int:
-    argv = sys.argv[1:] if argv is None else argv
-    server_parse = "--server-parse" in argv
-    if server_parse:
-        argv = [a for a in argv if a != "--server-parse"]
+    """CLI entry point; always returns an exit code."""
+    r = _run(sys.argv[1:] if argv is None else argv, server_parse=False)
+    assert isinstance(r, int)
+    return r
+
+
+def load_for_server(argv: list[str]) -> tuple | int:
+    """Parse options and load the index like the CLI, but stop before
+    mapping: returns (index, mapopt, n_threads, use_tpu) for
+    miniprot_tpu.server, or an int exit code on a usage error."""
+    return _run(argv, server_parse=True)
+
+
+def _run(argv: list[str], server_parse: bool):
     if "--tpu" in argv:
         # Initialize the accelerator backend before any slow host work:
         # on relay-attached devices (axon) the claim made at process

@@ -56,7 +56,7 @@ class NtDB:
         db = cls()
         nt4 = tables.get_tables(1).nt4  # nt4 mapping is code-independent
         from . import native
-        from .bseq import _open_maybe_gzip, _split_hdr
+        from .bseq import _open_maybe_gzip, _split_hdr, iter_fasta_spans
         data = None
         with _open_maybe_gzip(fn) as f:
             head = f.peek(1)[:1] if hasattr(f, "peek") else b""
@@ -79,24 +79,20 @@ class NtDB:
             db.l_seq = off
             db.seq = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
         else:
+            # record boundaries come from the shared bseq scanner;
+            # newline strip + nt4 map + nibble pack run in one C pass
             packed = np.zeros(len(data) // 2 + 1, np.uint8)
             off = 0
-            pos = data.find(b">")
-            while pos >= 0:
-                hdr_end = data.find(b"\n", pos)
-                if hdr_end < 0:  # header-only final record without newline
-                    name, _ = _split_hdr(data[pos + 1:].rstrip(b"\r"))
-                    db.ctg.append(Contig(name, off, 0))
-                    break
-                nxt = data.find(b"\n>", hdr_end)
-                body_end = len(data) if nxt < 0 else nxt + 1
-                name, _ = _split_hdr(data[pos + 1:hdr_end].rstrip(b"\r"))
-                new_off = native.fa_pack(data, hdr_end + 1, body_end, nt4,
+            for hdr, body_s, body_e in iter_fasta_spans(data):
+                name, _ = _split_hdr(hdr)
+                new_off = native.fa_pack(data, body_s, body_e, nt4,
                                          packed, off)
                 db.ctg.append(Contig(name, off, new_off - off))
                 off = new_off
-                pos = -1 if nxt < 0 else nxt + 1
             db.l_seq = off
+            # NB: the slice view pins the full len(data)//2+1 buffer
+            # (~1% newline overhead); a .copy() would transiently need
+            # +l_seq/2 bytes while `data` is still live, a worse peak
             db.seq = packed[: (off + 1) // 2]
         from . import sysutil
         sysutil.log("NtDB.from_fasta", "read %d bases in %d contigs",

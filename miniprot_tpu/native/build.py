@@ -16,7 +16,11 @@ SRC = os.path.join(_DIR, "mpnative.c")
 SO = os.path.join(_DIR, "libmpnative.so")
 
 CFLAGS = ["-O3", "-std=c11", "-ffp-contract=off", "-fPIC", "-shared",
-          "-fvisibility=hidden", "-Wall"]
+          "-fvisibility=hidden", "-Wall",
+          # the silent-capture build must hard-fail on the warning
+          # classes that indicate real type bugs
+          "-Werror=int-conversion", "-Werror=incompatible-pointer-types",
+          "-Werror=implicit-function-declaration"]
 
 
 def ensure_built() -> str:

@@ -1,32 +1,36 @@
 /*
  * mpnative — native host runtime for miniprot_tpu.
  *
- * This library provides the exactness-critical host kernels of the
- * TPU-native aligner:
+ * This library provides the host-side kernels of the TPU-native
+ * aligner: the anchor chainer, the striped splice/frameshift DP, the
+ * permutation-exact sorter, sketching and per-alignment statistics.
+ * The TPU Pallas kernels (miniprot_tpu/kernels/) are the performance
+ * path; this library is the correctness anchor and host fallback.
  *
- *   1. mx_sort_u64 / mx_sort_pair — an in-place MSD radix sort whose
- *      equal-key permutation behaviour matches the reference tool's
- *      sorter (ksort.h:112-162).  The reference sorter is NOT stable,
- *      and downstream tie-breaking (chain selection, region ranking)
- *      depends on its exact permutation, so output byte-equivalence
- *      requires replicating the algorithm, not just the ordering.
+ * PROVENANCE.  The project's acceptance bar is output *byte-parity*
+ * with reference miniprot v0.18.  That bar pins more than arithmetic:
+ * it pins evaluation orders (the DP traceback word records which of ten
+ * candidates won a saturating int16 max, in a fixed order), an unstable
+ * sorter's equal-key permutation (which feeds downstream tie-breaking),
+ * and float32 rounding (the chain gap penalty and the extension
+ * length penalty).  Each function below is labelled with one of:
  *
- *   2. mx_chain — minimap2-style 1-D anchor chaining with the splice-
- *      aware gap cost of the reference (chain.c:112-219), including the
- *      max_skip/max_iter/rescue heuristics and peak-score backtrack that
- *      all affect which chains are reported.
+ *   [original]      new design; the reference is cited only as the
+ *                   behavioral spec being matched.
+ *   [pinned]        the *algorithm itself* is forced by byte-parity
+ *                   (a permutation, a bit layout, or float rounding);
+ *                   the label says what pins it and cites the
+ *                   reference file:line it must stay equivalent to.
+ *                   These are re-expressions of a fixed algorithm —
+ *                   they cannot be algorithmically different and
+ *                   remain byte-compatible.
+ *   [pinned-order]  the computation order is forced (e.g. the DP
+ *                   state-update sequence behind the traceback bits)
+ *                   but the surrounding organization is ours.
  *
- *   3. mx_dp16 — the splice/frameshift-aware affine-gap DP ("nasw") in
- *      the exact striped (Farrar) 8-lane int16 formulation of the
- *      reference (nasw-sse.c:340-556).  The traceback bit layout depends
- *      on the striped evaluation order, so the host fallback emulates
- *      8 int16 lanes with plain C arrays (autovectorized by the
- *      compiler).  The TPU Pallas kernels (miniprot_tpu/kernels/) are
- *      the performance path; this is the correctness anchor.
- *
- * Everything here is a fresh implementation written from the recurrence
- * definitions; see docstrings in the Python wrappers for the mapping to
- * reference file:line.
+ * Equivalence of every pinned function is fuzz-verified against the
+ * reference binary end-to-end (tests/test_fuzz_vs_ref.py, tools/soak.py)
+ * and at function level (tests/test_native.py).
  */
 
 #include <stdint.h>
@@ -37,122 +41,118 @@
 
 #define MX_EXPORT __attribute__((visibility("default")))
 
-/*********************************
- * MSD radix sort (ksort flavor) *
- *********************************/
+/**************************************
+ * Permutation-exact MSD radix sort   *
+ **************************************/
+
+/*
+ * [pinned]  In-place byte-at-a-time MSD radix sort with cycle-chasing
+ * ("American flag") distribution, insertion sort below 64 elements.
+ *
+ * What pins it: the reference's sorter (ksort.h:112-162) is NOT stable,
+ * and the permutation it applies to EQUAL keys leaks into the output:
+ * chain candidates with equal scores and regions with equal rank are
+ * later tie-broken by array position, so the emitted records depend on
+ * this exact permutation.  Replicating the ordering alone is not
+ * enough; the algorithm (digit width, small-bucket threshold, the
+ * element movement of the distribution pass, and insertion-sort
+ * stability) must all produce the same permutation.  The code below
+ * re-expresses that fixed algorithm with index-based bucket cursors
+ * and an iterative skeleton; it cannot be algorithmically different.
+ * Verified by permutation-equality fuzz in tests/test_native.py.
+ */
 
 #define MX_RS_MIN 64
-#define MX_RS_BITS 8
+#define MX_NBKT 256                /* one byte per MSD level */
 
 typedef struct { uint64_t x, y; } mx_pair_t;
 
-/* --- u64 variant --- */
+/* Binary insertion would break equal-key order; this shifts only while
+ * strictly greater, i.e. it is stable, which is what the reference's
+ * small-bucket sorter guarantees. */
+#define MX_DEF_INSSORT(name, elem_t, keyof) \
+	static void name(elem_t *a, int64_t n) \
+	{ \
+		int64_t i, j; \
+		for (i = 1; i < n; ++i) { \
+			elem_t cur = a[i]; \
+			if (keyof(cur) >= keyof(a[i - 1])) continue; \
+			for (j = i; j > 0 && keyof(cur) < keyof(a[j - 1]); --j) \
+				a[j] = a[j - 1]; \
+			a[j] = cur; \
+		} \
+	}
 
-static void ins_sort_u64(uint64_t *s, uint64_t *e)
-{
-	uint64_t *i;
-	for (i = s + 1; i < e; ++i) {
-		if (*i < *(i - 1)) {
-			uint64_t *j, tmp = *i;
-			for (j = i; j > s && tmp < *(j - 1); --j) *j = *(j - 1);
-			*j = tmp;
-		}
+/* One MSD level: count, then chase each displaced element through the
+ * bucket cycle until an element belonging to the current bucket lands
+ * in the open slot.  `head[c]` is bucket c's next unplaced slot. */
+#define MX_DEF_RADIX(name, elem_t, keyof, inssort) \
+	static void name(elem_t *a, int64_t n, int sh) \
+	{ \
+		int64_t head[MX_NBKT], tail[MX_NBKT], start[MX_NBKT]; \
+		int64_t i, acc; \
+		int c; \
+		memset(head, 0, sizeof(head)); \
+		for (i = 0; i < n; ++i) ++head[keyof(a[i]) >> sh & 0xff]; \
+		for (c = 0, acc = 0; c < MX_NBKT; ++c) { \
+			int64_t cnt = head[c]; \
+			start[c] = head[c] = acc; \
+			acc += cnt; \
+			tail[c] = acc; \
+		} \
+		for (c = 0; c < MX_NBKT; ++c) { \
+			while (head[c] < tail[c]) { \
+				elem_t x = a[head[c]]; \
+				int d = keyof(x) >> sh & 0xff; \
+				while (d != c) { \
+					elem_t y = a[head[d]]; \
+					a[head[d]++] = x; \
+					x = y; \
+					d = keyof(x) >> sh & 0xff; \
+				} \
+				a[head[c]++] = x; \
+			} \
+		} \
+		if (sh == 0) return; \
+		sh = sh > 8 ? sh - 8 : 0; \
+		for (c = 0; c < MX_NBKT; ++c) { \
+			int64_t len = tail[c] - start[c]; \
+			if (len > MX_RS_MIN) name(a + start[c], len, sh); \
+			else if (len > 1) inssort(a + start[c], len); \
+		} \
 	}
-}
 
-static void rs_u64(uint64_t *beg, uint64_t *end, int s)
-{
-	uint64_t *i;
-	const int m = (1 << MX_RS_BITS) - 1;
-	struct bkt { uint64_t *b, *e; } b[1 << MX_RS_BITS], *k, *be = b + (1 << MX_RS_BITS);
-	for (k = b; k != be; ++k) k->b = k->e = beg;
-	for (i = beg; i != end; ++i) ++b[*i >> s & m].e;
-	for (k = b + 1; k != be; ++k) k->e += (k - 1)->e - beg, k->b = (k - 1)->e;
-	for (k = b; k != be;) {
-		if (k->b != k->e) {
-			struct bkt *l;
-			if ((l = b + (*k->b >> s & m)) != k) {
-				uint64_t tmp = *k->b, swap;
-				do {
-					swap = tmp; tmp = *l->b; *l->b++ = swap;
-					l = b + (tmp >> s & m);
-				} while (l != k);
-				*k->b++ = tmp;
-			} else ++k->b;
-		} else ++k;
-	}
-	for (b->b = beg, k = b + 1; k != be; ++k) k->b = (k - 1)->e;
-	if (s) {
-		s = s > MX_RS_BITS ? s - MX_RS_BITS : 0;
-		for (k = b; k != be; ++k) {
-			if (k->e - k->b > MX_RS_MIN) rs_u64(k->b, k->e, s);
-			else if (k->e - k->b > 1) ins_sort_u64(k->b, k->e);
-		}
-	}
-}
+#define mx_key_id(v) (v)
+#define mx_key_x(v) ((v).x)
+
+MX_DEF_INSSORT(ins_sort_u64, uint64_t, mx_key_id)
+MX_DEF_RADIX(rs_u64, uint64_t, mx_key_id, ins_sort_u64)
+MX_DEF_INSSORT(ins_sort_pair, mx_pair_t, mx_key_x)
+MX_DEF_RADIX(rs_pair, mx_pair_t, mx_key_x, ins_sort_pair)
 
 MX_EXPORT void mx_sort_u64(uint64_t *a, int64_t n)
 {
-	if (n <= MX_RS_MIN) ins_sort_u64(a, a + n);
-	else rs_u64(a, a + n, (8 - 1) * MX_RS_BITS);
-}
-
-/* --- pair variant, keyed on .x --- */
-
-static void ins_sort_pair(mx_pair_t *s, mx_pair_t *e)
-{
-	mx_pair_t *i;
-	for (i = s + 1; i < e; ++i) {
-		if (i->x < (i - 1)->x) {
-			mx_pair_t *j, tmp = *i;
-			for (j = i; j > s && tmp.x < (j - 1)->x; --j) *j = *(j - 1);
-			*j = tmp;
-		}
-	}
-}
-
-static void rs_pair(mx_pair_t *beg, mx_pair_t *end, int s)
-{
-	mx_pair_t *i;
-	const int m = (1 << MX_RS_BITS) - 1;
-	struct bkt { mx_pair_t *b, *e; } b[1 << MX_RS_BITS], *k, *be = b + (1 << MX_RS_BITS);
-	for (k = b; k != be; ++k) k->b = k->e = beg;
-	for (i = beg; i != end; ++i) ++b[i->x >> s & m].e;
-	for (k = b + 1; k != be; ++k) k->e += (k - 1)->e - beg, k->b = (k - 1)->e;
-	for (k = b; k != be;) {
-		if (k->b != k->e) {
-			struct bkt *l;
-			if ((l = b + (k->b->x >> s & m)) != k) {
-				mx_pair_t tmp = *k->b, swap;
-				do {
-					swap = tmp; tmp = *l->b; *l->b++ = swap;
-					l = b + (tmp.x >> s & m);
-				} while (l != k);
-				*k->b++ = tmp;
-			} else ++k->b;
-		} else ++k;
-	}
-	for (b->b = beg, k = b + 1; k != be; ++k) k->b = (k - 1)->e;
-	if (s) {
-		s = s > MX_RS_BITS ? s - MX_RS_BITS : 0;
-		for (k = b; k != be; ++k) {
-			if (k->e - k->b > MX_RS_MIN) rs_pair(k->b, k->e, s);
-			else if (k->e - k->b > 1) ins_sort_pair(k->b, k->e);
-		}
-	}
+	if (n <= MX_RS_MIN) ins_sort_u64(a, n);
+	else rs_u64(a, n, 56);
 }
 
 MX_EXPORT void mx_sort_pair(mx_pair_t *a, int64_t n)
 {
-	if (n <= MX_RS_MIN) ins_sort_pair(a, a + n);
-	else rs_pair(a, a + n, (8 - 1) * MX_RS_BITS);
+	if (n <= MX_RS_MIN) ins_sort_pair(a, n);
+	else rs_pair(a, n, 56);
 }
 
 /************
  * Chaining *
  ************/
 
-static inline float mx_log2f(float x) /* fast approx log2; valid for x >= 2 */
+/* [pinned]  Fast float32 log2 approximation.  Chain gap penalties and
+ * the extension length penalty are computed through this function and
+ * truncated to int, so its exact polynomial (three magic constants,
+ * float32 rounding at every step) decides scores near the truncation
+ * boundaries: a correctly-rounded log2f would change output bytes.
+ * Must stay arithmetic-identical to mp_log2 (mppriv.h:91-99). */
+static inline float mx_log2f(float x) /* valid for x >= 2 */
 {
 	union { float f; uint32_t i; } z = { x };
 	float log_2 = ((z.i >> 23) & 255) - 128;
@@ -165,75 +165,105 @@ static inline float mx_log2f(float x) /* fast approx log2; valid for x >= 2 */
 #define MX_NEG_INF (-0x7fffffff - 1)
 #define MX_BLOCK_BONUS 2
 
-/* anchor-pair transition score; chain.c:112-151 */
-static inline int32_t chain_sc(uint64_t ai, uint64_t aj, int32_t max_dist_x, int32_t max_dist_y,
-                               int32_t bw, float coef_log, int32_t is_spliced, int32_t bbit, int32_t kmer)
+/*
+ * Anchor chaining.  [pinned-order] throughout this section: the scoring
+ * arithmetic (float32 penalties truncated to int; behavioral spec in
+ * SURVEY §2.1 / paper Eq.1-3, parity target chain.c:112-151) and the
+ * max_skip / max_iter / rescue heuristics decide WHICH chains exist,
+ * and the heuristics are order-dependent (they depend on the descending
+ * predecessor scan and on marks left by earlier anchors), so their
+ * decision sequence must match the reference's (chain.c:160-219) even
+ * though the code organization here — config struct, split cost
+ * helpers, single-pass chain emission — is our own.
+ */
+
+typedef struct {
+	int32_t max_dist_x, max_dist_y, bw, kmer, bbit;
+	int32_t is_spliced;
+	float coef_log;
+} mx_chain_cfg_t;
+
+/* Integer cost of a gap: linear vs logarithmic parts in float32, then
+ * C truncation.  Intron-like gaps (genome side longer, spliced mode)
+ * pay the cheaper of the two; everything else pays both. */
+static inline int32_t mx_gap_cost(int32_t gap, int32_t sgap, float coef_log, int32_t is_spliced)
 {
-	int32_t dq = (int32_t)ai - (int32_t)aj, dq3 = dq * 3, dr3, dd, sc, dd_signed = 0;
-	if (dq <= 0 || dq3 > max_dist_x) return MX_NEG_INF;
-	if (dq > max_dist_y) return MX_NEG_INF;
-	if (bbit > 0) {
-		int32_t bs = 1 << bbit;
-		dr3 = ((ai >> 32) - (aj >> 32)) << bbit;
-		if (dq3 >= dr3 - bs && dq3 <= dr3 + bs) dd = dd_signed = 0;
-		else if (dq3 < dr3 - bs) dd = dr3 - bs - dq3, dd_signed = -dd;
-		else dd = dq3 - (dr3 + bs), dd_signed = dd;
-	} else {
-		dr3 = (ai >> 32) - (aj >> 32);
-		if (dr3 == 0) return MX_NEG_INF;
-		dd = dr3 > dq3 ? dr3 - dq3 : dq3 - dr3;
-		dd_signed = dq3 - dr3;
-	}
-	if (dd > bw) return MX_NEG_INF;
-	if (bbit > 0) {
-		sc = kmer < dq ? kmer : dq;
-	} else if (kmer <= dq && kmer * 3 <= dr3) {
-		sc = kmer;
-	} else {
-		int32_t dr = dr3 / 3, q = dr3 - dr * 3;
-		int32_t dg = dr < dq ? dr : dq;
-		sc = dg < kmer ? dg : kmer;
-		if (q != 0) --sc; /* frameshift */
-	}
-	if (dd > 0) {
-		float lin_pen, log_pen;
-		lin_pen = (float)dd * .33334f;
-		log_pen = dd >= 2 ? coef_log * (mx_log2f(dd + 1) - 1.0f) + 1.0f : (float)dd;
-		if (is_spliced) {
-			if (dd_signed < 0) sc -= (int)(lin_pen < log_pen ? lin_pen : log_pen);
-			else sc -= (int)(lin_pen + log_pen);
-		} else sc -= (int)(lin_pen + log_pen);
-	}
-	if (bbit > 0 && ai >> 32 == aj >> 32 && dd == 0) sc += MX_BLOCK_BONUS;
-	return sc;
+	float lin = (float)gap * .33334f;
+	float lg = gap >= 2 ? coef_log * (mx_log2f(gap + 1) - 1.0f) + 1.0f : (float)gap;
+	if (is_spliced && sgap < 0)
+		return (int32_t)(lin < lg ? lin : lg);
+	return (int32_t)(lin + lg);
 }
 
-/* walk one chain from z[k] back to its end anchor, honoring max_drop; chain.c:8-24 */
-static int64_t chain_walk_end(int32_t max_drop, const mx_pair_t *z, const int32_t *f,
-                              const int64_t *p, int32_t *t, int64_t k)
+/* Transition score for chaining `prev` -> `cur` (both pos<<32|qpos).
+ * Returns MX_NEG_INF when the pair cannot be chained. */
+static inline int32_t mx_pair_sc(const mx_chain_cfg_t *c, uint64_t cur, uint64_t prev)
 {
-	int64_t i = z[k].y, end_i = -1, max_i = i;
-	int32_t max_s = 0;
-	if (i < 0 || t[i] != 0) return i;
-	do {
-		int32_t s;
-		t[i] = 2;
-		end_i = i = p[i];
-		s = i < 0 ? (int32_t)z[k].x : (int32_t)z[k].x - f[i];
-		if (s > max_s) max_s = s, max_i = i;
-		else if (max_s - s > max_drop) break;
-	} while (i >= 0 && t[i] == 0);
-	for (i = z[k].y; i >= 0 && i != end_i; i = p[i])
-		t[i] = 0;
-	return max_i;
+	int32_t dq = (int32_t)cur - (int32_t)prev;  /* query aa advance */
+	int32_t dq3 = dq * 3;
+	int32_t gap, sgap, credit;
+	if (dq <= 0 || dq3 > c->max_dist_x || dq > c->max_dist_y) return MX_NEG_INF;
+	if (c->bbit > 0) {
+		/* block resolution: genome distance known to one 2^bbit block,
+		 * so the gap is the smallest distance consistent with it */
+		int32_t bs = 1 << c->bbit;
+		int32_t dr3 = (int32_t)(((cur >> 32) - (prev >> 32)) << c->bbit);
+		if (dq3 < dr3 - bs)      gap = dr3 - bs - dq3, sgap = -gap;
+		else if (dq3 > dr3 + bs) gap = dq3 - (dr3 + bs), sgap = gap;
+		else                     gap = sgap = 0;
+		if (gap > c->bw) return MX_NEG_INF;
+		credit = dq < c->kmer ? dq : c->kmer;
+		if (gap == 0 && (cur >> 32) == (prev >> 32))
+			credit += MX_BLOCK_BONUS;  /* same-block pair */
+	} else {
+		/* base resolution: exact genome distance, frameshift-aware */
+		int32_t dr3 = (int32_t)((cur >> 32) - (prev >> 32));
+		if (dr3 == 0) return MX_NEG_INF;
+		sgap = dq3 - dr3;
+		gap = sgap < 0 ? -sgap : sgap;
+		if (gap > c->bw) return MX_NEG_INF;
+		if (c->kmer <= dq && c->kmer * 3 <= dr3) {
+			credit = c->kmer;
+		} else {
+			int32_t diag = dr3 / 3 < dq ? dr3 / 3 : dq;
+			credit = diag < c->kmer ? diag : c->kmer;
+			if (dr3 % 3 != 0) --credit;  /* out-of-frame step */
+		}
+	}
+	if (gap > 0) credit -= mx_gap_cost(gap, sgap, c->coef_log, c->is_spliced);
+	return credit;
+}
+
+/* Walk back from candidate peak cand[k] following pred[] links until the
+ * score drop from the best suffix seen exceeds max_drop, or the walk
+ * runs into an anchor already claimed by another chain.  Returns the
+ * link at which the emitted chain should stop (exclusive).  Claim marks
+ * (seen=2) are provisional and reset before returning. */
+static int64_t mx_chain_stop(int32_t max_drop, const mx_pair_t *cand, int64_t k,
+                             const int32_t *score, const int64_t *pred, int32_t *seen)
+{
+	int64_t i = cand[k].y, walked_to = -1, stop_at = i;
+	int32_t best_suffix = 0;
+	if (i < 0 || seen[i] != 0) return i;
+	for (;;) {
+		int32_t suffix;
+		seen[i] = 2;
+		walked_to = i = pred[i];
+		suffix = i < 0 ? (int32_t)cand[k].x : (int32_t)cand[k].x - score[i];
+		if (suffix > best_suffix) best_suffix = suffix, stop_at = i;
+		else if (best_suffix - suffix > max_drop) break;
+		if (i < 0 || seen[i] != 0) break;
+	}
+	for (i = cand[k].y; i >= 0 && i != walked_to; i = pred[i])
+		seen[i] = 0;
+	return stop_at;
 }
 
 /*
  * Chain anchors a[0..n) (sorted u64 = pos<<32|qpos).  Writes the selected
  * chains' anchors to out_a (capacity n) and score<<32|cnt records to
- * out_u (capacity n).  Returns the number of chains; *n_a_out gets the
- * total anchors written.  Mirrors mp_chain + backtrack + compact
- * (chain.c:26-219).
+ * out_u (capacity n); chains ordered by target start.  Returns the
+ * number of chains; *n_a_out gets the total anchors written.
  */
 MX_EXPORT int64_t mx_chain(int32_t max_dist_x, int32_t max_dist_y, int32_t bw, int32_t max_skip,
                            int32_t max_iter, int32_t min_cnt, int32_t min_sc, float coef_log,
@@ -241,99 +271,114 @@ MX_EXPORT int64_t mx_chain(int32_t max_dist_x, int32_t max_dist_y, int32_t bw, i
                            int64_t n, const uint64_t *a,
                            uint64_t *out_a, uint64_t *out_u, int64_t *n_a_out)
 {
-	int32_t *f, *t, *v, mmax_f = 0, max_drop = bw, hf = 0;
-	int64_t *p, i, j, st = 0, hi = -1, n_z, k, n_v, n_u;
-	mx_pair_t *z, *w;
-	uint64_t *b, *u, *u2;
+	mx_chain_cfg_t cfg;
+	int32_t *score, *seen, *picked, max_drop, r_sc = 0;
+	int64_t *pred, i, j, lo = 0, r_at = -1, n_cand, k, n_v, n_u;
+	mx_pair_t *cand, *order;
+	uint64_t *pool, *chn, *chn2;
 
 	*n_a_out = 0;
 	if (n == 0) return 0;
-	if (max_dist_x < bw) max_dist_x = bw;
-	if (max_dist_y < bw && !is_spliced) max_dist_y = bw;
-	if (is_spliced) max_drop = 0x7fffffff;
-	p = (int64_t*)malloc(n * 8);
-	f = (int32_t*)malloc(n * 4);
-	v = (int32_t*)malloc(n * 4);
-	t = (int32_t*)calloc(n, 4);
+	cfg.bw = bw, cfg.kmer = kmer, cfg.bbit = bbit;
+	cfg.coef_log = coef_log, cfg.is_spliced = is_spliced;
+	cfg.max_dist_x = max_dist_x > bw ? max_dist_x : bw;
+	cfg.max_dist_y = !is_spliced && max_dist_y < bw ? bw : max_dist_y;
+	max_drop = is_spliced ? 0x7fffffff : bw;
+	pred = (int64_t*)malloc(n * 8);
+	score = (int32_t*)malloc(n * 4);
+	picked = (int32_t*)malloc(n * 4);
+	seen = (int32_t*)calloc(n, 4);
 
-	for (i = 0; i < n; ++i) { /* fill score/backtrack arrays; chain.c:181-209 */
-		int64_t max_j = -1;
-		int32_t max_f = kmer, n_skip = 0;
-		while (st < i && ((a[i] >> 32) - (a[st] >> 32)) << bbit > (uint64_t)max_dist_x) ++st;
-		if (hi >= 0 && hi >= st) { /* rescue heuristic */
-			int32_t sc = hf + chain_sc(a[i], a[hi], max_dist_x, max_dist_y, bw, coef_log, is_spliced, bbit, kmer);
-			if (sc > max_f) max_f = sc, max_j = hi;
-		} else hf = 0, hi = -1;
-		if (i - st > max_iter) st = i - max_iter;
-		for (j = i - 1; j >= st; --j) {
-			int32_t sc = chain_sc(a[i], a[j], max_dist_x, max_dist_y, bw, coef_log, is_spliced, bbit, kmer);
-			if (sc == MX_NEG_INF) continue;
-			sc += f[j];
-			if (sc > max_f) {
-				max_f = sc, max_j = j;
-				if (n_skip > 0) --n_skip;
-			} else if (t[j] == (int32_t)i) {
-				if (++n_skip > max_skip) break;
+	/* Forward DP over anchors.  `seen[x] == i` marks "x was already the
+	 * chosen predecessor of some anchor examined while scanning i" —
+	 * hitting max_skip of those in a row ends the scan early.  The
+	 * rescue pair (r_sc, r_at) remembers the best chain end so far so a
+	 * skip-truncated scan can still link to it. */
+	for (i = 0; i < n; ++i) {
+		int64_t best_j = -1;
+		int32_t best = kmer, n_skip = 0;
+		while (lo < i && ((a[i] >> 32) - (a[lo] >> 32)) << bbit > (uint64_t)cfg.max_dist_x)
+			++lo;
+		if (r_at >= lo && r_at >= 0) {
+			int32_t sc = r_sc + mx_pair_sc(&cfg, a[i], a[r_at]);
+			if (sc > best) best = sc, best_j = r_at;
+		} else {
+			r_sc = 0, r_at = -1;
+		}
+		/* NB: the max_iter clamp moves the window start itself (it
+		 * persists into later anchors' windows and rescue checks) */
+		if (i - lo > max_iter) lo = i - max_iter;
+		for (j = i - 1; j >= lo; --j) {
+			int32_t sc = mx_pair_sc(&cfg, a[i], a[j]);
+			if (sc != MX_NEG_INF) {
+				sc += score[j];
+				if (sc > best) {
+					best = sc, best_j = j;
+					if (n_skip > 0) --n_skip;
+				} else if (seen[j] == (int32_t)i && ++n_skip > max_skip) {
+					break;
+				}
+				if (pred[j] >= 0) seen[pred[j]] = i;
 			}
-			if (p[j] >= 0) t[p[j]] = i;
 		}
-		f[i] = max_f, p[i] = max_j;
-		v[i] = max_j >= 0 && v[max_j] > max_f ? v[max_j] : max_f;
-		if (mmax_f < max_f) mmax_f = max_f;
-		if (hf < max_f) hf = max_f, hi = i;
+		score[i] = best, pred[i] = best_j;
+		/* picked[] doubles as the peak-score array during the DP */
+		picked[i] = best_j >= 0 && picked[best_j] > best ? picked[best_j] : best;
+		if (r_sc < best) r_sc = best, r_at = i;
 	}
 
-	/* backtrack; chain.c:26-75 */
-	for (i = 0, n_z = 0; i < n; ++i)
-		if (f[i] >= min_sc) ++n_z;
-	if (n_z == 0) { free(p); free(f); free(v); free(t); return 0; }
-	z = (mx_pair_t*)malloc(n_z * sizeof(mx_pair_t));
+	/* Candidate peaks, ascending score; emit chains greedily from the
+	 * highest peak down, claiming anchors as they are consumed. */
+	for (i = 0, n_cand = 0; i < n; ++i)
+		if (score[i] >= min_sc) ++n_cand;
+	if (n_cand == 0) { free(pred); free(score); free(picked); free(seen); return 0; }
+	cand = (mx_pair_t*)malloc(n_cand * sizeof(mx_pair_t));
 	for (i = 0, k = 0; i < n; ++i)
-		if (f[i] >= min_sc) z[k].x = f[i], z[k++].y = i;
-	mx_sort_pair(z, n_z);
+		if (score[i] >= min_sc) cand[k].x = score[i], cand[k++].y = i;
+	mx_sort_pair(cand, n_cand);
 
-	u = (uint64_t*)malloc(n_z * 8); /* at most n_z chains */
-	memset(t, 0, n * 4);
-	for (k = n_z - 1, n_v = n_u = 0; k >= 0; --k) {
-		if (t[z[k].y] == 0) {
-			int64_t n_v0 = n_v, end_i;
-			int32_t sc;
-			end_i = chain_walk_end(max_drop, z, f, p, t, k);
-			for (i = z[k].y; i != end_i; i = p[i])
-				v[n_v++] = i, t[i] = 1;
-			sc = i < 0 ? (int32_t)z[k].x : (int32_t)z[k].x - f[i];
-			if (sc >= min_sc && n_v > n_v0 && n_v - n_v0 >= min_cnt)
-				u[n_u++] = (uint64_t)sc << 32 | (n_v - n_v0);
-			else n_v = n_v0;
-		}
+	chn = (uint64_t*)malloc(n_cand * 8); /* at most n_cand chains */
+	memset(seen, 0, n * 4);
+	for (k = n_cand - 1, n_v = n_u = 0; k >= 0; --k) {
+		int64_t v0 = n_v, stop_at;
+		int32_t sc;
+		if (seen[cand[k].y] != 0) continue;
+		stop_at = mx_chain_stop(max_drop, cand, k, score, pred, seen);
+		for (i = cand[k].y; i != stop_at; i = pred[i])
+			picked[n_v++] = i, seen[i] = 1;
+		sc = i < 0 ? (int32_t)cand[k].x : (int32_t)cand[k].x - score[i];
+		if (sc >= min_sc && n_v - v0 >= min_cnt && n_v > v0)
+			chn[n_u++] = (uint64_t)sc << 32 | (n_v - v0);
+		else n_v = v0;  /* too short / too weak: unemit (marks stay) */
 	}
-	free(z);
-	if (n_u == 0) { free(p); free(f); free(v); free(t); free(u); return 0; }
+	free(cand);
+	if (n_u == 0) { free(pred); free(score); free(picked); free(seen); free(chn); return 0; }
 
-	/* compact: per-chain anchors in forward order; chain.c:77-110 */
-	b = (uint64_t*)malloc(n_v * 8);
+	/* picked[] holds each chain's anchors peak-first; materialize them
+	 * start-first into pool[], then order whole chains by target start. */
+	pool = (uint64_t*)malloc(n_v * 8);
 	for (i = 0, k = 0; i < n_u; ++i) {
-		int64_t k0 = k, ni = (int32_t)u[i];
-		for (j = 0; j < ni; ++j)
-			b[k++] = a[v[k0 + (ni - j - 1)]];
+		int64_t base = k, len = (int32_t)chn[i];
+		for (j = 0; j < len; ++j)
+			pool[k++] = a[picked[base + (len - 1 - j)]];
 	}
-	/* sort chains by target start */
-	w = (mx_pair_t*)malloc(n_u * sizeof(mx_pair_t));
+	order = (mx_pair_t*)malloc(n_u * sizeof(mx_pair_t));
 	for (i = k = 0; i < n_u; ++i) {
-		w[i].x = b[k] >> 32, w[i].y = (uint64_t)k << 32 | i;
-		k += (int32_t)u[i];
+		order[i].x = pool[k] >> 32;           /* first anchor's position */
+		order[i].y = (uint64_t)k << 32 | i;   /* pool offset | chain id */
+		k += (int32_t)chn[i];
 	}
-	mx_sort_pair(w, n_u);
-	u2 = (uint64_t*)malloc(n_u * 8);
+	mx_sort_pair(order, n_u);
+	chn2 = (uint64_t*)malloc(n_u * 8);
 	for (i = k = 0; i < n_u; ++i) {
-		int64_t jj = (int32_t)w[i].y, nn = (int32_t)u[jj];
-		u2[i] = u[jj];
-		memcpy(&out_a[k], &b[w[i].y >> 32], nn * 8);
-		k += nn;
+		int64_t id = (int32_t)order[i].y, len = (int32_t)chn[id];
+		chn2[i] = chn[id];
+		memcpy(&out_a[k], &pool[order[i].y >> 32], len * 8);
+		k += len;
 	}
-	memcpy(out_u, u2, n_u * 8);
+	memcpy(out_u, chn2, n_u * 8);
 	*n_a_out = n_v;
-	free(p); free(f); free(v); free(t); free(u); free(b); free(w); free(u2);
+	free(pred); free(score); free(picked); free(seen); free(chn); free(pool); free(order); free(chn2);
 	return n_u;
 }
 
@@ -498,6 +543,9 @@ static inline v16 v_shift_up(v16 a, int16_t fill)
 #define C_U 12
 #define C_V 13
 
+/* [pinned]  Run-length CIGAR append.  The no-merge exception for F/G
+ * ops is output-visible (consecutive frameshifts stay separate ops in
+ * the PAF cg: string) and must match ns_push_cigar (nasw.h:141-153). */
 static int32_t push_cigar(uint32_t *cig, int32_t n, uint32_t op, uint32_t len)
 {
 	if (n == 0 || op != (cig[n - 1] & 0xf) || op == C_F || op == C_G)
@@ -506,93 +554,151 @@ static int32_t push_cigar(uint32_t *cig, int32_t n, uint32_t op, uint32_t len)
 	return n;
 }
 
-/* splice-site penalty track generation; nasw-sse.c:106-155 */
+/*
+ * Splice-site penalty tracks.  [pinned-order]  The signal classes (GT/
+ * GTR/GC/AT donors, AG/YAG/AC acceptors, poly-Y bonus window) and the
+ * per-class penalties sp[0..5] are the splice model itself — behavioral
+ * spec SURVEY §2.1, parity target nasw-sse.c:106-210, model derivation
+ * nasw-tab.c:109-129.  The class decision trees below are factored into
+ * per-site classifier helpers; what each classifier must RETURN is
+ * fixed by the model.  Classes: -1 = consensus-with-context (penalty
+ * 0), 0/1/2/4 = indexes into sp[], 3 = non-site.
+ */
+
+/* fwd donor site at position i: intron starts at i+1 with bases
+ * b[i+1],b[i+2]; b[i] and b[i+3] provide context.  Caller guarantees
+ * i+3 < nl. */
+static inline int32_t class_donor_fwd(const uint8_t *b, int32_t i)
+{
+	if (b[i + 1] == 2) {                              /* G. */
+		if (b[i + 2] == 3)                            /* GT */
+			return (b[i + 3] == 0 || b[i + 3] == 2) ? (b[i] == 2 ? -1 : 4) : 0;
+		if (b[i + 2] == 1 && b[i] == 2) return 1;     /* GC after G */
+	} else if (b[i + 1] == 0 && b[i + 2] == 3) {
+		return 2;                                     /* AT */
+	}
+	return 3;
+}
+
+/* fwd acceptor at i: intron ends with bases b[i-1],b[i] */
+static inline int32_t class_acceptor_fwd(const uint8_t *b, int32_t i)
+{
+	if (b[i - 1] == 0) {
+		if (b[i] == 2)                                /* AG */
+			return i >= 2 && (b[i - 2] == 1 || b[i - 2] == 3) ? -1 : 0;
+		if (b[i] == 1) return 2;                      /* AC */
+	}
+	return 3;
+}
+
+/* pyrimidine-richness bonus over the window upstream of an AG acceptor */
+static inline int32_t polyy_pen_fwd(const uint8_t *b, int32_t i, int32_t sp5)
+{
+	int32_t j, pen = 0;
+	for (j = i - 4; j >= 0 && j > i - 7; --j)
+		if (b[j] != 1 && b[j] != 3) pen += sp5;
+	return pen;
+}
+
+/* reversed-genome variants (left extension runs the DP on the reversed
+ * sequence, so the acceptor pattern appears reversed in the donor role
+ * and vice versa) */
+static inline int32_t class_donor_rev(const uint8_t *b, int32_t i)
+{
+	if (b[i + 1] == 2 && b[i + 2] == 0)               /* GA = reversed AG */
+		return (b[i + 3] == 1 || b[i + 3] == 3) ? -1 : 0;
+	if (b[i + 1] == 1 && b[i + 2] == 0) return 2;     /* CA = reversed AC */
+	return 3;
+}
+
+static inline int32_t polyy_pen_rev(const uint8_t *b, int32_t i, int32_t nl, int32_t sp5)
+{
+	int32_t j, pen = 0;
+	for (j = i + 5; j < nl && j < i + 8; ++j)
+		if (b[j] != 1 && b[j] != 3) pen += sp5;
+	return pen;
+}
+
+static inline int32_t class_acceptor_rev(const uint8_t *b, int32_t i, int32_t nl)
+{
+	if (b[i] == 2) {
+		if (b[i - 1] == 3)                            /* TG = reversed GT */
+			return i >= 2 && (b[i - 2] == 0 || b[i - 2] == 2)
+				? (i + 1 < nl && b[i + 1] == 2 ? -1 : 4) : 0;
+		if (b[i - 1] == 1 && i + 1 < nl && b[i + 1] == 1) return 1;  /* CG */
+	} else if (b[i - 1] == 3 && b[i] == 0) {
+		return 2;                                     /* TA = reversed AT */
+	}
+	return 3;
+}
+
+/* Fold a user --spsc track into the donor/acceptor arrays.  The track
+ * value at base i applies to array slot i-1 in forward orientation (the
+ * off-by-one is part of the track's position convention); unset (0xff)
+ * slots pay the null bonus on both tracks.  [pinned-order]: offsets and
+ * the io-derived cap match nasw-sse.c:138-152/189-202. */
+static void apply_spsc(const uint8_t *ss, int32_t nl, int32_t io, int32_t sp_null_bonus,
+                       int32_t rev, int8_t *donor, int8_t *acceptor)
+{
+	const int32_t cap = (io + 1) / 2 - 1;
+	int32_t i;
+	for (i = rev ? 0 : 1; i < nl; ++i) {
+		int32_t at = rev ? nl - 1 - i : i - 1;
+		int32_t v = (int8_t)(ss[i] >> 1) - 64;
+		if (v > cap) v = cap;
+		if (ss[i] == 0xff) {
+			donor[at] -= sp_null_bonus;
+			acceptor[at] -= sp_null_bonus;
+		} else if ((ss[i] & 1) ^ (rev ? 1 : 0)) {
+			/* acceptor-typed entry (donor-typed when reversed) */
+			acceptor[at] -= v;
+		} else {
+			donor[at] -= v;
+		}
+	}
+}
+
 static void prep_fwd(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const int32_t *sp,
                      const uint8_t *ss, int32_t io, int32_t sp_null_bonus,
                      uint8_t *nas, int8_t *donor, int8_t *acceptor)
 {
-	int32_t i, j;
+	int32_t i;
 	for (i = 0; i < nl; ++i) nas[i] = nt4[nsq[i]];
 	for (i = 0; i < nl + 1; ++i) donor[i] = acceptor[i] = sp[3];
-	for (i = 0; i < nl - 3; ++i) {
-		int32_t t = 3;
-		if (nas[i + 1] == 2 && nas[i + 2] == 3)
-			t = i + 3 < nl && (nas[i + 3] == 0 || nas[i + 3] == 2) ? (nas[i] == 2 ? -1 : 4) : 0;
-		else if (nas[i + 1] == 2 && nas[i + 2] == 1 && nas[i] == 2) t = 1;
-		else if (nas[i + 1] == 0 && nas[i + 2] == 3) t = 2;
-		donor[i] = t < 0 ? 0 : sp[t];
+	for (i = 0; i + 3 < nl; ++i) {
+		int32_t c = class_donor_fwd(nas, i);
+		donor[i] = c < 0 ? 0 : sp[c];
 	}
 	for (i = 1; i < nl; ++i) {
-		int32_t t = 3, penY = 0;
-		if (nas[i - 1] == 0 && nas[i] == 2) {
-			t = i >= 2 && (nas[i - 2] == 1 || nas[i - 2] == 3) ? -1 : 0;
-			for (j = i - 4; j >= 0 && j > i - 7; --j)
-				if (nas[j] != 1 && nas[j] != 3) penY += sp[5];
-		} else if (nas[i - 1] == 0 && nas[i] == 1) t = 2;
-		acceptor[i] = t < 0 ? 0 : sp[t];
-		if (t == -1 || t == 0) acceptor[i] += penY;
+		int32_t c = class_acceptor_fwd(nas, i);
+		acceptor[i] = c < 0 ? 0 : sp[c];
+		if (c <= 0) acceptor[i] += polyy_pen_fwd(nas, i, sp[5]);
 	}
-	if (ss) {
-		int32_t max_spsc = (io + 1) / 2 - 1;
-		for (i = 1; i < nl; ++i) {
-			int32_t spsc = (int8_t)(ss[i] >> 1) - 64;
-			if (spsc > max_spsc) spsc = max_spsc;
-			if (ss[i] == 0xff) {
-				donor[i - 1] -= sp_null_bonus;
-				acceptor[i - 1] -= sp_null_bonus;
-			} else if (ss[i] & 1) {
-				acceptor[i - 1] -= spsc;
-			} else {
-				donor[i - 1] -= spsc;
-			}
-		}
-	}
+	if (ss) apply_spsc(ss, nl, io, sp_null_bonus, 0, donor, acceptor);
 }
 
-/* reversed-sequence variant for left extension; nasw-sse.c:157-210 */
 static void prep_rev(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const int32_t *sp,
                      const uint8_t *ss, int32_t io, int32_t sp_null_bonus,
                      uint8_t *nas, int8_t *donor, int8_t *acceptor)
 {
-	int32_t i, j;
+	int32_t i;
 	for (i = 0; i < nl; ++i) nas[nl - 1 - i] = nt4[nsq[i]];
 	for (i = 0; i < nl + 1; ++i) donor[i] = acceptor[i] = sp[3];
-	for (i = 0; i < nl - 3; ++i) { /* reversed acceptor plays the donor role */
-		int32_t t = 3, penY = 0;
-		if (nas[i + 1] == 2 && nas[i + 2] == 0) {
-			t = i + 3 < nl && (nas[i + 3] == 1 || nas[i + 3] == 3) ? -1 : 0;
-			for (j = i + 5; j < nl && j < i + 8; ++j)
-				if (nas[j] != 1 && nas[j] != 3) penY += sp[5];
-		} else if (nas[i + 1] == 1 && nas[i + 2] == 0) t = 2;
-		donor[i] = t < 0 ? 0 : sp[t];
-		if (t == -1 || t == 0) donor[i] += penY;
+	for (i = 0; i + 3 < nl; ++i) { /* reversed acceptor plays the donor role */
+		int32_t c = class_donor_rev(nas, i);
+		donor[i] = c < 0 ? 0 : sp[c];
+		if (c <= 0) donor[i] += polyy_pen_rev(nas, i, nl, sp[5]);
 	}
 	for (i = 1; i < nl; ++i) {
-		int32_t t = 3;
-		if (nas[i - 1] == 3 && nas[i] == 2)
-			t = i >= 2 && (nas[i - 2] == 0 || nas[i - 2] == 2) ? (i + 1 < nl && nas[i + 1] == 2 ? -1 : 4) : 0;
-		else if (nas[i - 1] == 1 && nas[i] == 2 && i + 1 < nl && nas[i + 1] == 1) t = 1;
-		else if (nas[i - 1] == 3 && nas[i] == 0) t = 2;
-		acceptor[i] = t < 0 ? 0 : sp[t];
+		int32_t c = class_acceptor_rev(nas, i, nl);
+		acceptor[i] = c < 0 ? 0 : sp[c];
 	}
-	if (ss) {
-		int32_t max_spsc = (io + 1) / 2 - 1;
-		for (i = 0; i < nl; ++i) {
-			int32_t spsc = (int8_t)(ss[i] >> 1) - 64;
-			if (spsc > max_spsc) spsc = max_spsc;
-			if (ss[i] == 0xff) {
-				donor[nl - i - 1] -= sp_null_bonus;
-				acceptor[nl - i - 1] -= sp_null_bonus;
-			} else if (ss[i] & 1) {
-				donor[nl - i - 1] -= spsc;
-			} else {
-				acceptor[nl - i - 1] -= spsc;
-			}
-		}
-	}
+	if (ss) apply_spsc(ss, nl, io, sp_null_bonus, 1, donor, acceptor);
 }
 
-/* translate: nas[i] = aa of codon ending at i (or X); nasw-sse.c:91-104 */
+/* [original]  Rolling three-base translation: nas[i] = amino acid of
+ * the codon ending at genome position i, X wherever any of the three
+ * bases is ambiguous (spec: nasw-sse.c:91-104). */
 static void prep_nas(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const uint8_t *codon_tab,
                      uint8_t aa_x, uint8_t *nas)
 {
@@ -608,44 +714,70 @@ static void prep_nas(const uint8_t *nsq, int32_t nl, const uint8_t *nt4, const u
 	}
 }
 
-/* backtrack over the striped tb matrix; nasw-sse.c:40-89.
- * row_stride: int16 units between consecutive genome rows (slen*vl for a
- * single-problem matrix; larger when problems are interleaved). */
+/*
+ * Traceback over the striped tb matrix.  [pinned]  The 10-bit cell word
+ * is the DP's wire format: bits 0..3 = winning state, bits 4..8 =
+ * "stayed in gap state" extension flags, bit 9 = lazy-F overwrite.
+ * Both the bit meanings and the striped cell address
+ * (stripe = j%slen, lane = j/slen) come from the DP kernel that wrote
+ * the matrix, which in turn is pinned to the reference's layout
+ * (written nasw-sse.c:444-541, decoded nasw-sse.c:40-89).  The decode
+ * below is table-driven rather than an if-chain, but the (state ->
+ * op/step) mapping itself cannot differ.
+ *
+ * row_stride: int16 units between consecutive genome rows (slen*vl for
+ * a single-problem matrix; larger when problems are interleaved).
+ */
+
+/* per-state step table: genome rows consumed, query aas consumed,
+ * CIGAR op, op length.  States 4/5 (U/V introns) consume the query
+ * column only when the cell is NOT a gap continuation (handled at the
+ * call site via the ext flag). */
+static const int8_t bt_step[10][4] = {
+	/*  di dj  op   len */
+	{ 3, 1, C_M, 1 },   /* 0: codon match        */
+	{ 0, 1, C_I, 1 },   /* 1: insertion          */
+	{ 3, 0, C_D, 1 },   /* 2: codon deletion     */
+	{ 1, 0, C_N, 1 },   /* 3: phase-0 intron     */
+	{ 1, 1, C_U, 1 },   /* 4: phase-1 intron     */
+	{ 1, 1, C_V, 1 },   /* 5: phase-2 intron     */
+	{ 1, 0, C_F, 1 },   /* 6: frameshift del 1   */
+	{ 2, 0, C_F, 2 },   /* 7: frameshift del 2   */
+	{ 1, 1, C_G, 1 },   /* 8: frameshift match 1 */
+	{ 2, 1, C_G, 2 },   /* 9: frameshift match 2 */
+};
+
 static int32_t dp_backtrack_st(const int16_t *tb, int32_t slen, int32_t vl,
                                int64_t row_stride, int32_t nl, int32_t al, uint32_t *cig)
 {
 	int32_t i = nl - 1, j = al - 1, last = 0, n = 0, k;
 	while (i >= 2 && j >= 0) {
-		const int16_t *tbi = tb + (int64_t)i * row_stride;
-		int32_t x = tbi[(j % slen) * vl + j / slen];
+		int32_t x = tb[(int64_t)i * row_stride + (j % slen) * vl + j / slen];
 		int32_t state, ext;
-		if (x >> 9 & 1) x = 1 | (x >> 4 << 4);
-		state = last == 0 ? x & 0xf : last;
+		if (x >> 9 & 1) x = 1 | (x >> 4 << 4);  /* lazy-F overwrote H with I */
+		state = last == 0 ? x & 0xf : last;     /* gap runs carry their state */
 		ext = state >= 1 && state <= 5 ? x >> (state + 3) & 1 : 0;
-		if (state == 0) n = push_cigar(cig, n, C_M, 1), i -= 3, --j;
-		else if (state == 1) n = push_cigar(cig, n, C_I, 1), --j;
-		else if (state == 2) n = push_cigar(cig, n, C_D, 1), i -= 3;
-		else if (state == 3) n = push_cigar(cig, n, C_N, 1), --i;
-		else if (state == 4) { n = push_cigar(cig, n, C_U, 1), --i; if (!ext) --j; }
-		else if (state == 5) { n = push_cigar(cig, n, C_V, 1), --i; if (!ext) --j; }
-		else if (state == 6) n = push_cigar(cig, n, C_F, 1), --i;
-		else if (state == 7) n = push_cigar(cig, n, C_F, 2), i -= 2;
-		else if (state == 8) n = push_cigar(cig, n, C_G, 1), --i, --j;
-		else if (state == 9) n = push_cigar(cig, n, C_G, 2), i -= 2, --j;
+		n = push_cigar(cig, n, bt_step[state][2], bt_step[state][3]);
+		i -= bt_step[state][0];
+		j -= (state == 4 || state == 5) ? !ext : bt_step[state][1];
 		last = state >= 1 && state <= 5 && ext ? state : 0;
 	}
+	/* unreached prefix of either sequence */
 	if (j > 0) n = push_cigar(cig, n, C_I, j);
 	if (i >= 0) {
-		int32_t l = (i + 1) / 3 * 3, t = (i + 1) % 3;
-		if (l > 0) n = push_cigar(cig, n, C_D, l);
-		if (t != 0) n = push_cigar(cig, n, C_F, t);
+		int32_t whole = (i + 1) / 3 * 3, part = (i + 1) % 3;
+		if (whole > 0) n = push_cigar(cig, n, C_D, whole);
+		if (part != 0) n = push_cigar(cig, n, C_F, part);
 	}
-	for (k = 0; k < n >> 1; ++k) { /* reverse */
+	for (k = 0; k < n >> 1; ++k) { /* ops were emitted end-first */
 		uint32_t tmp = cig[k];
 		cig[k] = cig[n - 1 - k];
 		cig[n - 1 - k] = tmp;
 	}
-	for (k = 0; k < n; ++k) { /* tiny U/V -> G; nasw-sse.c:30-38 */
+	/* a U/V shorter than 3nt cannot be a real intron (possible with
+	 * extreme --spsc scores); re-type as frameshift-match so exons
+	 * don't overlap.  Parity: nasw-sse.c:30-38. */
+	for (k = 0; k < n; ++k) {
 		uint32_t op = cig[k] & 0xf;
 		if ((op == C_U || op == C_V) && cig[k] >> 4 < 3)
 			cig[k] = (cig[k] >> 4 << 4) | C_G;
@@ -669,10 +801,22 @@ static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t
 #define DPF_EXT_RIGHT 0x4
 
 /*
- * The main DP entry (16-bit striped).  Mirrors ns_global_gs16b
- * (nasw-sse.c:340-556) exactly, including the lazy-F loop, traceback bit
- * layout and the extension-mode end-finding with the log-length penalty
- * and x-drop.
+ * The main DP entry (16-bit striped).
+ *
+ * [pinned-order]  This function's observable outputs — every traceback
+ * word, the saturating int16 cell values, the extension end choice —
+ * are pinned to the reference kernel's evaluation order
+ * (ns_global_gs16b, nasw-sse.c:340-556): the traceback nibble records
+ * which of ten candidates won a max computed in a FIXED sequence
+ * (match, I, D, A, B, C, then the four frameshift transitions — a
+ * different order changes which bits win ties), the stripe layout
+ * fixes which cells share a saturating lane, and the lazy-F fixup
+ * must revisit stripes in the same order to set bit 9 identically.
+ * Within that forced order, the organization here is ours: lane-width-
+ * generic gcc vector types (the same body autovectorizes or runs under
+ * ASan without intrinsics), grow-only scratch slots instead of an
+ * arena, a shared backtrack decoder, an AVX-512 wide path for the
+ * layout-free extension mode, and the x4 problem-batched variant.
  *
  * nsq/asq: raw byte strings (any chars; converted via nt4/aa20 tables).
  * ss:      optional per-base splice-score track (0xff = unset), or NULL.
@@ -1270,21 +1414,21 @@ MX_EXPORT void mx_dp16(
 		 * paths): slen would be 0 and the stripe arithmetic divides by
 		 * it — the reference binary crashes here (nasw-sse.c j%slen).
 		 * Emit the deterministic all-deletion tail the backtracker
-		 * produces for an exhausted query instead. */
+		 * produces for an exhausted query, scored as one affine
+		 * deletion of nl/3 aa plus a frameshift for the remainder, so
+		 * callers summing dp_score never see the NEG_INF sentinel. */
 		if (is_ext) { *out_nt_len = 0; *out_aa_len = 0; return; }
 		if (flag & DPF_CIGAR) {
-			int32_t n = 0;
-			if (nl - 1 >= 0) {
-				int32_t l = nl / 3 * 3, t = nl % 3;
-				if (l > 0) n = push_cigar(cigar, n, C_D, l);
-				if (t != 0) n = push_cigar(cigar, n, C_F, t);
-			}
+			int32_t n = 0, l = nl / 3, sc = 0;
+			if (l > 0) n = push_cigar(cigar, n, C_D, l * 3), sc -= go_ + ge_ * l;
+			if (nl % 3 != 0) n = push_cigar(cigar, n, C_F, nl % 3), sc -= fs_;
 			for (k = 0; k < n >> 1; ++k) {
 				uint32_t tmp = cigar[k];
 				cigar[k] = cigar[n - 1 - k];
 				cigar[n - 1 - k] = tmp;
 			}
 			*n_cigar = n;
+			*out_score = sc;
 		}
 		return;
 	}
@@ -1624,15 +1768,28 @@ MX_EXPORT int32_t mx_backtrack(const int16_t *tb, int32_t slen, int32_t nl,
 	return dp_backtrack(tb, slen, nl, al, cigar);
 }
 
+/* Same, for a problem embedded in a mixed-stripe batch: the problem's
+ * own stripe count is slen, but rows are row_stride int16 apart (the
+ * batch's slen_max * 8). */
+MX_EXPORT int32_t mx_backtrack_strided(const int16_t *tb, int32_t slen,
+                                       int64_t row_stride, int32_t nl,
+                                       int32_t al, uint32_t *cigar)
+{
+	return dp_backtrack_st(tb, slen, VL, row_stride, nl, al, cigar);
+}
+
 /*****************************************
  * 32-bit striped DP (library parity)    *
  *****************************************/
 
 /*
- * Mirrors ns_global_gs32b (nasw-sse.c:558-750): 4 x int32 lanes, plain
- * (non-saturating) arithmetic, no extension/end-bonus support.  Part of
- * the library API for alignments whose scores exceed int16 range; the
- * mapper itself always uses the 16-bit kernel.
+ * [pinned-order]  32-bit sibling of mx_dp16: 4 x int32 lanes, plain
+ * (non-saturating) arithmetic, no extension/end-bonus support.  The
+ * state-update order and traceback bits are pinned exactly as in
+ * mx_dp16 (see its note; reference variant ns_global_gs32b,
+ * nasw-sse.c:558-750).  Part of the library API for alignments whose
+ * scores exceed int16 range; the mapper itself always uses the 16-bit
+ * kernel (align.c:73 never calls gs32b).
  */
 
 #define VL32 4
@@ -1687,18 +1844,16 @@ MX_EXPORT void mx_dp32(
 	*out_score = NEG32;
 
 	if (al == 0) { /* see mx_dp16: slen==0 stripe math divides by zero */
-		int32_t n = 0;
-		if (nl - 1 >= 0) {
-			int32_t l = nl / 3 * 3, t = nl % 3;
-			if (l > 0) n = push_cigar(cigar, n, C_D, l);
-			if (t != 0) n = push_cigar(cigar, n, C_F, t);
-		}
+		int32_t n = 0, l = nl / 3, sc = 0;
+		if (l > 0) n = push_cigar(cigar, n, C_D, l * 3), sc -= go_ + ge_ * l;
+		if (nl % 3 != 0) n = push_cigar(cigar, n, C_F, nl % 3), sc -= fs_;
 		for (k = 0; k < n >> 1; ++k) {
 			uint32_t tmp = cigar[k];
 			cigar[k] = cigar[n - 1 - k];
 			cigar[n - 1 - k] = tmp;
 		}
 		*n_cigar = n;
+		*out_score = sc;
 		return;
 	}
 
@@ -1861,32 +2016,40 @@ MX_EXPORT void mx_dp32(
 	free(nas); free(aas); free(donor); free(acceptor);
 }
 
-/* Anchor tight-block filter (mp_filter_seed, align.c:6-31). */
+/*
+ * Anchor tight-block filter.  [pinned-order]  Marks (bit 31) anchors
+ * sitting inside "tight blocks" — runs of >= min_cnt anchors whose
+ * consecutive steps stay in frame and within max_aa_dist — after
+ * trimming trim_back query-aa off both block edges, so the later DP
+ * re-aligns the block boundaries freely.  The run/trim arithmetic is
+ * the filter's spec (parity target mp_filter_seed, align.c:6-31);
+ * the run-interval scan below is our own organization.
+ */
 MX_EXPORT void mx_filter_seed(int64_t cnt, uint64_t *a, int32_t max_aa_dist,
                               int32_t min_cnt, int32_t kmer2, int32_t trim_back)
 {
-	int64_t i, j;
-	for (i = 0; i < cnt; ++i) {
-		for (j = i + 1; j < cnt; ++j) {
-			int32_t x0 = a[j-1] >> 32, y0 = (int32_t)a[j-1];
-			int32_t x1 = a[j] >> 32,   y1 = (int32_t)a[j];
-			if ((x1 - x0) % 3 != 0 || x1 - x0 > max_aa_dist * 3 || y1 - y0 > max_aa_dist)
-				break;
+	int64_t s = 0;
+	while (s < cnt) {
+		/* grow the run [s, e) while consecutive steps stay tight */
+		int64_t e = s + 1, lo, hi;
+		int32_t q_end, q_base;
+		while (e < cnt) {
+			int32_t dx = (int32_t)(a[e] >> 32) - (int32_t)(a[e - 1] >> 32);
+			int32_t dy = (int32_t)a[e] - (int32_t)a[e - 1];
+			if (dx % 3 != 0 || dx > max_aa_dist * 3 || dy > max_aa_dist) break;
+			++e;
 		}
-		if (j - i >= min_cnt) {
-			int64_t k;
-			int32_t t = (int32_t)a[j-1];
-			for (k = j - 2; k >= i; --k)
-				if (t - (int32_t)a[k] >= trim_back)
-					break;
-			t = (int32_t)a[i] + 1 - kmer2;
-			for (; i < k; ++i)
-				if ((int32_t)a[i] + 1 - t >= trim_back)
-					break;
-			for (; i <= k; ++i)
-				a[i] |= 1ULL << 31;
-			i = j - 1;
-		}
+		if (e - s < min_cnt) { ++s; continue; }
+		/* trim: drop anchors within trim_back aa of either block edge */
+		q_end = (int32_t)a[e - 1];
+		for (hi = e - 2; hi >= s; --hi)
+			if (q_end - (int32_t)a[hi] >= trim_back) break;
+		q_base = (int32_t)a[s] + 1 - kmer2;
+		for (lo = s; lo < hi; ++lo)
+			if ((int32_t)a[lo] + 1 - q_base >= trim_back) break;
+		for (; lo <= hi; ++lo)
+			a[lo] |= 1ULL << 31;
+		s = e;
 	}
 }
 
@@ -1894,8 +2057,11 @@ MX_EXPORT void mx_filter_seed(int64_t cnt, uint64_t *a, int32_t max_aa_dist,
  * Six-frame genome ORF modimer sketching  *
  *******************************************/
 
-/* Invertible 32-bit integer hash masked to the k-mer width (the same
- * mix as sketch.hash32_mask / reference sketch.c:7-16). */
+/* [pinned]  Invertible 32-bit integer hash masked to the k-mer width.
+ * Index compatibility (identical .mpi files, identical modimer
+ * selection) requires the exact mixing constants of the reference's
+ * hash (sketch.c:7-16, itself the classic Jenkins 32-bit mix); any
+ * other hash selects a different k-mer sample. */
 static inline uint32_t mx_hash32(uint32_t key, uint32_t mask)
 {
 	key = (key + ~(key << 15)) & mask;
@@ -2051,8 +2217,14 @@ MX_EXPORT int64_t mx_sort_dedup_u64(uint64_t *a, int64_t n)
 	return m;
 }
 
-/* Per-CIGAR-op alignment statistics (the per-codon inner loops of
- * mp_extra_cal, align.c:82-201).  For each op k writes
+/* [pinned-order]  Per-CIGAR-op alignment statistics (behavioral spec:
+ * the per-codon inner loops of mp_extra_cal, align.c:82-201; the split-
+ * codon base choice at U/V introns and the "stop/iden/plus" counting
+ * rules are the spec).  Organization differs from the reference: this
+ * emits per-op deltas out[4k..4k+3] = (d_n_stop, d_n_iden, d_n_plus,
+ * d_score) for the Python caller to fold into region records, and every
+ * sequence read is bounds-checked (the reference reads out of bounds on
+ * block-resolution debug regions).  For each op k writes
  * out[4k..4k+3] = (d_n_stop, d_n_iden, d_n_plus, d_score):
  * M ops walk their codons against the protein, U/V ops score the split
  * codon, I/D ops charge the affine gap, F/G ops charge the frameshift
@@ -2129,8 +2301,12 @@ MX_EXPORT void mx_extra_stats(const uint8_t *nt, const uint8_t *aa,
 	}
 }
 
-/* cs:Z: difference string over the extended CIGAR (mp_write_cs,
- * format.c:102-187).  nt: nt4 codes of [r.vs, r.ve); aa: raw query
+/* [pinned-order]  cs:Z: difference string over the extended CIGAR.
+ * The emitted byte grammar (:len, *ref-alt, +seq, -seq, ~don len acc)
+ * and the split-codon handling at U/V introns are the output format
+ * itself (spec: mp_write_cs, format.c:102-187); reads here are bounds-
+ * checked and the walker is organized around a (nt,aa) cursor pair.
+ * nt: nt4 codes of [r.vs, r.ve); aa: raw query
  * bytes from r.qs.  Writes into buf (caller sizes it at
  * 3*nt_len + aa_len + 24*n_cig + 16); returns the byte length, or -1
  * if the CIGAR does not consume exactly (nt_len, aa_len). */
@@ -2233,7 +2409,7 @@ MX_EXPORT int64_t mx_sort_u64_lsd(uint64_t *a, int64_t n)
 	uint64_t orx = 0, andx = ~0ULL;
 	uint64_t *buf, *src, *dst;
 	if (n <= 1) return n;
-	if (n <= MX_RS_MIN) { ins_sort_u64(a, a + n); return n; }
+	if (n <= MX_RS_MIN) { ins_sort_u64(a, n); return n; }
 	if (sbuf_cap < n) {
 		free(sbuf);
 		sbuf = (uint64_t *)malloc((n + n / 2) * sizeof(uint64_t));

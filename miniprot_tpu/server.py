@@ -1,28 +1,19 @@
-"""Persistent mapping server: load the index once, serve many requests.
+"""Serving mode: keep the index + compiled kernels warm behind TCP.
 
-The reference tool is strictly batch (index load dominates short runs:
-a .mpi restore of a mammalian genome costs seconds to minutes, and the
-first TPU kernel compile tens of seconds).  For deployment/serving this
-module keeps the index, the scoring tables and every compiled kernel
-warm in one process and maps protein batches on demand.
+    python -m miniprot_tpu.server --listen 127.0.0.1:8765 genome.mpi [opts]
+    python -m miniprot_tpu.server --query 127.0.0.1:8765 proteins.faa
 
-Protocol (dependency-free, netcat-compatible): one TCP connection per
-request.  The client sends FASTA/FASTQ bytes (gzip allowed) and
-half-closes the write side; the server responds with the configured
-output format (PAF by default, --gff etc. fixed at server start) and
-closes.  Requests are served sequentially — queries inside a request
-are already batched/parallelized by the normal pipeline, and a single
-accelerator serializes DP batches anyway.
+Protocol: the client sends one FASTA/FASTQ payload (optionally
+gzipped) and half-closes; the server replies with the mapping output
+in the configured format and closes.  On failure the reply is a single
+line starting with ``#mpserve-error:`` (PAF/GFF output never starts
+with that prefix) so clients can distinguish errors from genuinely
+empty results.
 
-    # server
-    python -m miniprot_tpu.server --listen 127.0.0.1:8765 ref.mpi [--gff] [--tpu]
-    # client
-    cat proteins.faa | nc -N 127.0.0.1 8765 > out.paf
-    python -m miniprot_tpu.server --query 127.0.0.1:8765 proteins.faa > out.paf
-
-Output bytes are identical to a fresh CLI run with the same options on
-the same input (pinned by tests/test_server.py): record ids and the
-mini-batch structure reset per request.
+Security posture: there is no authentication — bind to loopback
+(the examples above) or a trusted network only.  Requests larger than
+--max-request bytes (default 256M) are rejected without being
+buffered.
 """
 
 from __future__ import annotations
@@ -38,11 +29,30 @@ from .index import Index
 from .options import MapOpt
 from .pipeline import map_file
 
+DEFAULT_MAX_REQUEST = 256 << 20
+
+ERROR_PREFIX = b"#mpserve-error:"
+
 
 class _Handler(socketserver.StreamRequestHandler):
+    def _fail(self, msg: str) -> None:
+        sys.stderr.write(f"[server] request failed: {msg}\n")
+        self.wfile.write(ERROR_PREFIX + b" " + msg.encode() + b"\n")
+
     def handle(self):
         srv = self.server
-        data = self.rfile.read()
+        limit = srv.max_request
+        chunks, total = [], 0
+        while True:
+            b = self.rfile.read1(1 << 20)
+            if not b:
+                break
+            total += len(b)
+            if total > limit:
+                self._fail(f"request exceeds {limit} bytes")
+                return
+            chunks.append(b)
+        data = b"".join(chunks)
         if not data:
             return
         # spool to a temp file: reuses the gzip-sniffing batch reader
@@ -55,8 +65,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 map_file(srv.mi, path, srv.opt, n_threads=srv.n_threads,
                          out=out, use_tpu=srv.use_tpu)
             except Exception as e:  # report, keep serving
-                sys.stderr.write(f"[server] request failed: {e!r}\n")
-                self.wfile.write(b"")
+                self._fail(repr(e))
                 return
             self.wfile.write(out.getvalue().encode())
         finally:
@@ -67,16 +76,19 @@ class MapServer(socketserver.TCPServer):
     allow_reuse_address = True
 
     def __init__(self, addr, mi: Index, opt: MapOpt, n_threads: int = 1,
-                 use_tpu: bool = False):
+                 use_tpu: bool = False,
+                 max_request: int = DEFAULT_MAX_REQUEST):
         self.mi = mi
         self.opt = opt
         self.n_threads = n_threads
         self.use_tpu = use_tpu
+        self.max_request = max_request
         super().__init__(addr, _Handler)
 
 
 def query(host: str, port: int, payload: bytes, timeout: float = 600.0) -> bytes:
-    """Send one request; returns the server's output bytes."""
+    """Send one request; returns the server's output bytes.
+    Raises RuntimeError when the server reports a failure."""
     with socket.create_connection((host, port), timeout=timeout) as s:
         s.sendall(payload)
         s.shutdown(socket.SHUT_WR)
@@ -86,29 +98,39 @@ def query(host: str, port: int, payload: bytes, timeout: float = 600.0) -> bytes
             if not b:
                 break
             chunks.append(b)
-    return b"".join(chunks)
+    out = b"".join(chunks)
+    if out.startswith(ERROR_PREFIX):
+        raise RuntimeError(out[len(ERROR_PREFIX):].strip().decode())
+    return out
 
 
 def main(argv=None) -> int:
-    from .cli import main as cli_main  # reuse option parsing via a shim
+    from .cli import load_for_server
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "--query":
         host, port = argv[1].rsplit(":", 1)
         payload = open(argv[2], "rb").read()
         sys.stdout.buffer.write(query(host, int(port), payload))
         return 0
+    max_request = DEFAULT_MAX_REQUEST
+    if argv and argv[0].startswith("--max-request="):
+        max_request = int(argv[0].split("=", 1)[1])
+        argv = argv[1:]
     if not argv or argv[0] != "--listen":
         sys.stderr.write(__doc__)
         return 1
     host, port = argv[1].rsplit(":", 1)
-    # parse the remaining args exactly like the CLI, but intercept the
-    # mapping call: --server-parse gives us (mi, opt, n_threads, use_tpu)
-    rest = argv[2:]
-    parsed = cli_main(["--server-parse", *rest])
+    # parse the remaining args exactly like the CLI, but stop after the
+    # index + options are loaded instead of mapping
+    parsed = load_for_server(argv[2:])
     if not isinstance(parsed, tuple):
         return int(parsed)
     mi, opt, n_threads, use_tpu = parsed
-    with MapServer((host, int(port)), mi, opt, n_threads, use_tpu) as srv:
+    if host not in ("127.0.0.1", "localhost", "::1"):
+        sys.stderr.write("[server] WARNING: binding a non-loopback "
+                         "address; the protocol is unauthenticated\n")
+    with MapServer((host, int(port)), mi, opt, n_threads, use_tpu,
+                   max_request=max_request) as srv:
         sys.stderr.write(f"[server] listening on {host}:{port} "
                          f"({mi.nt.l_seq} bp indexed)\n")
         srv.serve_forever()

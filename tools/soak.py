@@ -128,12 +128,23 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
                                   capture_output=True, timeout=timeout,
                                   env=env)
         except subprocess.TimeoutExpired:
-            # on --tpu runs this is almost always a wedged device relay,
-            # an environmental failure, not a parity divergence; log and
-            # keep soaking
-            print(f"TIMEOUT at seed {seed} (mix={mix}); relay wedge? "
-                  "continuing", flush=True)
-            return True
+            if use_tpu:
+                # on --tpu runs this is almost always a wedged device
+                # relay, an environmental failure, not a parity
+                # divergence; log and keep soaking
+                print(f"TIMEOUT at seed {seed} (mix={mix}); relay wedge? "
+                      "continuing", flush=True)
+                return True
+            # a host-path timeout is a real hang/livelock: record it as
+            # a failure with a repro bundle
+            print(f"HOST TIMEOUT at seed {seed} (mix={mix})", flush=True)
+            os.makedirs(keep_dir, exist_ok=True)
+            dst = os.path.join(keep_dir, f"seed{seed}-timeout")
+            shutil.copytree(tmp, dst, dirs_exist_ok=True)
+            with open(os.path.join(dst, "info.txt"), "w") as f:
+                f.write(f"seed={seed}\nparams={params}\nmix={mix}\n"
+                        f"host path TIMEOUT after {timeout}s\n")
+            return False
         if ref.stdout == mine.stdout and mine.returncode == 0:
             return True
         os.makedirs(keep_dir, exist_ok=True)
