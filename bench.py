@@ -116,6 +116,75 @@ def measure_pallas_gcups() -> float:
     return NL * AL * B / dt / 1e9
 
 
+def measure_cigar_gcups() -> float:
+    """Sustained GCUPS of the full-traceback CIGAR kernel, including the
+    traceback fetch + host backtrack (the realistic pipeline cost)."""
+    import jax
+
+    from miniprot_tpu import tables
+    from miniprot_tpu.kernels import nasw_cigar_pallas as ck
+
+    on_tpu = jax.default_backend() == "tpu"
+    # nl=2048 matches the typical anchored-gap rectangle; it also keeps
+    # the traceback fetch (the dominant cost through a relay) bounded
+    AL, NL = (32, 2048) if on_tpu else (16, 256)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    rng = np.random.default_rng(5)
+
+    def mk():
+        batch = ck.RawCigarBatch(AL, NL, mat, (11, 1, 23, 29, 100, 5, 0.5),
+                                 sp=sp, trans_code=1)
+        for _ in range(ck.B):
+            nt4 = rng.integers(0, 4, NL).astype(np.uint8)
+            aas = rng.integers(0, 20, AL).astype(np.uint8)
+            batch.add_raw(nt4, aas, io=29)
+        return batch
+
+    b = mk()
+    b.run(interpret=not on_tpu)          # warm-up / compile
+    iters = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mk().run(interpret=not on_tpu)
+    dt = (time.perf_counter() - t0) / iters
+    return NL * AL * ck.B / dt / 1e9
+
+
+def measure_e2e_proteins_per_sec():
+    """End-to-end mapping throughput on a synthetic workload, with the
+    TPU engine when a backend is live.  Returns (proteins_per_sec,
+    device_fraction, n_proteins)."""
+    import io as _io
+    import tempfile
+
+    from miniprot_tpu.cli import tpu_live
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.pipeline import map_file
+    from miniprot_tpu.testgen import make_workload
+
+    live = tpu_live()
+    with tempfile.TemporaryDirectory() as td:
+        fa, faa = os.path.join(td, "g.fa"), os.path.join(td, "q.faa")
+        n_genes = 48
+        make_workload(fa, faa, genome_len=3_000_000, n_genes=n_genes,
+                      seed=7, n_ctg=2, max_intron=20_000, rev_frac=0.5)
+        mi = Index.build(fa, IdxOpt())
+        stats: dict = {}
+        buf = _io.StringIO()
+        # warm run compiles the kernels; the timed run measures steady state
+        map_file(mi, faa, MapOpt(), n_threads=1, out=_io.StringIO(),
+                 use_tpu=live, stats=stats)
+        t0 = time.perf_counter()
+        stats = {}
+        map_file(mi, faa, MapOpt(), n_threads=1, out=buf, use_tpu=live,
+                 stats=stats)
+        dt = time.perf_counter() - t0
+        return n_genes / dt, stats.get("device_fraction", 0.0), n_genes
+
+
 def _measure_in_subprocess() -> float:
     """Fresh-interpreter measurement: a failed relay claim at process
     start is fatal for the whole process (the backend never registers),
@@ -133,6 +202,17 @@ def main() -> None:
     import sys
     if "--measure-only" in sys.argv:
         print(measure_pallas_gcups())
+        return
+    if "--cigar-only" in sys.argv:
+        print(json.dumps({"cigar_gcups": round(measure_cigar_gcups(), 2)}))
+        return
+    if "--e2e-only" in sys.argv:
+        pps, frac, n = measure_e2e_proteins_per_sec()
+        print(json.dumps({
+            "proteins_per_sec_chip": round(pps, 2),
+            "dp_cells_device_fraction": round(frac, 4),
+            "e2e_n_proteins": n,
+        }))
         return
     # retry ladder: the TPU is attached through a relay whose claim can
     # transiently fail or wedge; a lost benchmark would cost the whole
@@ -155,11 +235,28 @@ def main() -> None:
         else:
             raise SystemExit("bench: all measurement attempts failed")
     ref = measure_ref_core()
+    # the secondary metrics each run in their own subprocess with a hard
+    # timeout: a wedged device relay during the (transfer-heavy) CIGAR
+    # or e2e measurements must not lose the primary metric
+    extra = {}
+    for flag, timeout_s in (("--cigar-only", 900), ("--e2e-only", 900)):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                capture_output=True, text=True, timeout=timeout_s)
+            if out.returncode == 0:
+                extra.update(json.loads(out.stdout.strip().splitlines()[-1]))
+            else:
+                print(f"bench: {flag} failed: {out.stderr[-300:]}",
+                      file=sys.stderr)
+        except Exception as ex:
+            print(f"bench: {flag} failed ({ex!r})", file=sys.stderr)
     print(json.dumps({
         "metric": "nasw_dp_gcups",
         "value": round(gcups, 2),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / ref, 2),
+        **extra,
     }))
 
 

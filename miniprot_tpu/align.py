@@ -98,15 +98,13 @@ class DpEnv:
             asq = np.ascontiguousarray(asq, dtype=np.uint8)
             if ss is not None:
                 ss = np.ascontiguousarray(ss, dtype=np.uint8)
-            if profiler.enabled:
-                profiler.add_host_dp(len(nsq), len(asq))
+            profiler.add_host_dp(len(nsq), len(asq))
             clean.append((nsq, asq, ss))
         return self.ctx.dp_cigars(clean, self.io)
 
     def dp(self, nsq, asq, flag, ss=None, io=None):
         from .sysutil import profiler
-        if profiler.enabled:
-            profiler.add_host_dp(len(nsq), len(asq))
+        profiler.add_host_dp(len(nsq), len(asq))
         nsq = np.ascontiguousarray(nsq, dtype=np.uint8)
         asq = np.ascontiguousarray(asq, dtype=np.uint8)
         if ss is not None:

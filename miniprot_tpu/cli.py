@@ -75,7 +75,9 @@ Options:
     --outc=FLOAT output if at least FLOAT fraction of query is aligned [0.1]
     -K NUM       query batch size [2M]
   TPU-build extensions:
-    --tpu            batch the alignment-round DPs on the TPU
+    --tpu            force the TPU alignment engine (default: auto —
+                     used whenever a TPU backend is live)
+    --no-tpu         host engine only (also: MINIPROT_TPU_DISABLE=1)
     --profile        per-stage timers + DP cell/GCUPS counters to stderr
     --profile-trace=DIR  write a jax profiler device trace to DIR
     -o FILE      write output to FILE instead of stdout
@@ -84,7 +86,7 @@ Options:
 """
 
 _LONG_OPTS = {
-    "tpu", "gff", "gff-only", "gtf", "aln", "trans", "no-cs", "no-pre-chain",
+    "tpu", "no-tpu", "gff", "gff-only", "gtf", "aln", "trans", "no-cs", "no-pre-chain",
     "version", "no-kalloc", "profile", "dbg-qname", "dbg-no-refine",
     "dbg-aflt", "dbg-anchor", "dbg-chain", "resume",
 }
@@ -109,20 +111,63 @@ def load_for_server(argv: list[str]) -> tuple | int:
     return _run(argv, server_parse=True)
 
 
+def tpu_live(timeout: float | None = None) -> bool:
+    """True when an actual TPU backend is usable (not CPU fallback).
+
+    The probe runs in a worker thread with a timeout: on relay-attached
+    devices (axon) a wedged relay makes backend init hang indefinitely,
+    and the auto-TPU default must degrade to the host engine rather
+    than hang the whole run.  MINIPROT_TPU_PROBE_TIMEOUT overrides the
+    default 60 s (0 disables the timeout)."""
+    if timeout is None:
+        timeout = float(os.environ.get("MINIPROT_TPU_PROBE_TIMEOUT", "60"))
+
+    def probe() -> bool:
+        import jax
+        jax.devices()
+        return jax.default_backend() in ("tpu", "axon")
+
+    if timeout <= 0:
+        try:
+            return probe()
+        except Exception:
+            return False
+    import concurrent.futures as cf
+    ex = cf.ThreadPoolExecutor(1, thread_name_prefix="tpu-probe")
+    try:
+        fut = ex.submit(probe)
+        try:
+            return bool(fut.result(timeout=timeout))
+        except cf.TimeoutError:
+            sys.stderr.write("WARNING: TPU backend probe timed out; "
+                             "using the host engine\n")
+            return False
+        except Exception:
+            return False
+    finally:
+        ex.shutdown(wait=False)
+
+
 def _run(argv: list[str], server_parse: bool):
-    if "--tpu" in argv:
+    want_tpu = None  # auto: engage the engine when a TPU is live
+    if "--no-tpu" in argv or os.environ.get("MINIPROT_TPU_DISABLE") == "1":
+        want_tpu = False
+    elif "--tpu" in argv:
+        want_tpu = True
+    if want_tpu is not False:
         # Initialize the accelerator backend before any slow host work:
         # on relay-attached devices (axon) the claim made at process
         # start expires if the first backend touch comes seconds later,
         # and a late first init then fails for the process's lifetime.
-        try:
-            import jax
-            jax.devices()
-        except Exception as e:  # degrade to host path in map_file
-            sys.stderr.write(f"WARNING: TPU backend unavailable ({e}); "
+        live = tpu_live()
+        if want_tpu and not live:
+            sys.stderr.write("WARNING: TPU backend unavailable; "
                              "--tpu will fall back to the host engine\n")
+        if want_tpu is None:
+            want_tpu = live
     io = IdxOpt()
     mo = MapOpt()
+    dbg0_use_tpu = bool(want_tpu)
     n_threads = 4
     fn_idx = None
     fn_spsc = None
@@ -130,7 +175,7 @@ def _run(argv: list[str], server_parse: bool):
     resume = False
     set_I = set_G = keep_io = 0
     pos: list[str] = []
-    dbg: dict = {}
+    dbg: dict = {"use_tpu": dbg0_use_tpu}
 
     i = 0
     while i < len(argv):

@@ -6,8 +6,13 @@ regions/queries and dispatches them in shape-bucketed batches of up to
 
   "ext"    score-only extension DPs  -> kernels/nasw_pallas.ExtBatch
   "cigars" anchored gap-patching DPs -> kernels/nasw_cigar_pallas.CigarBatch
-           (bit-exact tracebacks; the batch's stripe count must equal
-           each problem's own ceil(al/8), so jobs bucket by exact slen)
+           (bit-exact tracebacks; mixed per-problem stripe counts, so
+           one batch serves every al <= 8*slen_max)
+
+CIGAR shape policy: the traceback matrix costs 2*al bytes per genome
+row per lane in HBM, so nl buckets are capped per slen class to keep a
+batch's tb under CIG_TB_CAP, and launched-but-uncollected batches are
+drained in waves once their combined tb passes PENDING_TB_CAP.
 
 Jobs outside the supported shape classes (or whose folded donor+io
 streams would go negative, breaking the single-saturation equivalence)
@@ -26,12 +31,29 @@ from .kernels import nasw_pallas as nk
 from .native import DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT
 from .options import MapOpt
 
-AL_BUCKETS = (128, 512)
+AL_BUCKETS = (128, 512, 1024)
 NL_BUCKETS = (2112, 4224, 8448, 16896, 33792)   # multiples of ROW_CHUNK=264
 MIN_TPU_NL = 1024        # smaller windows are cheaper on the host
-CIG_SLENS = (1, 2, 3, 4)  # gap DPs with al <= 32 go to the TPU
-CIG_NL_BUCKETS = (2048, 8192)
+CIG_SLEN_CLASSES = (4, 16, 64)          # al <= 32 / 128 / 512
+CIG_NL_BUCKETS = (2048, 4096, 8192, 16384, 32768)
+CIG_TB_CAP = 1200 << 20      # per-batch traceback HBM footprint cap
+PENDING_TB_CAP = 2500 << 20  # drain launched batches beyond this
 CIG_MIN_NL = 512
+
+
+def cig_shape(nl: int, al: int):
+    """Pick the (slen_class, nl_bucket) for a CIGAR job, or None when
+    the job must run on the host."""
+    if nl < CIG_MIN_NL or al < 1:
+        return None
+    slen_p = (al + 7) // 8
+    sc = next((s for s in CIG_SLEN_CLASSES if slen_p <= s), None)
+    if sc is None:
+        return None
+    for b in CIG_NL_BUCKETS:
+        if nl <= b and sc * 8 * b * ck.B * 2 <= CIG_TB_CAP:
+            return sc, b
+    return None
 
 
 @dataclass
@@ -68,6 +90,47 @@ class TpuExtEngine:
         self.requests: list[tuple] = []   # ("ext", idx) | ("cigars", [idx...])
         self.n_tpu = 0
         self.n_host = 0
+        # set on the first device error: every later job runs on the
+        # host engine (identical results), so one transient relay or
+        # backend failure degrades throughput instead of killing the run
+        self.broken = False
+
+    def _device_failed(self, e: Exception) -> None:
+        if not self.broken:
+            import sys
+            sys.stderr.write(f"WARNING: TPU batch failed ({e!r}); "
+                             "falling back to the host engine for the "
+                             "rest of this run\n")
+        self.broken = True
+
+    def _collect(self, batch, handles):
+        """batch.collect with a watchdog: on relay-attached devices a
+        transfer can block for minutes; past MINIPROT_TPU_BATCH_TIMEOUT
+        seconds (default 180, 0 disables) the engine gives up on the
+        device and recomputes on the host (identical results).  The
+        blocked worker thread is abandoned — once that happens the
+        engine is marked broken and never touches the device again."""
+        import os as _os
+        timeout = float(_os.environ.get("MINIPROT_TPU_BATCH_TIMEOUT", "180"))
+        if timeout <= 0 or self.interpret:
+            return batch.collect(handles)
+        import concurrent.futures as cf
+        if getattr(self, "_pool", None) is None:
+            self._pool = cf.ThreadPoolExecutor(4, thread_name_prefix="tpu-io")
+        return self._pool.submit(batch.collect, handles).result(timeout)
+
+    def _launch(self, pending: list, idxs: list, batch) -> bool:
+        """Launch a batch; on a device error mark the engine broken and
+        return False so the caller reroutes the jobs to the host."""
+        if self.broken:
+            return False
+        try:
+            pending.append((idxs, batch, batch.launch(self.interpret)))
+        except Exception as e:
+            self._device_failed(e)
+            return False
+        self.n_tpu += len(idxs)
+        return True
 
     # ---- request intake ----
 
@@ -98,7 +161,8 @@ class TpuExtEngine:
             if job.result is not None:
                 continue
             nl, al = len(job.nsq), len(job.asq)
-            if (nl < MIN_TPU_NL or al > AL_BUCKETS[-1] or nl > NL_BUCKETS[-1]
+            if (self.broken or nl < MIN_TPU_NL or al > AL_BUCKETS[-1]
+                    or nl > NL_BUCKETS[-1]
                     or self.opt.ie_coef > 8.0):  # int8 logpen stream limit
                 host_jobs.append(i)   # runs after launch, overlapped
                 continue
@@ -132,25 +196,25 @@ class TpuExtEngine:
                             aas = aas[::-1]
                         batch.add_raw(nt4, aas, io=job.io,
                                       ext_left=job.ext_left)
-                    pending.append((raw_idx, batch,
-                                    batch.launch(self.interpret)))
-                    self.n_tpu += len(raw_idx)
-                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
-                                        batch.n)
+                    if self._launch(pending, raw_idx, batch):
+                        profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
+                                            batch.n)
+                    else:
+                        host_jobs.extend(raw_idx)
                 if old_idx:
                     batch = nk.ExtBatch(al_b, nl_b, self.mat, self.scalars)
                     for i in old_idx:
                         job = self.ext_jobs[i]
                         nas, aas, d, a = self._prep(job, job.ext_left, job.io)
                         batch.add(nas, aas, d, a, io=job.io)
-                    pending.append((old_idx, batch,
-                                    batch.launch(self.interpret)))
-                    self.n_tpu += len(old_idx)
-                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
-                                        batch.n)
+                    if self._launch(pending, old_idx, batch):
+                        profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
+                                            batch.n)
+                    else:
+                        host_jobs.extend(old_idx)
         # host-engine fallbacks run between launch and collect so they
         # overlap the device's work on the queued batches
-        for i in host_jobs:
+        def run_ext_host(i):
             job = self.ext_jobs[i]
             sc, ntl, aal, _ = self.env.dp(
                 job.nsq, job.asq,
@@ -158,9 +222,22 @@ class TpuExtEngine:
                 ss=job.ss, io=job.io)
             job.result = (sc, ntl, aal)
             self.n_host += 1
+
+        for i in host_jobs:
+            run_ext_host(i)
         for chunk, batch, handles in pending:
-            for i, r in zip(chunk, batch.collect(handles)):
-                self.ext_jobs[i].result = r
+            try:
+                results = None if self.broken else self._collect(batch, handles)
+            except Exception as e:
+                self._device_failed(e)
+                results = None
+            if results is None:
+                for i in chunk:
+                    self.n_tpu -= 1
+                    run_ext_host(i)
+            else:
+                for i, r in zip(chunk, results):
+                    self.ext_jobs[i].result = r
 
     def _run_cig(self) -> None:
         buckets: dict[tuple, list[int]] = {}
@@ -168,18 +245,54 @@ class TpuExtEngine:
         for i, job in enumerate(self.cig_jobs):
             if job.result is not None:
                 continue
-            nl, al = len(job.nsq), len(job.asq)
-            slen = (al + 7) // 8
-            if (nl < CIG_MIN_NL or slen not in CIG_SLENS
-                    or nl > CIG_NL_BUCKETS[-1]):
+            shape = None if self.broken else cig_shape(len(job.nsq),
+                                                       len(job.asq))
+            if shape is None:
                 host_jobs.append(i)   # runs after launch, overlapped
                 continue
-            nl_b = next(b for b in CIG_NL_BUCKETS if nl <= b)
-            buckets.setdefault((slen, nl_b), []).append(i)
+            buckets.setdefault(shape, []).append(i)
         from . import tables
         from .sysutil import profiler
         T = tables.get_tables()
-        pending = []
+        pending: list = []
+        outstanding = 0
+
+        def run_cig_host(i):
+            job = self.cig_jobs[i]
+            sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR, ss=job.ss)
+            job.result = (sc, c)
+            self.n_host += 1
+
+        def collect_one(o_idxs, o_batch, o_handles):
+            try:
+                results = None if self.broken else self._collect(o_batch,
+                                                                 o_handles)
+            except Exception as e:
+                self._device_failed(e)
+                results = None
+            if results is None:
+                for k in o_idxs:
+                    self.n_tpu -= 1
+                    run_cig_host(k)
+            else:
+                for k, r in zip(o_idxs, results):
+                    self.cig_jobs[k].result = r
+
+        def launch(idxs, batch):
+            nonlocal outstanding
+            if not self._launch(pending, idxs, batch):
+                for k in idxs:
+                    run_cig_host(k)
+                return
+            outstanding += batch.tb_bytes()
+            profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n)
+            # drain the oldest launches once the uncollected traceback
+            # buffers would crowd HBM
+            while outstanding > PENDING_TB_CAP and len(pending) > 1:
+                o_idxs, o_batch, o_handles = pending.pop(0)
+                collect_one(o_idxs, o_batch, o_handles)
+                outstanding -= o_batch.tb_bytes()
+
         for (slen, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), ck.B):
                 chunk = idxs[c0:c0 + ck.B]
@@ -196,11 +309,7 @@ class TpuExtEngine:
                         job = self.cig_jobs[i]
                         batch.add_raw(T.nt4[job.nsq], T.aa20[job.asq],
                                       io=self.opt.io)
-                    pending.append((raw_idx, batch,
-                                    batch.launch(self.interpret)))
-                    self.n_tpu += len(raw_idx)
-                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
-                                        batch.n)
+                    launch(raw_idx, batch)
                 usable = []
                 batch = ck.CigarBatch(slen * 8, nl_b, self.mat, self.scalars)
                 for i in old_idx:
@@ -218,19 +327,11 @@ class TpuExtEngine:
                     batch.add(nas, aas, d, a, io=self.opt.io)
                     usable.append(i)
                 if usable:
-                    pending.append((usable, batch,
-                                    batch.launch(self.interpret)))
-                    self.n_tpu += len(usable)
-                    profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
-                                        batch.n)
+                    launch(usable, batch)
         for i in host_jobs:
-            job = self.cig_jobs[i]
-            sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR, ss=job.ss)
-            job.result = (sc, c)
-            self.n_host += 1
+            run_cig_host(i)
         for usable, batch, handles in pending:
-            for i, r in zip(usable, batch.collect(handles)):
-                self.cig_jobs[i].result = r
+            collect_one(usable, batch, handles)
 
     def flush(self) -> list:
         self._run_ext()

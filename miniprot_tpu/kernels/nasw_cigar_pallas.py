@@ -2,7 +2,8 @@
 
 Computes the full-CIGAR variant of the nasw DP for a batch of up to 128
 (genome-window x protein) rectangles — the anchored gap-patching DPs of
-the alignment stage (mp_align_seq, align.c:62-80).
+the alignment stage (mp_align_seq, align.c:62-80) and the post-extension
+CIGAR re-runs (align.c:288/331).
 
 Byte-parity constraint: the reference's traceback bits depend on the
 exact striped (Farrar, 8 x int16) evaluation order *including* the
@@ -17,14 +18,25 @@ striping literally:
                       freezes a problem once its `all(I <= H - goe)`
                       break fires
 
+Mixed stripe counts: each problem carries its OWN stripe count
+slen_p = ceil(al_p / 8) (the reference derives striping from the real
+protein length, so padding a problem into a wider striping would change
+its traceback bits).  The kernel runs the stripe loop to the batch's
+slen_max with per-lane (j < slen_p) masks; per-problem last-stripe
+values are captured on the fly for the next row's boundary column, and
+the lazy-F (k, j) schedule masks the same way — each problem sees
+exactly its own reference schedule, merely interleaved in time with the
+others.  One compiled kernel therefore serves every al <= 8*slen_max.
+
 State per problem mirrors the reference exactly: H ring of 4 rows with
 a [-1] stripe slot, D ring of 3, A/B/C carries.  The traceback word per
 cell (state nibble + extension bits 4..9) is streamed to HBM; the host
-backtracks each problem with the same C routine used by the host DP.
+backtracks each problem with the same C routine used by the host DP
+(strided for mixed batches).
 
-Scores are int32 (the reference saturates at int16; identical whenever
-real path scores stay in range — guaranteed for the small anchored
-rectangles this kernel serves; larger jobs fall back to the host DP).
+Scores are int32 with the reference's saturating-int16 arithmetic
+emulated (clip after every add/sub), so traceback bits agree even in
+saturating regimes.
 """
 
 from __future__ import annotations
@@ -61,17 +73,24 @@ def _shift_lanes_up(v, fill, is_row0):
 
 def _cigar_kernel(slen, n_rows, go, ge, fs,
                   nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref,
-                  am2_ref, nl_ref, prof_ref, endsel_ref, qpad_ref,
+                  am2_ref, nl_ref, slen_ref, prof_ref, endsel_ref, qpad_ref,
                   tb_ref, score_ref,
-                  Hst, Dst, Aa, Bb, Cc, scorev, Srow_s, Iv_s, last_s, act_s):
+                  Hst, Dst, Aa, Bb, Cc, LastH, scorev, Srow_s, Iv_s, last_s,
+                  act_s):
     """One grid step of ROW_CHUNK genome rows.
+
+    slen is the batch's slen_max; slen_ref carries each problem's own
+    stripe count.
 
     Hst: (4, (slen+1)*VL, B) — H rows i, i-1, i-2, i-3; stripe j lives at
          sublanes (j+1)*VL..(j+2)*VL, the [-1] stripe at 0..VL.
     Dst: (3, slen*VL, B).
+    LastH: (4, VL, B) — each ring row's value at the problem's OWN last
+         stripe (slen_p - 1), feeding the next row's [-1] boundary.
     """
     chunk = pl.program_id(0)
     is_row0 = jax.lax.broadcasted_iota(jnp.int32, (VL, B), 0) == 0
+    slen_row = slen_ref[0, :][None, :]   # (1, B) per-problem stripe count
 
     @pl.when(chunk == 0)
     def _init():
@@ -80,6 +99,7 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
         Aa[:] = jnp.full_like(Aa, NEG)
         Bb[:] = jnp.full_like(Bb, NEG)
         Cc[:] = jnp.full_like(Cc, NEG)
+        LastH[:] = jnp.full_like(LastH, NEG)
         scorev[:] = jnp.full_like(scorev, NEG)
         # boundary stripe [-1]: H(-1,-1)=0 in lane 0 of the i-3 slot,
         # H(0,-1)=H(1,-1)=-fs in the i-2/i-1 slots (nasw-sse.c:253-258).
@@ -105,13 +125,12 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
             d3s = jax.lax.rem(i, 3)
 
             # stripe [-1] update (nasw-sse.c:267-271): for i>2, the -1
-            # stripe of each history row becomes its last stripe shifted
-            # up one lane with NEG inserted
+            # stripe of each history row becomes that row's value at the
+            # problem's LAST stripe, shifted up one lane with NEG fill
             @pl.when(i > 2)
             def _shift_boundary():
                 for s in (s1, s2, s3):
-                    last = Hst[s, slen * VL:(slen + 1) * VL]
-                    Hst[s, 0:VL] = _shift_lanes_up(last, NEG, is_row0)
+                    Hst[s, 0:VL] = _shift_lanes_up(LastH[s], NEG, is_row0)
 
             nas_i = nas_ref[ii, :][None, :]
             dm1 = dm1_ref[ii, :][None, :]
@@ -133,8 +152,11 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
             Srow_s[:] = Srow  # scratch ref: stripe reads need dynamic offsets
 
             def stripe_body(j, _c):
-                I = Iv_s[:]
-                last_h = last_s[:]
+                mj = j < slen_row                 # (1,B) lanes doing stripe j
+                I_prev = Iv_s[:]
+                last_prev = last_s[:]
+                I = I_prev
+                last_h = last_prev
                 off = (j + 1) * VL
                 H3 = Hst[s3, pl.ds(off, VL)]
                 H3m1 = Hst[s3, pl.ds(off - VL, VL)]
@@ -203,15 +225,21 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
                 z = z | y
                 tb_ref[ii, pl.ds(j * VL, VL)] = z.astype(jnp.int16)
                 Hst[cur, pl.ds(off, VL)] = h
-                Iv_s[:] = I
-                last_s[:] = h
+                # lanes past their own stripe count freeze I / last_h;
+                # last_s therefore ends the loop holding each problem's
+                # OWN last-stripe h — the next row's boundary value
+                Iv_s[:] = jnp.where(mj, I, I_prev)
+                last_s[:] = jnp.where(mj, h, last_prev)
                 return 0
 
             Iv_s[:] = jnp.full((VL, B), NEG, jnp.int32)
             last_s[:] = jnp.full((VL, B), NEG, jnp.int32)
             jax.lax.fori_loop(0, slen, stripe_body, 0)
 
-            # lazy-F fixup (nasw-sse.c:521-537) with per-problem break
+            # lazy-F fixup (nasw-sse.c:521-537): shared (k, j) loop with
+            # per-problem (j < slen_p) stripe masks and per-problem break.
+            # last_s keeps tracking each problem's last-stripe h so the
+            # ring boundary below sees lazy-F updates too.
             goe = go + ge
             Iv_s[:] = jnp.maximum(_ssub(last_s[:], goe), _ssub(Iv_s[:], ge))
             act_s[:] = jnp.ones((1, B), jnp.int32)
@@ -221,29 +249,35 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
 
             def lf_body(s):
                 j = jax.lax.rem(s, slen)
-                active = act_s[:]
+                active = act_s[:] != 0
+                stripe_ok = active & (j < slen_row)
                 I = Iv_s[:]
-                # at the start of each k-iteration, shift lanes up
-                I = jnp.where(active != 0,
-                              jnp.where(j == 0, _shift_lanes_up(I, NEG, is_row0),
-                                        I), I)
+                # at the start of each k-pass, shift lanes up
+                I = jnp.where(active & (j == 0),
+                              _shift_lanes_up(I, NEG, is_row0), I)
                 off = (j + 1) * VL
                 h = Hst[cur, pl.ds(off, VL)]
                 z = tb_ref[ii, pl.ds(j * VL, VL)].astype(jnp.int32)
                 znew = z | jnp.where(I > h, 1 << 9, 0)
                 hnew = jnp.maximum(h, I)
-                tb_ref[ii, pl.ds(j * VL, VL)] = jnp.where(active != 0, znew,
-                                                          z).astype(jnp.int16)
-                Hst[cur, pl.ds(off, VL)] = jnp.where(active != 0, hnew, h)
+                tb_ref[ii, pl.ds(j * VL, VL)] = jnp.where(
+                    stripe_ok, znew, z).astype(jnp.int16)
+                Hst[cur, pl.ds(off, VL)] = jnp.where(stripe_ok, hnew, h)
+                last_s[:] = jnp.where(stripe_ok & (j == slen_row - 1),
+                                      hnew, last_s[:])
                 h2 = _ssub(hnew, goe)
                 Inew = _ssub(I, ge)
                 allle = jnp.min(jnp.where(Inew <= h2, 1, 0), axis=0,
-                                keepdims=True)
-                Iv_s[:] = jnp.where(active != 0, Inew, I)
-                act_s[:] = active & jnp.where(allle != 0, 0, 1)
+                                keepdims=True) != 0
+                Iv_s[:] = jnp.where(stripe_ok, Inew, I)
+                act_s[:] = jnp.where(stripe_ok & allle, 0, act_s[:])
                 return s + 1
 
             jax.lax.while_loop(lf_cond, lf_body, 0)
+
+            # one ring store per row: this row's per-problem last-stripe
+            # value feeds the [-1] boundary of rows i+1..i+3
+            LastH[cur] = last_s[:]
 
             # capture the final score at each problem's last row
             at_last = (i == nl_ref[0, :][None, :] - 1)
@@ -269,6 +303,8 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
                            memory_space=pltpu.VMEM) for _ in range(7)],
             pl.BlockSpec((8, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),   # nlv: one row/problem
+            pl.BlockSpec((8, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # slens
             pl.BlockSpec((6, slen * VL, B), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((slen * VL, B), lambda g: (0, 0),
@@ -287,6 +323,7 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
             pltpu.VMEM((1, slen * VL, B), jnp.int32),
             pltpu.VMEM((1, slen * VL, B), jnp.int32),
             pltpu.VMEM((1, slen * VL, B), jnp.int32),
+            pltpu.VMEM((4, VL, B), jnp.int32),         # LastH
             pltpu.VMEM((1, 1, B), jnp.int32),
             pltpu.VMEM((slen * VL, B), jnp.int32),
             pltpu.VMEM((VL, B), jnp.int32),
@@ -312,7 +349,7 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
 def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
     call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret)
 
-    def wrapped(nas, D, A, nlv, prof, endsel, qpad):
+    def wrapped(nas, D, A, nlv, slens, prof, endsel, qpad):
         # derive the six donor/acceptor shift streams on device from the
         # two base tracks (cuts host->device transfer volume ~3x)
         D = D.astype(jnp.int32)
@@ -326,7 +363,7 @@ def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
         tb, score = call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
-                         nlv, prof, endsel.astype(jnp.int32),
+                         nlv, slens, prof, endsel.astype(jnp.int32),
                          qpad.astype(jnp.int32))
         # lanes-major repack on device + slice to the used-lane bucket
         # and to the batch's tallest problem: the traceback fetch is the
@@ -339,11 +376,11 @@ def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
 
 
 class CigarBatch:
-    """A padded batch of full-CIGAR DP problems."""
+    """A padded batch of full-CIGAR DP problems (mixed stripe counts)."""
 
     def __init__(self, al_pad: int, nl_pad: int, mat: np.ndarray, opt_scalars):
         assert al_pad % VL == 0
-        self.slen = al_pad // VL
+        self.slen = al_pad // VL          # batch slen_max
         self.al = al_pad
         self.nl = ((nl_pad + ROW_CHUNK - 1) // ROW_CHUNK) * ROW_CHUNK
         (self.go, self.ge, self.fs, self.default_io, self.xdrop,
@@ -353,35 +390,42 @@ class CigarBatch:
         self.D = np.zeros((self.nl + 8, B), np.int16)
         self.A = np.zeros((self.nl + 8, B), np.int16)
         self.nlv = np.zeros((8, B), np.int32)
+        self.slens = np.ones((8, B), np.int32)
         self.prof = np.zeros((6, self.al, B), np.int32)
         self.qpad = np.ones((self.al, B), np.int8)
         self.endsel = np.zeros((self.al, B), np.int32)
         self.dims = []
         self.n = 0
 
-    def add(self, nas, aas, donor, acceptor, io=None):
-        b = self.n
-        io = self.default_io if io is None else io
-        nl, al = len(nas), len(aas)
-        slen = self.slen
-        assert nl <= self.nl and al <= self.al and b < B
-        self.nas[:nl, b] = nas
-        self.D[:nl + 1, b] = donor.astype(np.int32)[:nl + 1] + io
-        self.A[:nl + 1, b] = acceptor.astype(np.int32)[:nl + 1]
-        self.nlv[:, b] = nl
-        # striped profile: sublane r = stripe-lane, position q = lane*slen + stripe
-        # profile row layout here: index p = j*VL + k  <->  q = k*slen + j
+    def _add_query(self, aas, b):
+        """Per-problem striping: stripe count from the problem's OWN al
+        (the reference's traceback bits depend on it)."""
+        al = len(aas)
+        slen_p = (al + VL - 1) // VL
+        assert slen_p <= self.slen
         from .nasw_pallas import _pack_profile
         col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased
         packed22 = _pack_profile(col)
         q = np.arange(al)
-        pstriped = (q % slen) * VL + q // slen
+        pstriped = (q % slen_p) * VL + q // slen_p
         prof = np.zeros((6, self.al), np.int32)
         prof[:, pstriped] = packed22
         self.prof[:, :, b] = prof
         self.qpad[pstriped, b] = 0
         qe = al - 1
-        self.endsel[(qe % slen) * VL + qe // slen, b] = 1
+        self.endsel[(qe % slen_p) * VL + qe // slen_p, b] = 1
+        self.slens[:, b] = slen_p
+
+    def add(self, nas, aas, donor, acceptor, io=None):
+        b = self.n
+        io = self.default_io if io is None else io
+        nl, al = len(nas), len(aas)
+        assert nl <= self.nl and al <= self.al and b < B
+        self.nas[:nl, b] = nas
+        self.D[:nl + 1, b] = donor.astype(np.int32)[:nl + 1] + io
+        self.A[:nl + 1, b] = acceptor.astype(np.int32)[:nl + 1]
+        self.nlv[:, b] = nl
+        self._add_query(aas, b)
         self.dims.append((nl, al))
         self.n += 1
         return b
@@ -390,6 +434,10 @@ class CigarBatch:
         return self.collect(self.launch(interpret))
 
     LANE_BUCKETS = (16, B)
+
+    def tb_bytes(self) -> int:
+        """HBM footprint of the traceback output at launch."""
+        return self.nl * self.slen * VL * B * 2
 
     def launch(self, interpret=None):
         """Start the device computation without blocking."""
@@ -403,7 +451,8 @@ class CigarBatch:
                                n_lanes, rows_used, interpret)
         return call(
             jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
-            jnp.asarray(self.nlv), jnp.asarray(self.prof),
+            jnp.asarray(self.nlv), jnp.asarray(self.slens),
+            jnp.asarray(self.prof),
             jnp.asarray(self.endsel.astype(np.int8)),
             jnp.asarray(self.qpad))
 
@@ -415,10 +464,12 @@ class CigarBatch:
         out = []
         for b in range(self.n):
             nl, al = self.dims[b]
+            slen_p = (al + VL - 1) // VL
             tb_b = tb[b, :nl]   # lanes-major: already C-contiguous
             if not tb_b.flags.c_contiguous:
                 tb_b = np.ascontiguousarray(tb_b)
-            cig = native.backtrack(tb_b, self.slen, nl, al)
+            cig = native.backtrack_strided(tb_b, slen_p, self.slen * VL,
+                                           nl, al)
             out.append((int(score[b]), cig))
         return out
 
@@ -442,7 +493,7 @@ def _compiled_cigar_raw(slen, n_rows, go, ge, fs, n_lanes, rows_used,
     sp = np.asarray(sp_key, np.int32)
     codon = _tables.get_tables(trans_code).codon
 
-    def wrapped(nt8, iov, nlv1, nlv, prof, endsel, qpad):
+    def wrapped(nt8, iov, nlv1, nlv, slens, prof, endsel, qpad):
         zero_left = jnp.zeros((1, B), jnp.int8)
         nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
                                      nlv1, sp=sp, codon=codon, n_rows=n_rows)
@@ -455,7 +506,7 @@ def _compiled_cigar_raw(slen, n_rows, go, ge, fs, n_lanes, rows_used,
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
         tb, score = call(nas, dm1, d0, dp1, a0, am1, am2,
-                         nlv, prof, endsel.astype(jnp.int32),
+                         nlv, slens, prof, endsel.astype(jnp.int32),
                          qpad.astype(jnp.int32))
         tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes, :rows_used]
         return tb, score
@@ -480,23 +531,12 @@ class RawCigarBatch(CigarBatch):
         b = self.n
         io = self.default_io if io is None else io
         nl, al = len(nt4), len(aas)
-        slen = self.slen
         assert nl <= self.nl and al <= self.al and b < B
         self.nt[:nl, b] = nt4
         self.iov[0, b] = io
         self.nlv1[0, b] = nl
         self.nlv[:, b] = nl
-        from .nasw_pallas import _pack_profile
-        col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased
-        packed22 = _pack_profile(col)
-        q = np.arange(al)
-        pstriped = (q % slen) * VL + q // slen
-        prof = np.zeros((6, self.al), np.int32)
-        prof[:, pstriped] = packed22
-        self.prof[:, :, b] = prof
-        self.qpad[pstriped, b] = 0
-        qe = al - 1
-        self.endsel[(qe % slen) * VL + qe // slen, b] = 1
+        self._add_query(aas, b)
         self.dims.append((nl, al))
         self.n += 1
         return b
@@ -512,6 +552,6 @@ class RawCigarBatch(CigarBatch):
                                    self.trans_code, interpret)
         return call(jnp.asarray(self.nt), jnp.asarray(self.iov),
                     jnp.asarray(self.nlv1), jnp.asarray(self.nlv),
-                    jnp.asarray(self.prof),
+                    jnp.asarray(self.slens), jnp.asarray(self.prof),
                     jnp.asarray(self.endsel.astype(np.int8)),
                     jnp.asarray(self.qpad))

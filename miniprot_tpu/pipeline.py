@@ -106,7 +106,7 @@ class _Prefetcher:
 
 def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
              out=None, use_tpu: bool = False, dbg: dict | None = None,
-             ckpt: str | None = None) -> int:
+             ckpt: str | None = None, stats: dict | None = None) -> int:
     """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343).
 
     ckpt: path of a mini-batch checkpoint journal (requires a seekable
@@ -190,6 +190,16 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
             sysutil.log("map_file", "mapped %d sequences", len(batch))
     finally:
         profiler.stop("map")
+        if engine is not None:
+            from . import sysutil
+            sysutil.log(
+                "map_file",
+                "DP split: %d device / %d host calls; %.1f%% of cells on "
+                "device", engine.n_tpu, engine.n_host,
+                100.0 * profiler.device_fraction())
+            if stats is not None:
+                stats.update(n_tpu=engine.n_tpu, n_host=engine.n_host,
+                             device_fraction=profiler.device_fraction())
         if ckpt_f is not None:
             ckpt_f.close()
         if pool is not None:

@@ -78,15 +78,24 @@ class Profiler:
             self.stages[stage] = (self.stages.get(stage, 0.0)
                                   + time.monotonic() - self._open.pop(stage))
 
+    # cell counting is always on (two integer adds per DP call): the
+    # host/device cell split is a first-class product metric (what
+    # fraction of DP work lands on the chip), reported by map_file on
+    # --tpu runs and by bench.py
+
     def add_host_dp(self, nl: int, al: int) -> None:
-        if self.enabled:
-            self.cells_host += nl * al
-            self.n_dp_host += 1
+        self.cells_host += nl * al
+        self.n_dp_host += 1
 
     def add_tpu_dp(self, cells: int, n: int) -> None:
-        if self.enabled:
-            self.cells_tpu += cells
-            self.n_dp_tpu += n
+        self.cells_tpu += cells
+        self.n_dp_tpu += n
+
+    def device_fraction(self) -> float:
+        """Fraction of DP cells evaluated on the device (padded batch
+        cells counted as device work; 0.0 when no DP ran)."""
+        tot = self.cells_host + self.cells_tpu
+        return self.cells_tpu / tot if tot else 0.0
 
     def report(self) -> None:
         if not self.enabled:

@@ -14,7 +14,7 @@ def run_mine(args, genome, query):
     import contextlib
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        rc = cli.main([*args, genome, query])
+        rc = cli.main(["--no-tpu", *args, genome, query])
     assert rc == 0
     return buf.getvalue()
 

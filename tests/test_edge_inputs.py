@@ -12,7 +12,7 @@ def run_mine(args):
     from miniprot_tpu import cli
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        assert cli.main(list(args)) == 0
+        assert cli.main(["--no-tpu", *args]) == 0
     return buf.getvalue()
 
 

@@ -80,7 +80,7 @@ def test_fuzz_parity(ref_binary, tmp_path, seed, mode):
     from miniprot_tpu import cli
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        assert cli.main([*mode, fa, faa]) == 0
+        assert cli.main(["--no-tpu", *mode, fa, faa]) == 0
     assert buf.getvalue() == ref
 
 
@@ -97,7 +97,7 @@ def test_reverse_strand_parity(ref_binary, tmp_path, seed, mode):
     from miniprot_tpu import cli
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        assert cli.main([*mode, fa, faa]) == 0
+        assert cli.main(["--no-tpu", *mode, fa, faa]) == 0
     assert buf.getvalue() == ref
 
 
@@ -124,7 +124,7 @@ def test_frameshift_parity(ref_binary, fs_workload, mode):
                          capture_output=True, text=True).stdout
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
-        assert cli.main([*mode, fa, faa]) == 0
+        assert cli.main(["--no-tpu", *mode, fa, faa]) == 0
     assert buf.getvalue() == ref
 
 
@@ -147,5 +147,5 @@ def test_out_sim_float32_boundary(ref_binary, tmp_path):
     from miniprot_tpu import cli
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        assert cli.main(["-t1", *mode, fa, faa]) == 0
+        assert cli.main(["--no-tpu", "-t1", *mode, fa, faa]) == 0
     assert buf.getvalue() == ref

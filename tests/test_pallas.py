@@ -302,3 +302,69 @@ def test_raw_cigar_batch_bit_exact_traceback():
         rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
         assert sc == rsc
         assert np.array_equal(cig, rcig)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_cigar_kernel_mixed_stripes_bit_exact():
+    """One batch mixing per-problem stripe counts (al 2..128) must give
+    bit-exact scores + tracebacks vs the host striped DP, which derives
+    striping from each problem's own al."""
+    from miniprot_tpu.kernels.nasw_cigar_pallas import CigarBatch
+    from miniprot_tpu.native import DPF_CIGAR
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(77)
+    batch = CigarBatch(al_pad=128, nl_pad=2048, mat=mat,
+                       opt_scalars=(11, 1, 23, 29, 100, 5, 0.5))
+    cases = []
+    for _ in range(24):
+        nl = int(rng.integers(9, 1800))
+        al = int(rng.integers(2, 129))
+        ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        nas, aas, d, a = prep_problem(ns, aa, sp=sp, sp_null_bonus=-7, io=29,
+                                      ext_left=False)
+        batch.add(nas, aas, d, a)
+    for (ns, aa), (sc, cig) in zip(cases, batch.run(interpret=False)):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc, (len(ns), len(aa))
+        assert np.array_equal(cig, rcig), (len(ns), len(aa))
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_cigar_kernel_wide_stripes_bit_exact():
+    """slen_max = 64 class (al up to 512): the post-extension CIGAR
+    re-runs of whole proteins land here."""
+    from miniprot_tpu.kernels.nasw_cigar_pallas import RawCigarBatch
+    from miniprot_tpu.native import DPF_CIGAR
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(99)
+    batch = RawCigarBatch(al_pad=512, nl_pad=2048, mat=mat,
+                          opt_scalars=(11, 1, 23, 29, 100, 5, 0.5),
+                          sp=sp, trans_code=1)
+    cases = []
+    for _ in range(8):
+        nl = int(rng.integers(600, 2048))
+        al = int(rng.integers(130, 513))
+        ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        batch.add_raw(T.nt4[ns], T.aa20[aa], io=29)
+    for (ns, aa), (sc, cig) in zip(cases, batch.run(interpret=False)):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc, (len(ns), len(aa))
+        assert np.array_equal(cig, rcig), (len(ns), len(aa))

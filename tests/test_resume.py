@@ -24,6 +24,7 @@ def workload(tmp_path_factory):
 
 
 def run_cli(args):
+    args = ["--no-tpu", *args]
     return subprocess.run([sys.executable, "-m", "miniprot_tpu.cli", *args],
                           capture_output=True, text=True, cwd="/root/repo")
 

@@ -12,7 +12,7 @@ GOLDEN_PAF = (pathlib.Path(__file__).parent / "golden" /
 def dpp3_server(dpp3_files):
     from miniprot_tpu import cli, server
     genome, _ = dpp3_files
-    parsed = cli.load_for_server([genome])
+    parsed = cli.load_for_server(["--no-tpu", genome])
     assert isinstance(parsed, tuple)
     mi, opt, n_threads, use_tpu = parsed
     srv = server.MapServer(("127.0.0.1", 0), mi, opt, n_threads, use_tpu)

@@ -120,8 +120,7 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
         extra = env.get("PYTHONPATH", "")
         env["PYTHONPATH"] = repo + (os.pathsep + extra if extra else "")
         args = ["-t1", *mix]
-        if use_tpu:
-            args.append("--tpu")
+        args.append("--tpu" if use_tpu else "--no-tpu")
         try:
             mine = subprocess.run([sys.executable, "-m", "miniprot_tpu.cli",
                                    *args, fa, faa],
