@@ -125,7 +125,8 @@ def tpu_live(timeout: float | None = None) -> bool:
     def probe() -> bool:
         import jax
         jax.devices()
-        return jax.default_backend() in ("tpu", "axon")
+        from .kernels import on_tpu_backend
+        return on_tpu_backend()
 
     if timeout <= 0:
         try:

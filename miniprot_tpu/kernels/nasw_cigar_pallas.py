@@ -442,7 +442,8 @@ class CigarBatch:
     def launch(self, interpret=None):
         """Start the device computation without blocking."""
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         # round the row clip to 512 so the compile-key count stays small
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
@@ -543,7 +544,8 @@ class RawCigarBatch(CigarBatch):
 
     def launch(self, interpret=None):
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
         rows_used = min(self.nl, (max_nl + 511) // 512 * 512)

@@ -548,7 +548,8 @@ class ExtBatch:
         """Start the device computation; returns result handles without
         blocking (lets the engine overlap batches on the device queue)."""
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
         call = _compiled_ext(self.al, self.nl, self.go, self.ge, self.fs,
                              self.xdrop, self.end_bonus, interpret)
         return call(
@@ -816,7 +817,8 @@ class RawExtBatch:
 
     def launch(self, interpret=None):
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
         thr = _logpen_thresholds(float(np.float32(self.ie_coef)), self.nl)
         call = _compiled_ext_raw(self.al, self.nl, self.go, self.ge, self.fs,
                                  self.xdrop, self.end_bonus, self.sp_key,

@@ -7,11 +7,8 @@ from miniprot_tpu.kernels.nasw_pallas import prep_problem
 
 
 def _on_tpu():
-    try:
-        import jax
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    from miniprot_tpu.kernels import on_tpu_backend
+    return on_tpu_backend()
 
 
 def test_prep_matches_reference_exact():
@@ -114,64 +111,6 @@ def test_device_sketch_matches_host():
         a = np.sort(sketch_nt4(seq, 30, 6, 1, 8, 77))
         b = np.sort(sketch_nt4_device(seq, 30, 6, 1, 8, 77))
         assert np.array_equal(a, b)
-
-
-@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
-def test_device_chain_matches_windowed_dp():
-    """Device chaining equals a host brute-force of the same windowed
-    no-heuristic recurrence (float32 log2 may differ by ulps -> allow a
-    +-1 score tolerance on <1% of anchors)."""
-    from miniprot_tpu.kernels.chain_pallas import chain_scores_device
-
-    rng = np.random.default_rng(23)
-    params = dict(max_dist_x=200000, max_dist_y=1000, bw=200000, kmer=5,
-                  bbit=0, is_spliced=True, chn_coef_log=0.75)
-
-    def host_f(a):
-        n = len(a)
-        x = (a >> np.uint64(32)).astype(np.int64)
-        y = (a & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        f = np.full(n, params["kmer"], np.int64)
-        for i in range(n):
-            lo = max(0, (i // 128 - 1) * 128)
-            best = params["kmer"]
-            for j in range(lo, i):
-                dq = y[i] - y[j]
-                dr3 = x[i] - x[j]
-                if dq <= 0 or dq * 3 > params["max_dist_x"] or dq > params["max_dist_y"]:
-                    continue
-                if dr3 == 0:
-                    continue
-                dd = abs(dr3 - dq * 3)
-                if dd > params["bw"]:
-                    continue
-                if params["kmer"] <= dq and params["kmer"] * 3 <= dr3:
-                    sc = params["kmer"]
-                else:
-                    dr = dr3 // 3
-                    q = dr3 - dr * 3
-                    sc = min(min(dr, dq), params["kmer"]) - (1 if q else 0)
-                if dd > 0:
-                    lin = np.float32(dd) * np.float32(0.33334)
-                    logp = (np.float32(0.75) * (np.float32(np.log2(np.float32(dd + 1))) - np.float32(1.0)) + np.float32(1.0)) if dd >= 2 else np.float32(dd)
-                    pen = min(lin, logp) if (dq * 3 - dr3) < 0 else lin + logp
-                    sc -= int(pen)
-                if f[j] + sc > best:
-                    best = f[j] + sc
-            f[i] = best
-        return f
-
-    # anchors with an implanted diagonal chain + noise
-    n = 300
-    diag = np.arange(40) * 3 + 1000
-    x = np.concatenate([diag * 1, rng.integers(0, 5000, n - 40)])
-    y = np.concatenate([np.arange(40) + 10, rng.integers(0, 200, n - 40)])
-    a = np.sort((x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64))
-    (f_dev, p_dev), = chain_scores_device([a], interpret=False, **params)
-    f_ref = host_f(a)
-    diff = np.abs(f_dev.astype(np.int64) - f_ref)
-    assert (diff <= 1).all()
-    assert (diff == 0).mean() > 0.99
 
 
 def test_device_prep_matches_host_prep():

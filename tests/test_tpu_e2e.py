@@ -15,11 +15,8 @@ GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
 def _on_tpu():
-    try:
-        import jax
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    from miniprot_tpu.kernels import on_tpu_backend
+    return on_tpu_backend()
 
 
 pytestmark = pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
