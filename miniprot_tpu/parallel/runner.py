@@ -11,6 +11,13 @@ Region records (not formatted text) are spooled, because GFF record ids
 (``MP%06d``) are assigned in *output* order (format.c:372), which is
 only known after the cross-host merge.
 
+Spools are STREAMS: each shard appends one pickled record per query as
+it maps (so a shard never holds its results in RAM), and the process-0
+emit is a k-way heap merge over lazy per-shard readers (so the merge
+holds one record per shard, not the whole run).  A 25k-protein mammal
+run across 16 hosts therefore needs O(16) records of merge memory
+instead of O(25k).
+
 Coordination uses a shared spool directory plus the jax.distributed
 barrier when available (multi-host pods have both); the spool files
 double as per-shard checkpoints — a preempted run can be resumed by
@@ -19,6 +26,7 @@ re-running only the processes whose spool file is missing.
 
 from __future__ import annotations
 
+import heapq
 import os
 import pickle
 
@@ -38,45 +46,59 @@ def spool_path(spool_dir: str, process_id: int) -> str:
 
 def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
               num_processes: int, spool_dir: str) -> int:
-    """Map queries with global index % num_processes == process_id and
-    spool (query_index, name, seq_bytes, regions) records."""
+    """Map queries with global index % num_processes == process_id,
+    streaming (query_index, name, seq_bytes, regions) records to the
+    shard spool in ascending query order."""
     env = DpEnv(opt)
     reader = BatchReader(fn)
-    out = []
+    n = 0
     qi = 0
-    while True:
-        batch = reader.read_batch(opt.mini_batch_size)
-        if not batch:
-            break
-        for rec in batch:
-            if qi % num_processes == process_id:
-                seq = np.frombuffer(rec.seq, dtype=np.uint8)
-                regs = map_query(mi, seq, opt, env=env)
-                out.append((qi, rec.name, rec.seq, regs))
-            qi += 1
     tmp = spool_path(spool_dir, process_id) + ".tmp"
     with open(tmp, "wb") as fp:
-        pickle.dump(out, fp, protocol=pickle.HIGHEST_PROTOCOL)
+        while True:
+            batch = reader.read_batch(opt.mini_batch_size)
+            if not batch:
+                break
+            for rec in batch:
+                if qi % num_processes == process_id:
+                    seq = np.frombuffer(rec.seq, dtype=np.uint8)
+                    regs = map_query(mi, seq, opt, env=env)
+                    pickle.dump((qi, rec.name, rec.seq, regs), fp,
+                                protocol=pickle.HIGHEST_PROTOCOL)
+                    n += 1
+                qi += 1
     os.replace(tmp, spool_path(spool_dir, process_id))  # atomic: resumable
-    return len(out)
+    return n
+
+
+def _iter_spool(path: str):
+    with open(path, "rb") as fp:
+        while True:
+            try:
+                yield pickle.load(fp)
+            except EOFError:
+                return
 
 
 def emit_merged(mi: Index, opt: MapOpt, num_processes: int, spool_dir: str,
                 out) -> int:
-    """Process-0 ordered emit: merge every shard's spool in global query
-    order and run the standard per-query output filters."""
-    records = []
-    for pid in range(num_processes):
-        with open(spool_path(spool_dir, pid), "rb") as fp:
-            records.extend(pickle.load(fp))
-    records.sort(key=lambda r: r[0])
+    """Process-0 ordered emit: streaming k-way merge of the shard spools
+    in global query order, through the standard per-query output
+    filters.  Memory: one in-flight record per shard."""
+    streams = [_iter_spool(spool_path(spool_dir, pid))
+               for pid in range(num_processes)]
     if opt.flag & F_GFF:
         out.write("##gff-version 3\n")
     id_counter = [0]
-    for _, name, seq_bytes, regs in records:
+    n = 0
+    # each stream is ascending in qi, so heapq.merge restores the global
+    # input order without materializing anything
+    for qi, name, seq_bytes, regs in heapq.merge(*streams,
+                                                 key=lambda r: r[0]):
         seq = np.frombuffer(seq_bytes, dtype=np.uint8)
         _emit_query(mi, opt, name, seq, regs, id_counter, out)
-    return len(records)
+        n += 1
+    return n
 
 
 def map_file_multihost(mi: Index, fn: str, opt: MapOpt, process_id: int,

@@ -103,8 +103,9 @@ import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
+NP = int(sys.argv[3])
 jax.distributed.initialize(coordinator_address=sys.argv[2],
-                           num_processes=2, process_id=int(sys.argv[1]))
+                           num_processes=NP, process_id=int(sys.argv[1]))
 sys.path.insert(0, %(repo)r)
 from miniprot_tpu.index import Index
 from miniprot_tpu.options import IdxOpt, MapOpt
@@ -114,14 +115,19 @@ pid = int(sys.argv[1])
 mi = Index.build(%(fa)r, IdxOpt())
 opt = MapOpt()
 with open(%(out)r, "w") if pid == 0 else open(os.devnull, "w") as out:
-    map_file_multihost(mi, %(faa)r, opt, pid, 2, %(spool)r, out)
+    map_file_multihost(mi, %(faa)r, opt, pid, NP, %(spool)r, out)
 print("MAP-OK-" + str(pid), flush=True)
 """
 
 
-def test_two_process_mapping_matches_single(tmp_path):
-    """Data-parallel mapping across 2 coordinated processes with ordered
-    proc-0 emit must be byte-identical to the single-process pipeline."""
+import pytest
+
+
+@pytest.mark.parametrize("n_proc", [2, 4])
+def test_multi_process_mapping_matches_single(tmp_path, n_proc):
+    """Data-parallel mapping across coordinated processes with the
+    streaming k-way spool merge on proc 0 must be byte-identical to the
+    single-process pipeline (2- and 4-process variants)."""
     from miniprot_tpu.testgen import make_workload
     from miniprot_tpu.index import Index
     from miniprot_tpu.options import IdxOpt, MapOpt
@@ -147,10 +153,11 @@ def test_two_process_mapping_matches_single(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     code = MAP_WORKER % {"repo": "/root/repo", "fa": fa, "faa": faa,
                          "out": out_path, "spool": spool}
-    procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord],
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord,
+                               str(n_proc)],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True)
-             for i in range(2)]
+             for i in range(n_proc)]
     for i, p in enumerate(procs):
         out, err = p.communicate(timeout=300)
         assert p.returncode == 0 and f"MAP-OK-{i}" in out, (out, err[-2000:])
