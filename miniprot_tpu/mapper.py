@@ -109,18 +109,13 @@ def refine_region(mi: Index, opt: MapOpt, aa: np.ndarray, r: Region,
     r.chn_sc_ungap = native.chn_sc_ungap(r.a, kmer)
 
 
-def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
-              env: DpEnv | None = None, dbg: dict | None = None) -> list[Region]:
-    """Map one protein against the index (mp_map, map.c:143-240)."""
-    if not isinstance(seq, np.ndarray):
-        seq = np.frombuffer(seq, dtype=np.uint8)
-    qlen = len(seq)
-    is_splice = not (opt.flag & F_NO_SPLICE)
+def seed_anchors(mi: Index, seq: np.ndarray, opt: MapOpt) -> np.ndarray:
+    """Sketch one protein and gather its seed anchors
+    blockId<<32|qpos from the local bucket table (map.c:155-177),
+    unsorted.  The mesh path (parallel/dist.mesh_map_queries) replaces
+    this with the index-sharded device gather; both produce the same
+    anchor multiset."""
     io = mi.opt
-    if env is None:
-        env = DpEnv(opt)
-    dbg = dbg or {}
-
     sd = sketch_prot(seq, io.kmer, io.mod_bit)
     native.sort_u64(sd)
     if len(sd) >= 8:
@@ -130,24 +125,42 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
 
     # bucket lookups -> anchors blockId<<32|qpos (map.c:163-177), ragged
     # gather vectorized over all of the query's seeds at once
-    if len(sd):
-        h = (sd >> np.uint64(32)).astype(np.int64)
-        ki_ext = mi.ki
-        st = ki_ext[h]
-        en = np.where(h + 1 < len(ki_ext), ki_ext[np.minimum(h + 1, len(ki_ext) - 1)],
-                      mi.n_kb)
-        n = en - st
-        keep = n <= max_occ
-        stk, nk = st[keep], n[keep]
-        total = int(nk.sum())
-        cum = np.zeros(len(nk), np.int64)
-        np.cumsum(nk[:-1], out=cum[1:])
-        base = np.repeat(stk - cum, nk)
-        indices = base + np.arange(total)
-        qpos = np.repeat(sd[keep] & np.uint64(0xFFFFFFFF), nk)
-        a = (mi.kb[indices].astype(np.uint64) << np.uint64(32)) | qpos
-    else:
-        a = np.empty(0, np.uint64)
+    if not len(sd):
+        return np.empty(0, np.uint64)
+    h = (sd >> np.uint64(32)).astype(np.int64)
+    ki_ext = mi.ki
+    st = ki_ext[h]
+    en = np.where(h + 1 < len(ki_ext), ki_ext[np.minimum(h + 1, len(ki_ext) - 1)],
+                  mi.n_kb)
+    n = en - st
+    keep = n <= max_occ
+    stk, nk = st[keep], n[keep]
+    total = int(nk.sum())
+    cum = np.zeros(len(nk), np.int64)
+    np.cumsum(nk[:-1], out=cum[1:])
+    base = np.repeat(stk - cum, nk)
+    indices = base + np.arange(total)
+    qpos = np.repeat(sd[keep] & np.uint64(0xFFFFFFFF), nk)
+    return (mi.kb[indices].astype(np.uint64) << np.uint64(32)) | qpos
+
+
+def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
+              env: DpEnv | None = None, dbg: dict | None = None,
+              anchors: np.ndarray | None = None) -> list[Region]:
+    """Map one protein against the index (mp_map, map.c:143-240).
+
+    anchors: pre-gathered seed anchors (the mesh path's device gather);
+    default is the local seed_anchors() lookup."""
+    if not isinstance(seq, np.ndarray):
+        seq = np.frombuffer(seq, dtype=np.uint8)
+    qlen = len(seq)
+    is_splice = not (opt.flag & F_NO_SPLICE)
+    io = mi.opt
+    if env is None:
+        env = DpEnv(opt)
+    dbg = dbg or {}
+
+    a = seed_anchors(mi, seq, opt) if anchors is None else anchors
     native.sort_u64(a)
     if dbg.get("anchor"):
         _dbg_anchor(mi, a)

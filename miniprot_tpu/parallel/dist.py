@@ -173,7 +173,7 @@ def sharded_anchor_step(mesh: Mesh, max_hits_per_seed: int):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("q", None), P("g", None), P("g", None)),
-        out_specs=(P("q", None, None), P("q", None, None)),
+        out_specs=(P("q", None, None), P("q", None, None), P("q", None)),
     )
     def step(hashes, ki_l, kb_l):
         import jax.numpy as jnp
@@ -193,9 +193,95 @@ def sharded_anchor_step(mesh: Mesh, max_hits_per_seed: int):
         valid = offs < cnt[..., None]
         hits = jnp.where(valid, hits, 0)
         # merge across index shards: each (query, seed) hits exactly one
-        # shard, so a sum is a disjoint union
+        # shard, so a sum is a disjoint union; cnt rides along so the
+        # host sees true occupancies (beyond the cap) for max_occ logic
         hits = jax.lax.psum(hits, "g")
         valid = jax.lax.psum(valid.astype(jnp.int32), "g")
-        return hits, valid
+        cnt = jax.lax.psum(cnt.astype(jnp.int64), "g")
+        return hits, valid, cnt
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Integrated mesh mapping: device seed->anchor gather feeding the exact
+# host chain/refine/align rounds.
+# ---------------------------------------------------------------------------
+
+
+def _boxplot_max_occ(occ: np.ndarray, cap: int) -> int:
+    """mp_cal_max_occ (map.c:126-141) from an occupancy vector."""
+    from .. import native
+    n = len(occ)
+    if n < 8:
+        return cap
+    cnt = occ.astype(np.uint64).copy()
+    native.sort_u64(cnt)
+    q25 = int(cnt[int(n * 0.25 + 0.499)])
+    q75 = int(cnt[int(n * 0.75 + 0.499)])
+    return min(int(q75 + (q75 - q25) * 1.5 + 10.0), cap)
+
+
+def mesh_map_queries(mesh: Mesh, mi, seqs, opt, *, cap: int,
+                     env=None) -> list:
+    """Map a batch of proteins with the seed->anchor stage on the device
+    mesh (index hash-sharded on "g", queries data-parallel on "q",
+    candidates merged by psum over "g") and the exact chain/refine/align
+    rounds on the host.  Byte-identical to per-query map_query as long
+    as cap >= the effective max_occ (asserted).
+
+    seqs: list of np.uint8 protein arrays.  Returns per-query region
+    lists in input order.
+    """
+    from .. import native
+    from ..align import DpEnv
+    from ..mapper import map_query
+    from ..sketch import sketch_prot
+
+    n_q = mesh.shape["q"]
+    io = mi.opt
+    env = env or DpEnv(opt)
+
+    # host sketch (cheap); hashes padded to a rectangle for the device
+    sds = []
+    for seq in seqs:
+        sd = sketch_prot(seq, io.kmer, io.mod_bit)
+        native.sort_u64(sd)
+        sds.append(sd)
+    K = max((len(s) for s in sds), default=1) or 1
+    NQ = max(len(seqs), 1)
+    NQ_pad = -(-NQ // n_q) * n_q
+    hashes = np.zeros((NQ_pad, K), np.int64)
+    nseed = np.zeros(NQ_pad, np.int64)
+    for qi, sd in enumerate(sds):
+        hashes[qi, :len(sd)] = (sd >> np.uint64(32)).astype(np.int64)
+        nseed[qi] = len(sd)
+
+    ki = np.asarray(mi.ki, np.int64)   # per-bucket start offsets
+    kb = np.asarray(mi.kb, np.uint32)
+    ki_l, kb_l = shard_index_tables(mesh, ki, kb)
+    step = sharded_anchor_step(mesh, cap)
+    with mesh:
+        h = jax.device_put(hashes, NamedSharding(mesh, P("q", None)))
+        kil = jax.device_put(ki_l, NamedSharding(mesh, P("g", None)))
+        kbl = jax.device_put(kb_l, NamedSharding(mesh, P("g", None)))
+        hits, valid, cnt = step(h, kil, kbl)
+        hits = np.asarray(hits)
+        valid = np.asarray(valid)
+        cnt = np.asarray(cnt)
+
+    out = []
+    for qi, (seq, sd) in enumerate(zip(seqs, sds)):
+        ns = int(nseed[qi])
+        occ = cnt[qi, :ns]
+        max_occ = _boxplot_max_occ(occ, opt.max_occ) if ns >= 8 else opt.max_occ
+        assert cap >= max_occ or (occ[occ <= max_occ] <= cap).all(), \
+            "candidate cap below effective max_occ; raise cap"
+        keep = occ <= max_occ
+        v = valid[qi, :ns][keep].astype(bool)
+        hk = hits[qi, :ns][keep]
+        qpos = (sd[keep] & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        qpos_m = np.broadcast_to(qpos[:, None], hk.shape)
+        a = ((hk[v].astype(np.uint64) << np.uint64(32)) | qpos_m[v])
+        out.append(map_query(mi, seq, opt, env=env, anchors=a))
+    return out

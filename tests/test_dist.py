@@ -38,7 +38,7 @@ with mesh:
     h = jax.device_put(hq, NamedSharding(mesh, P("q", None)))
     kil = jax.device_put(ki_l, NamedSharding(mesh, P("g", None)))
     kbl = jax.device_put(kb_l, NamedSharding(mesh, P("g", None)))
-    hits, valid = step(h, kil, kbl)
+    hits, valid, _cnt = step(h, kil, kbl)
 hits = np.asarray(hits)
 valid = np.asarray(valid)
 
@@ -76,3 +76,61 @@ def test_dryrun_multichip_virtual_mesh():
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=300)
     assert "DRYRUN-OK" in out.stdout, out.stderr[-2000:]
+
+
+MESH_MAP_SCRIPT = r"""
+import io
+import numpy as np
+import sys
+sys.path.insert(0, %(repo)r)
+from miniprot_tpu.bseq import read_fastx
+from miniprot_tpu.index import Index
+from miniprot_tpu.options import IdxOpt, MapOpt
+from miniprot_tpu.parallel import dist
+from miniprot_tpu.pipeline import _emit_query
+from miniprot_tpu.mapper import map_query
+from miniprot_tpu.testgen import make_workload
+
+fa, faa = %(fa)r, %(faa)r
+make_workload(fa, faa, genome_len=400_000, n_genes=10, seed=17, n_ctg=2,
+              max_intron=4000, rev_frac=0.5)
+mi = Index.build(fa, IdxOpt())
+opt = MapOpt()
+opt.max_occ = 64          # candidate cap must cover max_occ
+recs = list(read_fastx(faa))
+seqs = [np.frombuffer(r.seq, np.uint8) for r in recs]
+
+mesh = dist.make_mesh(2, 4)
+mesh_regs = dist.mesh_map_queries(mesh, mi, seqs, opt, cap=64)
+
+
+def emit(all_regs):
+    buf = io.StringIO()
+    idc = [0]
+    for rec, seq, regs in zip(recs, seqs, all_regs):
+        _emit_query(mi, opt, rec.name, seq, regs, idc, buf)
+    return buf.getvalue()
+
+
+local_regs = [map_query(mi, s, opt) for s in seqs]
+a, b = emit(mesh_regs), emit(local_regs)
+assert a == b, (len(a), len(b))
+assert a.count("\n") >= 10   # the workload really mapped
+print("MESH-MAP-OK")
+"""
+
+
+def test_mesh_map_queries_matches_local(tmp_path):
+    """Integrated mesh mapping (device seed->anchor gather on a 2x4
+    virtual mesh + host chain/refine/align) is byte-identical to the
+    plain single-device pipeline on a real synthetic workload."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    code = MESH_MAP_SCRIPT % {"repo": "/root/repo",
+                              "fa": str(tmp_path / "g.fa"),
+                              "faa": str(tmp_path / "q.faa")}
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "MESH-MAP-OK" in out.stdout, out.stderr[-3000:]

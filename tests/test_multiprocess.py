@@ -49,7 +49,7 @@ with mesh:
     h = gshard(hashes, P("q", None))
     kil = gshard(ki_l, P("g", None))
     kbl = gshard(kb_l, P("g", None))
-    hits, valid = step(h, kil, kbl)
+    hits, valid, _cnt = step(h, kil, kbl)
     jax.block_until_ready((hits, valid))
 
 # host-side expectation
