@@ -49,16 +49,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -32768   # int16 saturation floor: traceback bit parity requires
-               # emulating the reference's saturating int16 arithmetic
+NEG = -32768          # int16 saturation floor (16-bit mode)
+NEG32 = -0x40000000   # gs32b init value (32-bit mode)
 B = 128
 
 
-def _sadd(a, b):
+def _sadd16(a, b):
     return jnp.clip(a + b, -32768, 32767)
 
 
-def _ssub(a, b):
+def _ssub16(a, b):
     return jnp.clip(a - b, -32768, 32767)
 VL = 8           # SSE lanes per stripe
 ROW_CHUNK = 256
@@ -71,7 +71,7 @@ def _shift_lanes_up(v, fill, is_row0):
     return jnp.where(is_row0, fill, r)
 
 
-def _cigar_kernel(slen, n_rows, go, ge, fs,
+def _cigar_kernel(slen, n_rows, go, ge, fs, VL, NEG, sat,
                   nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref,
                   am2_ref, nl_ref, slen_ref, prof_ref, endsel_ref, qpad_ref,
                   tb_ref, score_ref,
@@ -89,6 +89,10 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
          stripe (slen_p - 1), feeding the next row's [-1] boundary.
     """
     chunk = pl.program_id(0)
+    # 16-bit mode (sat=True) emulates the reference's saturating int16
+    # lanes; 32-bit mode (sat=False) is the plain-arithmetic gs32b
+    _sadd = _sadd16 if sat else (lambda a, b: a + b)
+    _ssub = _ssub16 if sat else (lambda a, b: a - b)
     is_row0 = jax.lax.broadcasted_iota(jnp.int32, (VL, B), 0) == 0
     slen_row = slen_ref[0, :][None, :]   # (1, B) per-problem stripe count
 
@@ -292,9 +296,11 @@ def _cigar_kernel(slen, n_rows, go, ge, fs,
     score_ref[:] = scorev[0]
 
 
-def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
+def _make_cigar_call(slen, n_rows, go, ge, fs, interpret, vl=VL, neg=NEG,
+                     sat=True):
     n_chunks = (n_rows + ROW_CHUNK - 1) // ROW_CHUNK
-    kernel = functools.partial(_cigar_kernel, slen, n_rows, go, ge, fs)
+    kernel = functools.partial(_cigar_kernel, slen, n_rows, go, ge, fs,
+                               vl, neg, sat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_chunks,),
@@ -305,29 +311,29 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
                          memory_space=pltpu.VMEM),   # nlv: one row/problem
             pl.BlockSpec((8, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),   # slens
-            pl.BlockSpec((6, slen * VL, B), lambda g: (0, 0, 0),
+            pl.BlockSpec((6, slen * vl, B), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((slen * VL, B), lambda g: (0, 0),
+            pl.BlockSpec((slen * vl, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((slen * VL, B), lambda g: (0, 0),
+            pl.BlockSpec((slen * vl, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ROW_CHUNK, slen * VL, B), lambda g: (g, 0, 0),
+            pl.BlockSpec((ROW_CHUNK, slen * vl, B), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, (slen + 1) * VL, B), jnp.int32),
-            pltpu.VMEM((3, slen * VL, B), jnp.int32),
-            pltpu.VMEM((1, slen * VL, B), jnp.int32),
-            pltpu.VMEM((1, slen * VL, B), jnp.int32),
-            pltpu.VMEM((1, slen * VL, B), jnp.int32),
-            pltpu.VMEM((4, VL, B), jnp.int32),         # LastH
+            pltpu.VMEM((4, (slen + 1) * vl, B), jnp.int32),
+            pltpu.VMEM((3, slen * vl, B), jnp.int32),
+            pltpu.VMEM((1, slen * vl, B), jnp.int32),
+            pltpu.VMEM((1, slen * vl, B), jnp.int32),
+            pltpu.VMEM((1, slen * vl, B), jnp.int32),
+            pltpu.VMEM((4, vl, B), jnp.int32),         # LastH
             pltpu.VMEM((1, 1, B), jnp.int32),
-            pltpu.VMEM((slen * VL, B), jnp.int32),
-            pltpu.VMEM((VL, B), jnp.int32),
-            pltpu.VMEM((VL, B), jnp.int32),
+            pltpu.VMEM((slen * vl, B), jnp.int32),
+            pltpu.VMEM((vl, B), jnp.int32),
+            pltpu.VMEM((vl, B), jnp.int32),
             pltpu.VMEM((1, B), jnp.int32),
         ],
     )
@@ -335,7 +341,7 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks * ROW_CHUNK, slen * VL, B), jnp.int16),
+            jax.ShapeDtypeStruct((n_chunks * ROW_CHUNK, slen * vl, B), jnp.int16),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -376,11 +382,18 @@ def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
 
 
 class CigarBatch:
-    """A padded batch of full-CIGAR DP problems (mixed stripe counts)."""
+    """A padded batch of full-CIGAR DP problems (mixed stripe counts).
+
+    VLANES is the SEMANTIC stripe width (8 for gs16b, 4 for gs32b);
+    stripes always occupy 8 sublanes in memory (Mosaic's sublane tile),
+    so the 32-bit variant leaves its upper 4 sublanes as padding."""
+
+    VLANES = VL      # query positions per stripe vector
+    STRIDE = VL      # sublanes per stripe slot in memory (always 8)
 
     def __init__(self, al_pad: int, nl_pad: int, mat: np.ndarray, opt_scalars):
-        assert al_pad % VL == 0
-        self.slen = al_pad // VL          # batch slen_max
+        assert al_pad % self.VLANES == 0
+        self.slen = al_pad // self.VLANES          # batch slen_max
         self.al = al_pad
         self.nl = ((nl_pad + ROW_CHUNK - 1) // ROW_CHUNK) * ROW_CHUNK
         (self.go, self.ge, self.fs, self.default_io, self.xdrop,
@@ -391,29 +404,32 @@ class CigarBatch:
         self.A = np.zeros((self.nl + 8, B), np.int16)
         self.nlv = np.zeros((8, B), np.int32)
         self.slens = np.ones((8, B), np.int32)
-        self.prof = np.zeros((6, self.al, B), np.int32)
-        self.qpad = np.ones((self.al, B), np.int8)
-        self.endsel = np.zeros((self.al, B), np.int32)
+        W = self.slen * self.STRIDE          # striped row width in cells
+        self.prof = np.zeros((6, W, B), np.int32)
+        self.qpad = np.ones((W, B), np.int8)
+        self.endsel = np.zeros((W, B), np.int32)
         self.dims = []
         self.n = 0
 
     def _add_query(self, aas, b):
         """Per-problem striping: stripe count from the problem's OWN al
-        (the reference's traceback bits depend on it)."""
+        (the reference's traceback bits depend on it).  Position q lives
+        at sublane q//slen_p of memory stripe slot q%slen_p."""
+        vl, stride = self.VLANES, self.STRIDE
         al = len(aas)
-        slen_p = (al + VL - 1) // VL
+        slen_p = (al + vl - 1) // vl
         assert slen_p <= self.slen
         from .nasw_pallas import _pack_profile
         col = (self.mat[:, aas].astype(np.int32) + 128) & 0xFF  # biased
         packed22 = _pack_profile(col)
         q = np.arange(al)
-        pstriped = (q % slen_p) * VL + q // slen_p
-        prof = np.zeros((6, self.al), np.int32)
+        pstriped = (q % slen_p) * stride + q // slen_p
+        prof = np.zeros((6, self.slen * stride), np.int32)
         prof[:, pstriped] = packed22
         self.prof[:, :, b] = prof
         self.qpad[pstriped, b] = 0
         qe = al - 1
-        self.endsel[(qe % slen_p) * VL + qe // slen_p, b] = 1
+        self.endsel[(qe % slen_p) * stride + qe // slen_p, b] = 1
         self.slens[:, b] = slen_p
 
     def add(self, nas, aas, donor, acceptor, io=None):
@@ -437,7 +453,7 @@ class CigarBatch:
 
     def tb_bytes(self) -> int:
         """HBM footprint of the traceback output at launch."""
-        return self.nl * self.slen * VL * B * 2
+        return self.nl * self.slen * self.STRIDE * B * 2
 
     def launch(self, interpret=None):
         """Start the device computation without blocking."""
@@ -465,12 +481,14 @@ class CigarBatch:
         out = []
         for b in range(self.n):
             nl, al = self.dims[b]
-            slen_p = (al + VL - 1) // VL
+            slen_p = (al + self.VLANES - 1) // self.VLANES
             tb_b = tb[b, :nl]   # lanes-major: already C-contiguous
             if not tb_b.flags.c_contiguous:
                 tb_b = np.ascontiguousarray(tb_b)
-            cig = native.backtrack_strided(tb_b, slen_p, self.slen * VL,
-                                           nl, al)
+            # the decode's "vl" is the cell spacing between stripes,
+            # which is the memory stride (sublane index < VLANES always)
+            cig = native.backtrack_strided(tb_b, slen_p, self.slen * self.STRIDE,
+                                           nl, al, vl=self.STRIDE)
             out.append((int(score[b]), cig))
         return out
 
@@ -557,3 +575,67 @@ class RawCigarBatch(CigarBatch):
                     jnp.asarray(self.slens), jnp.asarray(self.prof),
                     jnp.asarray(self.endsel.astype(np.int8)),
                     jnp.asarray(self.qpad))
+
+
+# ---------------------------------------------------------------------------
+# 32-bit variant (library-API parity with ns_global_gs32b,
+# nasw-sse.c:558-750): 4 int32 lanes per stripe, plain non-saturating
+# arithmetic, no extension/end-bonus support.  Bit-parity target is the
+# host mx_dp32; the mapper itself always uses the 16-bit kernel, but
+# jobs whose true scores exceed int16 range need this one.
+# ---------------------------------------------------------------------------
+
+VL32 = 4
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_dp32(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
+    # geometry stays 8 sublanes per stripe (Mosaic's sublane tile); the
+    # 4-lane gs32b striping occupies sublanes 0..3 and pads the rest.
+    # Extra lazy-F passes over pad sublanes are provably no-ops for the
+    # real lanes: past the fixpoint (all I <= H-goe) neither H nor the
+    # traceback bits can change — the same argument that justifies the
+    # reference's own early break.
+    call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret,
+                            vl=VL, neg=NEG32, sat=False)
+
+    def wrapped(nas, D, A, nlv, slens, prof, endsel, qpad):
+        D = D.astype(jnp.int32)
+        A = A.astype(jnp.int32)
+        z1 = jnp.zeros((1, B), jnp.int32)
+        z2 = jnp.zeros((2, B), jnp.int32)
+        d0 = D[:n_rows]
+        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+        dp1 = D[1:n_rows + 1]
+        a0 = A[:n_rows]
+        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+        tb, score = call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
+                         nlv, slens, prof, endsel.astype(jnp.int32),
+                         qpad.astype(jnp.int32))
+        tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes, :rows_used]
+        return tb, score
+
+    return jax.jit(wrapped)
+
+
+class Dp32Batch(CigarBatch):
+    """Batched 32-bit full-CIGAR DPs (the gs32b library kernel)."""
+
+    VLANES = VL32
+
+    def launch(self, interpret=None):
+        if interpret is None:
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
+        n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
+        max_nl = max((nl for nl, _ in self.dims), default=self.nl)
+        rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
+        call = _compiled_dp32(self.slen, self.nl, self.go, self.ge, self.fs,
+                              n_lanes, rows_used, interpret)
+        return call(
+            jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
+            jnp.asarray(self.nlv), jnp.asarray(self.slens),
+            jnp.asarray(self.prof),
+            jnp.asarray(self.endsel.astype(np.int8)),
+            jnp.asarray(self.qpad))

@@ -189,18 +189,19 @@ def backtrack(tb: np.ndarray, slen: int, nl: int, al: int) -> np.ndarray:
 
 
 _lib.mx_backtrack_strided.restype = ct.c_int32
-_lib.mx_backtrack_strided.argtypes = [_i16p, ct.c_int32, ct.c_int64,
-                                      ct.c_int32, ct.c_int32, _u32p]
+_lib.mx_backtrack_strided.argtypes = [_i16p, ct.c_int32, ct.c_int32,
+                                      ct.c_int64, ct.c_int32, ct.c_int32,
+                                      _u32p]
 
 
 def backtrack_strided(tb: np.ndarray, slen: int, row_stride: int,
-                      nl: int, al: int) -> np.ndarray:
+                      nl: int, al: int, vl: int = 8) -> np.ndarray:
     """Backtrack one problem of a mixed-stripe batch: the problem's own
-    stripe count is slen but rows are row_stride int16 cells apart
-    (the batch's slen_max * 8)."""
+    stripe count is slen (vl int16 cells per stripe vector) but rows
+    are row_stride cells apart (the batch's slen_max * vl)."""
     assert tb.dtype == np.int16 and tb.flags.c_contiguous
     cig = np.empty(nl + al + 16, np.uint32)
-    n = _lib.mx_backtrack_strided(tb, slen, row_stride, nl, al, cig)
+    n = _lib.mx_backtrack_strided(tb, slen, vl, row_stride, nl, al, cig)
     return cig[:n].copy()
 
 

@@ -1772,10 +1772,10 @@ MX_EXPORT int32_t mx_backtrack(const int16_t *tb, int32_t slen, int32_t nl,
  * own stripe count is slen, but rows are row_stride int16 apart (the
  * batch's slen_max * 8). */
 MX_EXPORT int32_t mx_backtrack_strided(const int16_t *tb, int32_t slen,
-                                       int64_t row_stride, int32_t nl,
-                                       int32_t al, uint32_t *cigar)
+                                       int32_t vl, int64_t row_stride,
+                                       int32_t nl, int32_t al, uint32_t *cigar)
 {
-	return dp_backtrack_st(tb, slen, VL, row_stride, nl, al, cigar);
+	return dp_backtrack_st(tb, slen, vl, row_stride, nl, al, cigar);
 }
 
 /*****************************************

