@@ -78,6 +78,7 @@ Options:
     --tpu            force the TPU alignment engine (default: auto —
                      used whenever a TPU backend is live)
     --no-tpu         host engine only (also: MINIPROT_TPU_DISABLE=1)
+    --tpu-sketch     index-build sketching on the accelerator
     --profile        per-stage timers + DP cell/GCUPS counters to stderr
     --profile-trace=DIR  write a jax profiler device trace to DIR
     -o FILE      write output to FILE instead of stdout
@@ -86,7 +87,8 @@ Options:
 """
 
 _LONG_OPTS = {
-    "tpu", "no-tpu", "gff", "gff-only", "gtf", "aln", "trans", "no-cs", "no-pre-chain",
+    "tpu", "no-tpu", "tpu-sketch", "gff", "gff-only", "gtf", "aln", "trans",
+    "no-cs", "no-pre-chain",
     "version", "no-kalloc", "profile", "dbg-qname", "dbg-no-refine",
     "dbg-aflt", "dbg-anchor", "dbg-chain", "resume",
 }
@@ -247,6 +249,8 @@ def _run(argv: list[str], server_parse: bool):
                 dbg["more_dp"] = True
             elif key == "tpu":
                 dbg["use_tpu"] = True
+            elif key == "tpu-sketch":
+                dbg["tpu_sketch"] = True
             elif key == "profile":
                 from . import sysutil
                 sysutil.profiler.enabled = True
@@ -358,7 +362,8 @@ def _run(argv: list[str], server_parse: bool):
         sysutil.error("failed to find translation table %d", io.trans_code)
         return 1
 
-    mi = Index.load(pos[0], io, n_threads=n_threads)
+    mi = Index.load(pos[0], io, n_threads=n_threads,
+                use_tpu=bool(dbg.get("tpu_sketch")))
     if set_I and not set_G:
         mo.set_max_intron(mi.nt.l_seq)
     if fn_idx is not None:

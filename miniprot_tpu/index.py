@@ -75,13 +75,18 @@ class Index:
         return bo
 
     @classmethod
-    def build(cls, fn_or_db, opt: IdxOpt, n_threads: int = 1) -> "Index":
+    def build(cls, fn_or_db, opt: IdxOpt, n_threads: int = 1,
+              use_tpu: bool = False) -> "Index":
         """Build from a FASTA path or an NtDB (mp_idx_build, index.c:97-136).
 
         n_threads > 1 sketches contig-strands on a fork-based process
         pool (the reference's kt_for over 2*n_ctg, index.c:123); output
         is independent of n_threads (per-strand multisets are simply
-        concatenated before the global sort+dedup)."""
+        concatenated before the global sort+dedup).
+
+        use_tpu runs the six-frame ORF sketching on the accelerator
+        (kernels/sketch_jax.py, exact vs the host scan) instead of the
+        fork pool — --tpu-sketch on the CLI."""
         tables.set_default_code(opt.trans_code)
         from .sysutil import profiler
         profiler.start("index_build")
@@ -89,7 +94,18 @@ class Index:
         bo = cls._block_offsets(nt, opt.bbit)
         jobs = [(cid, strand) for cid in range(nt.n_ctg) for strand in (0, 1)]
         global _BUILD_CTX
-        if n_threads > 1 and len(jobs) > 1:
+        if use_tpu:
+            from . import native
+            from .kernels.sketch_jax import sketch_nt4_device
+            parts = []
+            for cid, strand in jobs:
+                seq = nt.get(cid, 0, -1, bool(strand))
+                part = sketch_nt4_device(seq, opt.min_aa_len, opt.kmer,
+                                         opt.mod_bit, opt.bbit,
+                                         int(bo[cid << 1 | strand]),
+                                         opt.trans_code)
+                parts.append(native.sort_dedup_u64(part))
+        elif n_threads > 1 and len(jobs) > 1:
             import multiprocessing as mp
             import warnings
             _BUILD_CTX = (nt, opt, bo)
@@ -195,7 +211,8 @@ class Index:
         return cls(opt, nt, bo, ki, kb)
 
     @classmethod
-    def load(cls, fn: str, opt: IdxOpt, n_threads: int = 1) -> "Index":
+    def load(cls, fn: str, opt: IdxOpt, n_threads: int = 1,
+             use_tpu: bool = False) -> "Index":
         """Load a prebuilt .mpi or build from FASTA (mp_idx_load)."""
         try:
             with open(fn, "rb") as fp:
@@ -204,4 +221,4 @@ class Index:
             magic = b""
         if magic == IDX_MAGIC:
             return cls.restore(fn)
-        return cls.build(fn, opt, n_threads=n_threads)
+        return cls.build(fn, opt, n_threads=n_threads, use_tpu=use_tpu)

@@ -109,8 +109,13 @@ def sketch_nt4_device(seq_codes: np.ndarray, min_aa_len: int, kmer: int,
     n = len(seq_codes)
     if n < 3:
         return np.empty(0, np.uint64)
-    pad = (-n) % 8
-    seq = np.concatenate([seq_codes, np.full(pad + 2, 4, np.uint8)])
+    # pad to geometric (1.5x) size buckets so a many-contig genome
+    # compiles O(log n) kernel shapes instead of one per contig length;
+    # trailing 4s never emit (codons with ambiguous bases break ORFs)
+    total = 4096
+    while total < n + 2:
+        total = -(-(total + (total >> 1)) // 8) * 8
+    seq = np.concatenate([seq_codes, np.full(total - n, 4, np.uint8)])
     hs, ps, keep = sketch_frames(jnp.asarray(seq), min_aa_len, kmer, mod_bit,
                                  trans_code)
     keep = np.asarray(keep)

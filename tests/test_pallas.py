@@ -349,3 +349,15 @@ def test_dp32_kernel_bit_exact():
         rsc, rcig = dp32(ns, aa, flag=DPF_CIGAR, **kw)
         assert sc == rsc, (len(ns), len(aa), sc, rsc)
         assert np.array_equal(cig, rcig), (len(ns), len(aa))
+
+
+def test_index_build_device_sketch_matches_host(dpp3_files):
+    """Index.build(use_tpu=True) (device six-frame sketching) produces
+    identical ki/kb tables to the host fork-pool build."""
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.options import IdxOpt
+    genome, _ = dpp3_files
+    a = Index.build(genome, IdxOpt())
+    b = Index.build(genome, IdxOpt(), use_tpu=True)
+    assert np.array_equal(a.ki, b.ki)
+    assert np.array_equal(a.kb, b.kb)
