@@ -89,8 +89,10 @@ def measure_pallas_gcups() -> float:
         AL = 64
     # xdrop disabled so every genome row is genuinely computed (random
     # inputs must not be allowed to trip the early exit)
-    call = nk._compiled_ext(AL, NL, 11, 1, 23, 1 << 28, 5, not on_tpu)
+    call = nk._compiled_ext(AL, NL, not on_tpu)
     rng = np.random.default_rng(1)
+    # xdrop effectively off so every genome row is genuinely computed
+    opts = nk._opts_array(11, 1, 23, 1 << 28, 5)
     nas = rng.integers(0, 20, (NL, B)).astype(np.int8)
     D = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)
     A = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)
@@ -101,7 +103,7 @@ def measure_pallas_gcups() -> float:
     em[AL - 1] = 1
     qpad = np.zeros((AL, B), np.int8)
     args = [jax.device_put(x) for x in
-            (nas, D, A, logpen, nlv, prof, em, qpad)]
+            (nas, D, A, logpen, nlv, opts, prof, em, qpad)]
     r = call(*args)
     np.asarray(r[0])  # force full execution + transfer (warm-up)
     iters = 20 if jax.default_backend() == "tpu" else 2

@@ -71,9 +71,10 @@ def _shift_lanes_up(v, fill, is_row0):
     return jnp.where(is_row0, fill, r)
 
 
-def _cigar_kernel(slen, n_rows, go, ge, fs, VL, NEG, sat,
+def _cigar_kernel(slen, n_rows, VL, NEG, sat,
                   nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref,
-                  am2_ref, nl_ref, slen_ref, prof_ref, endsel_ref, qpad_ref,
+                  am2_ref, nl_ref, slen_ref, opts_ref, prof_ref, endsel_ref,
+                  qpad_ref,
                   tb_ref, score_ref,
                   Hst, Dst, Aa, Bb, Cc, LastH, scorev, Srow_s, Iv_s, last_s,
                   act_s):
@@ -93,6 +94,9 @@ def _cigar_kernel(slen, n_rows, go, ge, fs, VL, NEG, sat,
     # lanes; 32-bit mode (sat=False) is the plain-arithmetic gs32b
     _sadd = _sadd16 if sat else (lambda a, b: a + b)
     _ssub = _ssub16 if sat else (lambda a, b: a - b)
+    go = opts_ref[0, :][None, :]
+    ge = opts_ref[1, :][None, :]
+    fs = opts_ref[2, :][None, :]
     is_row0 = jax.lax.broadcasted_iota(jnp.int32, (VL, B), 0) == 0
     slen_row = slen_ref[0, :][None, :]   # (1, B) per-problem stripe count
 
@@ -296,11 +300,9 @@ def _cigar_kernel(slen, n_rows, go, ge, fs, VL, NEG, sat,
     score_ref[:] = scorev[0]
 
 
-def _make_cigar_call(slen, n_rows, go, ge, fs, interpret, vl=VL, neg=NEG,
-                     sat=True):
+def _make_cigar_call(slen, n_rows, interpret, vl=VL, neg=NEG, sat=True):
     n_chunks = (n_rows + ROW_CHUNK - 1) // ROW_CHUNK
-    kernel = functools.partial(_cigar_kernel, slen, n_rows, go, ge, fs,
-                               vl, neg, sat)
+    kernel = functools.partial(_cigar_kernel, slen, n_rows, vl, neg, sat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_chunks,),
@@ -311,6 +313,8 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret, vl=VL, neg=NEG,
                          memory_space=pltpu.VMEM),   # nlv: one row/problem
             pl.BlockSpec((8, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),   # slens
+            pl.BlockSpec((8, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # opts: runtime scalars
             pl.BlockSpec((6, slen * vl, B), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((slen * vl, B), lambda g: (0, 0),
@@ -352,10 +356,10 @@ def _make_cigar_call(slen, n_rows, go, ge, fs, interpret, vl=VL, neg=NEG,
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
-    call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret)
+def _compiled_cigar(slen, n_rows, n_lanes, rows_used, interpret):
+    call = _make_cigar_call(slen, n_rows, interpret)
 
-    def wrapped(nas, D, A, nlv, slens, prof, endsel, qpad):
+    def wrapped(nas, D, A, nlv, slens, opts, prof, endsel, qpad):
         # derive the six donor/acceptor shift streams on device from the
         # two base tracks (cuts host->device transfer volume ~3x)
         D = D.astype(jnp.int32)
@@ -369,7 +373,7 @@ def _compiled_cigar(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
         tb, score = call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
-                         nlv, slens, prof, endsel.astype(jnp.int32),
+                         nlv, slens, opts, prof, endsel.astype(jnp.int32),
                          qpad.astype(jnp.int32))
         # lanes-major repack on device + slice to the used-lane bucket
         # and to the batch's tallest problem: the traceback fetch is the
@@ -464,12 +468,15 @@ class CigarBatch:
         # round the row clip to 512 so the compile-key count stays small
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
         rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
-        call = _compiled_cigar(self.slen, self.nl, self.go, self.ge, self.fs,
-                               n_lanes, rows_used, interpret)
+        call = _compiled_cigar(self.slen, self.nl, n_lanes, rows_used,
+                               interpret)
+        from .nasw_pallas import _opts_array
+        opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
+                           self.end_bonus)
         return call(
             jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
             jnp.asarray(self.nlv), jnp.asarray(self.slens),
-            jnp.asarray(self.prof),
+            jnp.asarray(opts), jnp.asarray(self.prof),
             jnp.asarray(self.endsel.astype(np.int8)),
             jnp.asarray(self.qpad))
 
@@ -506,13 +513,13 @@ from .. import tables as _tables           # noqa: E402
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_cigar_raw(slen, n_rows, go, ge, fs, n_lanes, rows_used,
+def _compiled_cigar_raw(slen, n_rows, n_lanes, rows_used,
                         sp_key, trans_code, interpret):
-    call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret)
+    call = _make_cigar_call(slen, n_rows, interpret)
     sp = np.asarray(sp_key, np.int32)
     codon = _tables.get_tables(trans_code).codon
 
-    def wrapped(nt8, iov, nlv1, nlv, slens, prof, endsel, qpad):
+    def wrapped(nt8, iov, nlv1, nlv, slens, opts, prof, endsel, qpad):
         zero_left = jnp.zeros((1, B), jnp.int8)
         nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
                                      nlv1, sp=sp, codon=codon, n_rows=n_rows)
@@ -525,7 +532,7 @@ def _compiled_cigar_raw(slen, n_rows, go, ge, fs, n_lanes, rows_used,
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
         tb, score = call(nas, dm1, d0, dp1, a0, am1, am2,
-                         nlv, slens, prof, endsel.astype(jnp.int32),
+                         nlv, slens, opts, prof, endsel.astype(jnp.int32),
                          qpad.astype(jnp.int32))
         tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes, :rows_used]
         return tb, score
@@ -567,12 +574,15 @@ class RawCigarBatch(CigarBatch):
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
         rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
-        call = _compiled_cigar_raw(self.slen, self.nl, self.go, self.ge,
-                                   self.fs, n_lanes, rows_used, self.sp_key,
-                                   self.trans_code, interpret)
+        call = _compiled_cigar_raw(self.slen, self.nl, n_lanes, rows_used,
+                                   self.sp_key, self.trans_code, interpret)
+        from .nasw_pallas import _opts_array
+        opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
+                           self.end_bonus)
         return call(jnp.asarray(self.nt), jnp.asarray(self.iov),
                     jnp.asarray(self.nlv1), jnp.asarray(self.nlv),
-                    jnp.asarray(self.slens), jnp.asarray(self.prof),
+                    jnp.asarray(self.slens), jnp.asarray(opts),
+                    jnp.asarray(self.prof),
                     jnp.asarray(self.endsel.astype(np.int8)),
                     jnp.asarray(self.qpad))
 
@@ -589,17 +599,17 @@ VL32 = 4
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_dp32(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
+def _compiled_dp32(slen, n_rows, n_lanes, rows_used, interpret):
     # geometry stays 8 sublanes per stripe (Mosaic's sublane tile); the
     # 4-lane gs32b striping occupies sublanes 0..3 and pads the rest.
     # Extra lazy-F passes over pad sublanes are provably no-ops for the
     # real lanes: past the fixpoint (all I <= H-goe) neither H nor the
     # traceback bits can change — the same argument that justifies the
     # reference's own early break.
-    call = _make_cigar_call(slen, n_rows, go, ge, fs, interpret,
+    call = _make_cigar_call(slen, n_rows, interpret,
                             vl=VL, neg=NEG32, sat=False)
 
-    def wrapped(nas, D, A, nlv, slens, prof, endsel, qpad):
+    def wrapped(nas, D, A, nlv, slens, opts, prof, endsel, qpad):
         D = D.astype(jnp.int32)
         A = A.astype(jnp.int32)
         z1 = jnp.zeros((1, B), jnp.int32)
@@ -611,7 +621,7 @@ def _compiled_dp32(slen, n_rows, go, ge, fs, n_lanes, rows_used, interpret):
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
         tb, score = call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
-                         nlv, slens, prof, endsel.astype(jnp.int32),
+                         nlv, slens, opts, prof, endsel.astype(jnp.int32),
                          qpad.astype(jnp.int32))
         tb = jnp.transpose(tb, (2, 0, 1))[:n_lanes, :rows_used]
         return tb, score
@@ -631,11 +641,14 @@ class Dp32Batch(CigarBatch):
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
         rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
-        call = _compiled_dp32(self.slen, self.nl, self.go, self.ge, self.fs,
-                              n_lanes, rows_used, interpret)
+        call = _compiled_dp32(self.slen, self.nl, n_lanes, rows_used,
+                              interpret)
+        from .nasw_pallas import _opts_array
+        opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
+                           self.end_bonus)
         return call(
             jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
             jnp.asarray(self.nlv), jnp.asarray(self.slens),
-            jnp.asarray(self.prof),
+            jnp.asarray(opts), jnp.asarray(self.prof),
             jnp.asarray(self.endsel.astype(np.int8)),
             jnp.asarray(self.qpad))

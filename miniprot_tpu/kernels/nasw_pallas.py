@@ -78,18 +78,25 @@ def _cummax_sublanes(x, ge_masks):
     return x
 
 
-def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
+def _ext_kernel(al, n_rows,
                 # nas..logpen: streamed per-row inputs (ROW_CHUNK, B);
-                # nl_ref: one row per problem (8, B); prof/endmask/qpad:
+                # nl_ref: one row per problem (8, B); opts_ref: runtime
+                # scoring scalars (so -O/-E/-F/... sweeps share one
+                # compiled kernel per shape); prof/endmask/qpad:
                 # per-problem constants
                 nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref, am2_ref,
-                logpen_ref, nl_ref, prof_ref, endmask_ref, qpad_ref,
+                logpen_ref, nl_ref, opts_ref, prof_ref, endmask_ref, qpad_ref,
                 # outputs:
                 max_sc_ref, max_i_ref, aal_ref,
                 # scratch:
                 Hst, Rst, Dst, Aa, Bb, Cc, hmaxv, msc, mscl, mi, act):
     """One grid step = ROW_CHUNK genome rows for all B problems."""
     chunk = pl.program_id(0)
+    go = opts_ref[0, :][None, :]
+    ge = opts_ref[1, :][None, :]
+    fs = opts_ref[2, :][None, :]
+    xdrop = opts_ref[3, :][None, :]
+    end_bonus = opts_ref[4, :][None, :]
     n_chunks = n_rows // ROW_CHUNK
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (al, B_LANES), 0)
     qge = row_ids * ge
@@ -236,11 +243,10 @@ def _ext_kernel(al, n_rows, go, ge, fs, xdrop, end_bonus,
         aal_ref[:] = jm
 
 
-def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
+def _make_ext_call(al, n_rows, interpret):
     assert n_rows % ROW_CHUNK == 0, "pad the genome axis to ROW_CHUNK"
     n_chunks = n_rows // ROW_CHUNK
-    kernel = functools.partial(_ext_kernel, al, n_rows, go, ge, fs,
-                               xdrop, end_bonus)
+    kernel = functools.partial(_ext_kernel, al, n_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -250,6 +256,8 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
                            memory_space=pltpu.VMEM) for _ in range(8)],
             pl.BlockSpec((8, B_LANES), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),   # nlv: one row/problem
+            pl.BlockSpec((8, B_LANES), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # opts: runtime scalars
             pl.BlockSpec((6, al, B_LANES), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((al, B_LANES), lambda g: (0, 0),
@@ -292,10 +300,10 @@ def _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_ext(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
-    call = _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret)
+def _compiled_ext(al, n_rows, interpret):
+    call = _make_ext_call(al, n_rows, interpret)
 
-    def wrapped(nas, D, A, logpen, nlv, prof, endmask, qpad):
+    def wrapped(nas, D, A, logpen, nlv, opts, prof, endmask, qpad):
         # narrow dtypes travel host->device; upconvert on device so the
         # kernel sees int32 (transfer volume is the bottleneck on
         # relay-attached TPUs and HBM bandwidth elsewhere).  The six
@@ -314,7 +322,7 @@ def _compiled_ext(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret):
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
         max_sc, max_i, aal = call(
             nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
-            logpen.astype(jnp.int32), nlv, prof,
+            logpen.astype(jnp.int32), nlv, opts, prof,
             endmask.astype(jnp.int32), qpad.astype(jnp.int32))
         # one (3, B) result: a single device->host fetch per batch
         return jnp.concatenate([max_sc, max_i, aal], axis=0)
@@ -496,6 +504,17 @@ def _pack_profile(col: np.ndarray) -> np.ndarray:
     return packed.astype(np.uint32).astype(np.int32)
 
 
+def _opts_array(go, ge, fs, xdrop, end_bonus):
+    """Runtime scoring scalars, one row each, broadcast across lanes."""
+    o = np.zeros((8, B_LANES), np.int32)
+    o[0] = go
+    o[1] = ge
+    o[2] = fs
+    o[3] = xdrop
+    o[4] = end_bonus
+    return o
+
+
 class ExtBatch:
     """A padded batch of extension problems for the Pallas kernel."""
 
@@ -550,12 +569,13 @@ class ExtBatch:
         if interpret is None:
             from . import on_tpu_backend
             interpret = not on_tpu_backend()
-        call = _compiled_ext(self.al, self.nl, self.go, self.ge, self.fs,
-                             self.xdrop, self.end_bonus, interpret)
+        call = _compiled_ext(self.al, self.nl, interpret)
+        opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
+                           self.end_bonus)
         return call(
             jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
             jnp.asarray(self.logpen), jnp.asarray(self.nlv),
-            jnp.asarray(self.prof),
+            jnp.asarray(opts), jnp.asarray(self.prof),
             jnp.asarray(self.endmask.astype(np.int8)),
             jnp.asarray(self.qpad))
 
@@ -752,13 +772,12 @@ def _logpen_thresholds(ie_coef, max_x):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_ext_raw(al, n_rows, go, ge, fs, xdrop, end_bonus,
-                      sp_key, trans_code, thr, interpret):
-    call = _make_ext_call(al, n_rows, go, ge, fs, xdrop, end_bonus, interpret)
+def _compiled_ext_raw(al, n_rows, sp_key, trans_code, thr, interpret):
+    call = _make_ext_call(al, n_rows, interpret)
     sp = np.asarray(sp_key, np.int32)
     codon = tables.get_tables(trans_code).codon
 
-    def wrapped(nt8, leftb, iov, als, nlv1, prof):
+    def wrapped(nt8, leftb, iov, als, nlv1, opts, prof):
         nas, D, A, logpen, nlv, endmask, qpad = _prep_tracks_device(
             nt8, leftb, iov.astype(jnp.int32), als.astype(jnp.int32),
             nlv1, sp=sp, codon=codon, thr=thr, n_rows=n_rows, al=al)
@@ -771,7 +790,7 @@ def _compiled_ext_raw(al, n_rows, go, ge, fs, xdrop, end_bonus,
         am1 = jnp.concatenate([z1, A[:n_rows - 1]])
         am2 = jnp.concatenate([z2, A[:n_rows - 2]])
         max_sc, max_i, aal = call(nas, dm1, d0, dp1, a0, am1, am2,
-                                  logpen, nlv, prof, endmask, qpad)
+                                  logpen, nlv, opts, prof, endmask, qpad)
         return jnp.concatenate([max_sc, max_i, aal], axis=0)
 
     return jax.jit(wrapped)
@@ -820,12 +839,14 @@ class RawExtBatch:
             from . import on_tpu_backend
             interpret = not on_tpu_backend()
         thr = _logpen_thresholds(float(np.float32(self.ie_coef)), self.nl)
-        call = _compiled_ext_raw(self.al, self.nl, self.go, self.ge, self.fs,
-                                 self.xdrop, self.end_bonus, self.sp_key,
+        call = _compiled_ext_raw(self.al, self.nl, self.sp_key,
                                  self.trans_code, thr, interpret)
+        opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
+                           self.end_bonus)
         return call(jnp.asarray(self.nt), jnp.asarray(self.leftb),
                     jnp.asarray(self.iov), jnp.asarray(self.als),
-                    jnp.asarray(self.nlv1), jnp.asarray(self.prof))
+                    jnp.asarray(self.nlv1), jnp.asarray(opts),
+                    jnp.asarray(self.prof))
 
     collect = ExtBatch.collect
 
