@@ -119,9 +119,43 @@ class Index:
                                      chunksize=max(1, len(jobs) // (4 * n_threads)))
             _BUILD_CTX = None
         else:
+            # single-process fast path: skip the per-strand u64 sort
+            # entirely — scatter RAW (hash, block) entries by bucket and
+            # sort+dedup each (tiny, cache-local) bucket slice in place.
+            # Byte-identical to the reference pipeline because block
+            # ranges are disjoint + ascending across strand parts (see
+            # mx_bucket_finalize); replaces 5-6 full-array radix passes.
+            from . import native as _nv
             _BUILD_CTX = (nt, opt, bo)
-            parts = [_build_worker(j) for j in jobs]
+            raw = []
+            for j in jobs:
+                cid, strand = j
+                seq = nt.get(cid, 0, -1, bool(strand))
+                raw.append(sketch_nt4(seq, opt.min_aa_len, opt.kmer,
+                                      opt.mod_bit, opt.bbit,
+                                      int(bo[cid << 1 | strand]),
+                                      opt.trans_code))
             _BUILD_CTX = None
+            from . import sysutil
+            sysutil.log("Index.build", "collected syncmers")
+            n_bucket = opt.n_bucket
+            ki = np.zeros(n_bucket, np.int64)
+            for p in raw:
+                _nv.count_bucket(p, ki)
+            _nv.bucket_scan(ki)
+            kb = np.empty(sum(len(p) for p in raw), np.uint32)
+            bbits = int(n_bucket).bit_length() - 1
+            for p in raw:
+                _nv.scatter_bucket_part(p, ki, kb, bbits)
+            del raw
+            _nv.scatter_trim()
+            _nv.bucket_shift(ki)
+            n_final = _nv.bucket_finalize(ki, kb)
+            kb = kb[:n_final]
+            sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
+            _nv.release_sketch_buf()
+            profiler.stop("index_build")
+            return cls(opt, nt, bo, ki, kb)
         from . import native, sysutil
         sysutil.log("Index.build", "collected syncmers")
         # counting-sort merge (build_bidx, index.c:71-95): parts are
