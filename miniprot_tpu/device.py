@@ -232,6 +232,10 @@ class TpuExtEngine:
                 self._device_failed(e)
                 results = None
             if results is None:
+                # reverse the launch-time device-cell credit: the work
+                # is about to be redone (and counted) by the host engine
+                profiler.add_tpu_dp(-batch.nl * batch.al * batch.n,
+                                    -batch.n)
                 for i in chunk:
                     self.n_tpu -= 1
                     run_ext_host(i)
@@ -271,6 +275,8 @@ class TpuExtEngine:
                 self._device_failed(e)
                 results = None
             if results is None:
+                profiler.add_tpu_dp(-o_batch.nl * o_batch.al * o_batch.n,
+                                    -o_batch.n)
                 for k in o_idxs:
                     self.n_tpu -= 1
                     run_cig_host(k)
