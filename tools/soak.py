@@ -66,7 +66,14 @@ OPTION_MIXES = [
 
 
 def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
-            timeout: int = 1200, big: bool = False) -> bool:
+            timeout: int = 1200, big: bool = False) -> tuple[bool, bool]:
+    """Run one randomized workload; returns (passed, device_engaged).
+
+    device_engaged is True only when the run's stderr shows at least one
+    DP batch actually executed on the device ("DP split: N device ...")
+    — on --tpu runs that silently fell back to the host (failed relay
+    claim, watchdog fallback) it stays False, so the soak tally can
+    report how many runs genuinely exercised the chip."""
     from miniprot_tpu.testgen import make_workload
     rng = np.random.default_rng(seed)
     if big:  # whole-genome scale: dynamic max_occ, saturation regimes
@@ -113,6 +120,18 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
                     sc = int(rng.integers(-30, 31))
                     f.write(f"{ctg}\t{pos}\t{strand}\t{typ}\t{sc}\n")
             mix = mix + [f"--spsc={spsc}"]
+        def _device_engaged(stderr: bytes) -> bool:
+            # pipeline.py logs "DP split: N device / M host calls" on
+            # every --tpu run; N > 0 means the chip really ran batches.
+            for line in stderr.splitlines():
+                if b"DP split:" in line:
+                    try:
+                        n = int(line.split(b"DP split:")[1].split()[0])
+                    except (IndexError, ValueError):
+                        return False
+                    return n > 0
+            return False
+
         ref = subprocess.run([ref_bin, "-t1", *mix, fa, faa],
                              capture_output=True, timeout=600)
         env = dict(os.environ)
@@ -137,7 +156,7 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
                 # divergence; log and keep soaking
                 print(f"TIMEOUT at seed {seed} (mix={mix}); relay wedge? "
                       "continuing", flush=True)
-                return True
+                return True, False
             # a host-path timeout is a real hang/livelock: record it as
             # a failure with a repro bundle
             print(f"HOST TIMEOUT at seed {seed} (mix={mix})", flush=True)
@@ -147,9 +166,9 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
             with open(os.path.join(dst, "info.txt"), "w") as f:
                 f.write(f"seed={seed}\nparams={params}\nmix={mix}\n"
                         f"host path TIMEOUT after {timeout}s\n")
-            return False
+            return False, False
         if ref.stdout == mine.stdout and mine.returncode == 0:
-            return True
+            return True, use_tpu and _device_engaged(mine.stderr)
         os.makedirs(keep_dir, exist_ok=True)
         dst = os.path.join(keep_dir, f"seed{seed}")
         shutil.copytree(tmp, dst, dirs_exist_ok=True)
@@ -164,7 +183,7 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
             f.write(mine.stdout)
         print(f"DIVERGENCE at seed {seed}: mix={mix} params={params} "
               f"-> repro in {dst}", flush=True)
-        return False
+        return False, use_tpu and _device_engaged(mine.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -183,15 +202,19 @@ def main() -> int:
     a = ap.parse_args()
     t0 = time.time()
     bad = 0
+    engaged = 0
     for k in range(a.runs):
         seed = a.seed0 + k
-        ok = run_one(seed, a.ref, a.tpu, a.keep_dir, timeout=a.timeout,
-                     big=a.big)
+        ok, dev = run_one(seed, a.ref, a.tpu, a.keep_dir, timeout=a.timeout,
+                          big=a.big)
         bad += 0 if ok else 1
+        engaged += 1 if dev else 0
         if (k + 1) % 10 == 0 or not ok:
-            print(f"[{k + 1}/{a.runs}] {bad} divergence(s), "
+            extra = f", {engaged} device-engaged" if a.tpu else ""
+            print(f"[{k + 1}/{a.runs}] {bad} divergence(s){extra}, "
                   f"{time.time() - t0:.0f}s", flush=True)
-    print(f"done: {a.runs} runs, {bad} divergence(s)")
+    extra = f", {engaged} device-engaged" if a.tpu else ""
+    print(f"done: {a.runs} runs, {bad} divergence(s){extra}")
     return 1 if bad else 0
 
 
