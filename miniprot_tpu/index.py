@@ -120,37 +120,36 @@ class Index:
             _BUILD_CTX = None
         else:
             # single-process fast path: skip the per-strand u64 sort
-            # entirely — scatter RAW (hash, block) entries by bucket and
-            # sort+dedup each (tiny, cache-local) bucket slice in place.
-            # Byte-identical to the reference pipeline because block
-            # ranges are disjoint + ascending across strand parts (see
-            # mx_bucket_finalize); replaces 5-6 full-array radix passes.
+            # entirely — stream RAW (hash, block) entries straight off
+            # the sketcher into a partitioned build buffer (no per-part
+            # copies), then sort+dedup each (tiny, cache-local) bucket
+            # slice in place.  Byte-identical to the reference pipeline
+            # because block ranges are disjoint + ascending across
+            # strand parts (see mx_bb_finish); replaces 5-6 full-array
+            # radix passes and halves the build's fresh-page footprint.
             from . import native as _nv
-            _BUILD_CTX = (nt, opt, bo)
-            raw = []
+            n_bucket = opt.n_bucket
+            # raw modimer density is ~1/bp per strand-pair before the
+            # 2^-mod_bit sampling (one 6-mer per codon position across
+            # 3 frames x 2 strands, thinned by ORF/min_aa_len masking);
+            # reserve ~10% above that so growth copies are rare
+            density = 1.10 / (1 << opt.mod_bit)
+            _nv.bb_reset(n_bucket, int(nt.l_seq * density) + (1 << 16))
+            total = 0
             for j in jobs:
                 cid, strand = j
                 seq = nt.get(cid, 0, -1, bool(strand))
-                raw.append(sketch_nt4(seq, opt.min_aa_len, opt.kmer,
-                                      opt.mod_bit, opt.bbit,
-                                      int(bo[cid << 1 | strand]),
-                                      opt.trans_code))
-            _BUILD_CTX = None
+                part = sketch_nt4(seq, opt.min_aa_len, opt.kmer,
+                                  opt.mod_bit, opt.bbit,
+                                  int(bo[cid << 1 | strand]),
+                                  opt.trans_code, copy=False)
+                total += len(part)
+                _nv.bb_add(part)
             from . import sysutil
             sysutil.log("Index.build", "collected syncmers")
-            n_bucket = opt.n_bucket
-            ki = np.zeros(n_bucket, np.int64)
-            for p in raw:
-                _nv.count_bucket(p, ki)
-            _nv.bucket_scan(ki)
-            kb = np.empty(sum(len(p) for p in raw), np.uint32)
-            bbits = int(n_bucket).bit_length() - 1
-            for p in raw:
-                _nv.scatter_bucket_part(p, ki, kb, bbits)
-            del raw
-            _nv.scatter_trim()
-            _nv.bucket_shift(ki)
-            n_final = _nv.bucket_finalize(ki, kb)
+            ki = np.empty(n_bucket, np.int64)
+            kb = np.empty(total, np.uint32)
+            n_final = _nv.bb_finish(ki, kb)
             kb = kb[:n_final]
             sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
             _nv.release_sketch_buf()

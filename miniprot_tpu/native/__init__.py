@@ -526,6 +526,40 @@ def bucket_finalize(ki: np.ndarray, kb: np.ndarray) -> int:
     return int(_lib.mx_bucket_finalize(ki, len(ki), kb, len(kb)))
 
 
+_lib.mx_bb_reset.argtypes = [ct.c_int64, ct.c_int64]
+_lib.mx_bb_add.restype = ct.c_int32
+_lib.mx_bb_add.argtypes = [_u64p, ct.c_int64]
+_lib.mx_bb_finish.restype = ct.c_int64
+_lib.mx_bb_finish.argtypes = [_i64p, ct.c_int64, _u32p]
+
+
+def bb_reset(n_bucket: int, reserve: int = 0) -> None:
+    """Start a streaming fused bucket build (mx_bb_reset).  reserve
+    pre-sizes the internal entry buffer (entries, not bytes)."""
+    _lib.mx_bb_reset(n_bucket, reserve)
+
+
+def bb_add(part: np.ndarray) -> None:
+    """Consume one raw (hash, block) part: the entries are partitioned
+    into the build's internal buffer immediately, so `part` may be a
+    dying view (e.g. the sketch module buffer)."""
+    assert part.dtype == np.uint64 and part.flags.c_contiguous
+    if _lib.mx_bb_add(part, len(part)) < 0:
+        raise MemoryError("mx_bb_add")
+
+
+def bb_finish(ki: np.ndarray, kb: np.ndarray) -> int:
+    """Finish the streaming build: count + scan + scatter + per-bucket
+    sort/dedup, all partition-local (mx_bb_finish).  Writes all of ki,
+    fills kb, returns the deduped kb length.  kb must hold the total
+    number of added entries."""
+    assert ki.dtype == np.int64 and kb.dtype == np.uint32
+    r = int(_lib.mx_bb_finish(ki, len(ki), kb))
+    if r < 0:
+        raise MemoryError("mx_bb_finish")
+    return r
+
+
 def sort_dedup_u64(a: np.ndarray) -> np.ndarray:
     """Sort + dedup scalar u64 keys in place (LSD radix, constant-byte
     passes skipped); returns the deduped prefix view."""

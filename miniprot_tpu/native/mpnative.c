@@ -41,6 +41,19 @@
 
 #define MX_EXPORT __attribute__((visibility("default")))
 
+/* Keep freed heap pages in-process instead of returning them to the
+ * kernel: index build and mapping cycle multi-10MB buffers, and on
+ * fault-slow virtualized hosts re-faulting returned pages costs far
+ * more than the RSS it saves.  (mallopt is glibc-specific; guarded.) */
+#if defined(__GLIBC__)
+#include <malloc.h>
+__attribute__((constructor)) static void mx_malloc_tune(void)
+{
+	mallopt(M_MMAP_THRESHOLD, 64 << 20);
+	mallopt(M_TRIM_THRESHOLD, 64 << 20);
+}
+#endif
+
 /**************************************
  * Permutation-exact MSD radix sort   *
  **************************************/
@@ -831,12 +844,18 @@ static int32_t dp_backtrack(const int16_t *tb, int32_t slen, int32_t nl, int32_t
 static void *mx_scr[28];
 static size_t mx_scr_cap[28];
 
+static void mx_scr_free(int slot)
+{
+	free(mx_scr[slot]);
+	mx_scr[slot] = 0, mx_scr_cap[slot] = 0;
+}
+
 static void *mx_scratch(int slot, size_t size)
 {
 	if (mx_scr_cap[slot] < size) {
 		size_t cap = size + size / 2 + 256;
 		cap = (cap + 63) & ~(size_t)63;   /* zmm state arrays deref aligned */
-		free(mx_scr[slot]);
+		mx_scr_free(slot);
 		mx_scr[slot] = aligned_alloc(64, cap);
 		mx_scr_cap[slot] = mx_scr[slot] ? cap : 0;
 	}
@@ -851,11 +870,8 @@ MX_EXPORT void mx_scratch_trim(int64_t threshold)
 {
 	int i;
 	for (i = 0; i < (int)(sizeof(mx_scr) / sizeof(mx_scr[0])); ++i)
-		if (mx_scr_cap[i] > (size_t)threshold) {
-			free(mx_scr[i]);
-			mx_scr[i] = 0;
-			mx_scr_cap[i] = 0;
-		}
+		if (mx_scr_cap[i] > (size_t)threshold)
+			mx_scr_free(i);
 }
 
 
@@ -2535,9 +2551,7 @@ MX_EXPORT void mx_scatter_bucket_part(const uint64_t *a, int64_t n,
  * the tables are final; it can be ~n*8 bytes). */
 MX_EXPORT void mx_scatter_trim(void)
 {
-	free(mx_scr[26]);
-	mx_scr[26] = 0;
-	mx_scr_cap[26] = 0;
+	mx_scr_free(26);
 }
 
 /* In-place exclusive scan: per-bucket counts -> start offsets.  Lets
@@ -2627,6 +2641,157 @@ MX_EXPORT void mx_bucket_shift(int64_t *ki, int64_t n)
 {
 	if (n > 1) memmove(ki + 1, ki, (size_t)(n - 1) * sizeof(int64_t));
 	if (n > 0) ki[0] = 0;
+}
+
+/* [original]  Streaming fused bucket build over RAW per-strand
+ * (hash, block) parts.  Replaces the count / scan / scatter / finalize
+ * pass chain, whose cost at genome scale was dominated by random access
+ * into the 64MB cursor table and the full-size kb array, and by
+ * first-touch faults on per-part copies.  Usage:
+ *   mx_bb_reset(n_bucket);
+ *   for each part: mx_bb_add(entries, n)   // straight off the sketcher
+ *   w = mx_bb_finish(ki, n_bucket, kb);
+ * mx_bb_add partitions the part's entries by partition id
+ * (bucket >> bpp_bits) into a part-major region of one growing buffer,
+ * so the part is consumed immediately (no copy is retained).
+ * mx_bb_finish then works partition by partition: count /
+ * exclusive-scan / scatter / per-bucket sort+dedup with the counts,
+ * cursors and the kb slice all L1/L2-resident (<=65536 buckets per
+ * partition).  Output is byte-identical to the reference pipeline
+ * (per-strand radix sort + dedup, sketch.c:94-99, then counting
+ * scatter, index.c:71-95): every bucket ends fully sorted ascending +
+ * deduped, which equals the reference's part-order concatenation of
+ * sorted runs because block ranges are disjoint and ascending across
+ * strand parts. */
+#define MX_BB_SLOT 26
+static int64_t *mx_bb_off;      /* per-part (npart+1) partition offsets */
+static int64_t mx_bb_nparts, mx_bb_cap_parts, mx_bb_total;
+static int mx_bb_bucket_bits, mx_bb_bpp_bits;
+
+MX_EXPORT void mx_bb_reset(int64_t n_bucket, int64_t reserve)
+{
+	int bb = 0;
+	while (((int64_t)1 << bb) < n_bucket) ++bb;
+	mx_bb_bucket_bits = bb;
+	mx_bb_bpp_bits = bb < 14 ? bb : 14;  /* 16K buckets/partition:
+	    cursor tables stay L1/L2-resident, the kb slice ~L2-sized */
+	mx_bb_nparts = mx_bb_total = 0;
+	/* pre-reserve the entry buffer (caller estimates from genome
+	 * length): growth copies + refaults on multi-100MB reallocs are
+	 * expensive on fault-slow virtualized hosts */
+	if (reserve > 0) mx_scratch(MX_BB_SLOT, (size_t)reserve * 8);
+}
+
+MX_EXPORT int32_t mx_bb_add(const uint64_t *a, int64_t n)
+{
+	int64_t npart = (int64_t)1 << (mx_bb_bucket_bits - mx_bb_bpp_bits);
+	const int shift = 32 + mx_bb_bpp_bits;
+	int64_t *off, i, q, s;
+	uint64_t *dst;
+	if (mx_bb_nparts + 1 > mx_bb_cap_parts) {
+		int64_t cap = mx_bb_cap_parts ? mx_bb_cap_parts * 2 : 16;
+		int64_t *t = (int64_t*)realloc(mx_bb_off,
+		                               (size_t)cap * (npart + 1) * 8);
+		if (!t) return -1;
+		mx_bb_off = t, mx_bb_cap_parts = cap;
+	}
+	/* grow the entry buffer; mx_scratch over-allocates 1.5x so
+	 * growth-copy churn stays amortized */
+	{
+		size_t need = (size_t)(mx_bb_total + n) * 8;
+		if (mx_scr_cap[MX_BB_SLOT] < need) {
+			/* grow preserving contents (mx_scratch over-allocates
+			 * 1.5x, so the copies amortize to O(total)) */
+			uint64_t *old = (uint64_t*)mx_scr[MX_BB_SLOT];
+			size_t olen = (size_t)mx_bb_total * 8;
+			mx_scr[MX_BB_SLOT] = 0, mx_scr_cap[MX_BB_SLOT] = 0;
+			if (!mx_scratch(MX_BB_SLOT, need)) { free(old); return -1; }
+			if (old) memcpy(mx_scr[MX_BB_SLOT], old, olen);
+			free(old);
+		}
+	}
+	off = mx_bb_off + mx_bb_nparts * (npart + 1);
+	dst = (uint64_t*)mx_scr[MX_BB_SLOT] + mx_bb_total;
+	memset(off, 0, (size_t)(npart + 1) * 8);
+	for (i = 0; i < n; ++i) ++off[(a[i] >> shift) + 1];
+	for (q = 1; q <= npart; ++q) off[q] += off[q - 1];
+	(void)s;
+	/* off[q] = start of partition q, off[npart] = n */
+	{
+		int64_t *cur = (int64_t*)malloc((size_t)npart * 8);
+		if (!cur) return -1;
+		for (q = 0; q < npart; ++q) cur[q] = off[q];
+		for (i = 0; i < n; ++i)
+			dst[cur[a[i] >> shift]++] = a[i];
+		free(cur);
+	}
+	mx_bb_total += n;
+	++mx_bb_nparts;
+	return 0;
+}
+
+MX_EXPORT int64_t mx_bb_finish(int64_t *ki, int64_t n_bucket, uint32_t *kb)
+{
+	int64_t npart = (int64_t)1 << (mx_bb_bucket_bits - mx_bb_bpp_bits);
+	int64_t nbpp = (int64_t)1 << mx_bb_bpp_bits;
+	int64_t q, w = 0, g = 0, ip;
+	int64_t *lst = (int64_t*)malloc((size_t)nbpp * 2 * 8);
+	int64_t *pstart;   /* per-part start offset in the entry buffer */
+	const uint64_t *buf = (const uint64_t*)mx_scr[MX_BB_SLOT];
+	(void)n_bucket;
+	pstart = (int64_t*)malloc((size_t)(mx_bb_nparts > 0 ? mx_bb_nparts : 1) * 8);
+	if (!lst || !pstart) { free(lst); free(pstart); return -1; }
+	for (ip = 0, g = 0; ip < mx_bb_nparts; ++ip) {
+		int64_t *off = mx_bb_off + ip * (npart + 1);
+		pstart[ip] = g;
+		g += off[npart];
+	}
+	/* per partition: count / scan / scatter / sort+dedup.  Raw scatter
+	 * positions reuse global raw offsets, so the compaction cursor w
+	 * never catches up with unread data (w <= raw offset consumed). */
+	for (q = 0, g = 0; q < npart; ++q) {
+		int64_t *bst = lst, *bcur = lst + nbpp;
+		int64_t base = q << mx_bb_bpp_bits, i, j, st, qraw = 0;
+		memset(bst, 0, (size_t)nbpp * 8);
+		for (ip = 0; ip < mx_bb_nparts; ++ip) {
+			int64_t *off = mx_bb_off + ip * (npart + 1);
+			const uint64_t *s0 = buf + pstart[ip] + off[q];
+			int64_t m = off[q + 1] - off[q];
+			for (i = 0; i < m; ++i) ++bst[(s0[i] >> 32) & (nbpp - 1)];
+			qraw += m;
+		}
+		if (qraw == 0) {
+			for (j = 0; j < nbpp; ++j) ki[base + j] = w;
+			continue;
+		}
+		for (j = 0, st = g; j < nbpp; ++j) {
+			int64_t c = bst[j];
+			bst[j] = bcur[j] = st, st += c;
+		}
+		for (ip = 0; ip < mx_bb_nparts; ++ip) {
+			int64_t *off = mx_bb_off + ip * (npart + 1);
+			const uint64_t *s0 = buf + pstart[ip] + off[q];
+			int64_t m = off[q + 1] - off[q];
+			for (i = 0; i < m; ++i)
+				kb[bcur[(s0[i] >> 32) & (nbpp - 1)]++] = (uint32_t)s0[i];
+		}
+		for (j = 0; j < nbpp; ++j) {
+			int64_t b0 = bst[j], b1 = bcur[j];
+			ki[base + j] = w;
+			if (b1 <= b0) continue;
+			u32_sort(kb + b0, b1 - b0);
+			kb[w++] = kb[b0];
+			for (i = b0 + 1; i < b1; ++i)
+				if (kb[i] != kb[w - 1]) kb[w++] = kb[i];
+		}
+		g += qraw;
+	}
+	free(lst);
+	free(pstart);
+	free(mx_bb_off);
+	mx_bb_off = 0, mx_bb_cap_parts = 0, mx_bb_nparts = 0, mx_bb_total = 0;
+	mx_scr_free(MX_BB_SLOT);
+	return w;
 }
 
 /* One-pass FASTA body packer (mp_ntseq_read's inner loop, ntseq.c:29-77):
