@@ -112,6 +112,32 @@ class Profiler:
             sys.stderr.write(
                 f"[P::dp_tpu] {self.n_dp_tpu} DPs, "
                 f"{self.cells_tpu / 1e9:.3f} Gcells (padded batches)\n")
+        self._report_kernel_caches()
+
+    @staticmethod
+    def _report_kernel_caches() -> None:
+        """Compile-cache telemetry: one line per populated kernel cache
+        (shape-bucket keys only — scoring scalars are runtime inputs,
+        so option sweeps do not recompile).  Evictions (misses beyond
+        maxsize) signal a workload whose shape classes thrash the
+        cache."""
+        import sys as _s
+        mods = []
+        for name in ("nasw_pallas", "nasw_cigar_pallas"):
+            m = _s.modules.get(f"miniprot_tpu.kernels.{name}")
+            if m is not None:
+                mods.append(m)
+        for m in mods:
+            for attr in dir(m):
+                fn = getattr(m, attr, None)
+                info = getattr(fn, "cache_info", None)
+                if attr.startswith("_compiled") and info is not None:
+                    ci = info()
+                    if ci.misses or ci.hits:
+                        sys.stderr.write(
+                            f"[P::kernels] {attr}: {ci.misses} compiles, "
+                            f"{ci.hits} hits, {ci.currsize}/{ci.maxsize} "
+                            f"cached\n")
 
 
 profiler = Profiler()
