@@ -32,10 +32,13 @@ from .native import DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT
 from .options import MapOpt
 
 AL_BUCKETS = (128, 512, 1024)
-NL_BUCKETS = (2112, 4224, 8448, 16896, 33792)   # multiples of ROW_CHUNK=264
+# multiples of ROW_CHUNK=264; the ext kernel streams the genome axis,
+# so the top bucket (101376) covers the default max_intron/2 = 100kb
+# extension window (map.c:226) entirely on device
+NL_BUCKETS = (2112, 4224, 8448, 16896, 33792, 67584, 101376)
 MIN_TPU_NL = 1024        # smaller windows are cheaper on the host
 CIG_SLEN_CLASSES = (4, 16, 64)          # al <= 32 / 128 / 512
-CIG_NL_BUCKETS = (2048, 4096, 8192, 16384, 32768)
+CIG_NL_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
 CIG_TB_CAP = 1200 << 20      # per-batch traceback HBM footprint cap
 PENDING_TB_CAP = 2500 << 20  # drain launched batches beyond this
 CIG_MIN_NL = 512
@@ -163,11 +166,18 @@ class TpuExtEngine:
             nl, al = len(job.nsq), len(job.asq)
             if (self.broken or nl < MIN_TPU_NL or al > AL_BUCKETS[-1]
                     or nl > NL_BUCKETS[-1]
-                    or self.opt.ie_coef > 8.0):  # int8 logpen stream limit
+                    or self.opt.ie_coef > 8.0):  # raw-path thr table growth
                 host_jobs.append(i)   # runs after launch, overlapped
                 continue
             al_b = next(b for b in AL_BUCKETS if al <= b)
             nl_b = next(b for b in NL_BUCKETS if nl <= b)
+            if job.ss is not None and int(
+                    self.opt.ie_coef * np.log2(nl_b) + 0.5) > 126:
+                # 126: one-count margin for mp_log2_f32-vs-log2 drift
+                # host-prepped (--spsc) batches stream the log-length
+                # penalty as int8; the raw-upload path has no such limit
+                host_jobs.append(i)
+                continue
             buckets.setdefault((al_b, nl_b), []).append(i)
         # two-phase dispatch: launch every batch (async device queue +
         # pipelined transfers), then collect — the device works on batch
