@@ -135,20 +135,26 @@ def tpu_live(timeout: float | None = None) -> bool:
             return probe()
         except Exception:
             return False
-    import concurrent.futures as cf
-    ex = cf.ThreadPoolExecutor(1, thread_name_prefix="tpu-probe")
-    try:
-        fut = ex.submit(probe)
+    # daemon thread, NOT ThreadPoolExecutor: executor workers are joined
+    # at interpreter exit, so a probe wedged in the relay would hang
+    # process shutdown after the run completed on the host engine
+    import queue as _q
+    import threading as _t
+    box: _q.Queue = _q.Queue(1)
+
+    def run() -> None:
         try:
-            return bool(fut.result(timeout=timeout))
-        except cf.TimeoutError:
-            sys.stderr.write("WARNING: TPU backend probe timed out; "
-                             "using the host engine\n")
-            return False
+            box.put(bool(probe()))
         except Exception:
-            return False
-    finally:
-        ex.shutdown(wait=False)
+            box.put(False)
+
+    _t.Thread(target=run, daemon=True, name="tpu-probe").start()
+    try:
+        return box.get(timeout=timeout)
+    except _q.Empty:
+        sys.stderr.write("WARNING: TPU backend probe timed out; "
+                         "using the host engine\n")
+        return False
 
 
 def _run(argv: list[str], server_parse: bool):
@@ -427,6 +433,15 @@ def _run(argv: list[str], server_parse: bool):
     sysutil.log("main", "Real time: %.3f sec; CPU: %.3f sec; Peak RSS: %.3f GB",
                 sysutil.realtime(), sysutil.cputime(), sysutil.peakrss_gb())
     sysutil.profiler.report()
+    import sys as _sys
+    dev = _sys.modules.get("miniprot_tpu.device")
+    if dev is not None and getattr(dev, "WEDGED", False):
+        # a collect thread is still wedged inside the device runtime;
+        # normal teardown would join/kill it and can abort the process
+        # after all useful work is done — exit hard instead
+        _sys.stdout.flush()
+        _sys.stderr.flush()
+        os._exit(0)
     return 0
 
 

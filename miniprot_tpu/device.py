@@ -43,6 +43,11 @@ CIG_TB_CAP = 1200 << 20      # per-batch traceback HBM footprint cap
 PENDING_TB_CAP = 2500 << 20  # drain launched batches beyond this
 CIG_MIN_NL = 512
 
+# set when a device collect was abandoned on timeout: a worker thread is
+# still blocked inside the device runtime and interpreter teardown may
+# abort; the CLI checks this and hard-exits after flushing its output
+WEDGED = False
+
 
 def cig_shape(nl: int, al: int):
     """Pick the (slen_class, nl_bucket) for a CIGAR job, or None when
@@ -99,12 +104,18 @@ class TpuExtEngine:
         self.broken = False
 
     def _device_failed(self, e: Exception) -> None:
+        global WEDGED
         if not self.broken:
             import sys
             sys.stderr.write(f"WARNING: TPU batch failed ({e!r}); "
                              "falling back to the host engine for the "
                              "rest of this run\n")
         self.broken = True
+        if isinstance(e, TimeoutError):
+            # an abandoned collect thread is still blocked inside the
+            # device runtime; normal interpreter teardown may abort when
+            # it is killed mid-exception (the CLI hard-exits instead)
+            WEDGED = True
 
     def _collect(self, batch, handles):
         """batch.collect with a watchdog: on relay-attached devices a
@@ -117,10 +128,28 @@ class TpuExtEngine:
         timeout = float(_os.environ.get("MINIPROT_TPU_BATCH_TIMEOUT", "180"))
         if timeout <= 0 or self.interpret:
             return batch.collect(handles)
-        import concurrent.futures as cf
-        if getattr(self, "_pool", None) is None:
-            self._pool = cf.ThreadPoolExecutor(4, thread_name_prefix="tpu-io")
-        return self._pool.submit(batch.collect, handles).result(timeout)
+        # daemon thread, NOT ThreadPoolExecutor: the executor's workers
+        # are joined at interpreter exit, so one transfer wedged in the
+        # relay would hang process shutdown long after the run fell back
+        # to the host and finished its work
+        import queue as _q
+        import threading as _t
+        box: _q.Queue = _q.Queue(1)
+
+        def run() -> None:
+            try:
+                box.put((True, batch.collect(handles)))
+            except BaseException as e:   # surfaced to the caller below
+                box.put((False, e))
+
+        _t.Thread(target=run, daemon=True, name="tpu-io").start()
+        try:
+            ok, val = box.get(timeout=timeout)
+        except _q.Empty:
+            raise TimeoutError(f"device collect exceeded {timeout:.0f}s")
+        if not ok:
+            raise val
+        return val
 
     def _launch(self, pending: list, idxs: list, batch) -> bool:
         """Launch a batch; on a device error mark the engine broken and
