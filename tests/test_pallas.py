@@ -361,3 +361,73 @@ def test_index_build_device_sketch_matches_host(dpp3_files):
     b = Index.build(genome, IdxOpt(), use_tpu=True)
     assert np.array_equal(a.ki, b.ki)
     assert np.array_equal(a.kb, b.kb)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_big_ext_bucket_100kb_window_bit_exact():
+    """The 101376-row extension bucket (one full default max_intron/2 =
+    100kb window, device.py NL_BUCKETS[-1]) matches the host striped DP
+    exactly — the genome axis streams through the grid, so correctness
+    must hold far beyond the VMEM-resident row count."""
+    from miniprot_tpu.kernels.nasw_pallas import RawExtBatch
+    from miniprot_tpu.native import DPF_EXT_LEFT, DPF_EXT_RIGHT
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    rng = np.random.default_rng(1003)
+    batch = RawExtBatch(al_pad=512, nl_pad=101376, mat=mat,
+                        opt_scalars=(11, 1, 23, 29, 100, 5, 0.5), sp=sp,
+                        trans_code=1)
+    cases = []
+    for _ in range(4):
+        nl = int(rng.integers(70_000, 101_376))
+        al = int(rng.integers(200, 512))
+        ext_left = bool(rng.integers(0, 2))
+        ns = rng.choice(list(b"ACGT"), nl).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"), al).astype(np.uint8)
+        cases.append((ns, aa, ext_left))
+        nt4, aas = T.nt4[ns], T.aa20[aa]
+        if ext_left:
+            nt4, aas = nt4[::-1], aas[::-1]
+        batch.add_raw(nt4, aas, io=29, ext_left=ext_left)
+    for (ns, aa, ext_left), got in zip(cases, batch.run(interpret=False)):
+        kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+                  sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+                  end_bonus=5, ie_coef=0.5)
+        rsc, rntl, raal, _ = native.dp16(
+            ns, aa, flag=DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT, **kw)
+        assert got == (rsc, rntl, raal), (len(ns), len(aa), ext_left)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_big_cigar_bucket_64k_rows_bit_exact():
+    """The 65536-row CIGAR bucket (slen class 4, traceback ~537MB HBM)
+    produces bit-exact tracebacks vs the host striped DP."""
+    from miniprot_tpu.kernels.nasw_cigar_pallas import RawCigarBatch
+    from miniprot_tpu.native import DPF_CIGAR
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(1004)
+    batch = RawCigarBatch(al_pad=32, nl_pad=65536, mat=mat,
+                          opt_scalars=(11, 1, 23, 29, 100, 5, 0.5),
+                          sp=sp, trans_code=1)
+    cases = []
+    for _ in range(4):
+        nl = int(rng.integers(40_000, 65_536))
+        al = int(rng.integers(8, 33))
+        ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        batch.add_raw(T.nt4[ns], T.aa20[aa], io=29)
+    for (ns, aa), (sc, cig) in zip(cases, batch.run(interpret=False)):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc, (len(ns), len(aa))
+        assert np.array_equal(cig, rcig), (len(ns), len(aa))
