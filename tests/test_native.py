@@ -341,3 +341,56 @@ def test_sketch_prot_c_matches_numpy():
         a = sketch_prot(seq, k, m)
         b = sketch_prot_numpy(seq, k, m)
         assert np.array_equal(a, b), (n, k, m)
+
+
+def test_bb_streaming_build_matches_sorted_merge():
+    """The streaming fused bucket build (mx_bb_reset/add/finish) equals
+    the sorted-parts counting merge (the fork path) on randomized part
+    sets, including empty parts, duplicate entries, skewed buckets and
+    small n_bucket (the single-partition branch)."""
+    from miniprot_tpu import native
+    rng = np.random.default_rng(77)
+    for trial in range(25):
+        bucket_bits = int(rng.integers(3, 19))
+        n_bucket = 1 << bucket_bits
+        n_parts = int(rng.integers(1, 7))
+        # disjoint ascending block ranges per part (the invariant the
+        # real sketch parts satisfy: bo[] offsets increase in part order)
+        parts, base = [], 0
+        for _ in range(n_parts):
+            n = int(rng.integers(0, 5000))
+            if rng.random() < 0.15:
+                n = 0
+            span = int(rng.integers(1, 4000)) + 1
+            h = rng.integers(0, n_bucket, n).astype(np.uint64)
+            if rng.random() < 0.4 and n > 0:  # skew into few buckets
+                h = (h % max(1, n_bucket // 64)).astype(np.uint64)
+            b = (base + rng.integers(0, span, n)).astype(np.uint64)
+            part = (h << np.uint64(32)) | b
+            part[rng.random(n) < 0.3] = part[0] if n else 0  # duplicates
+            parts.append(part)
+            base += span
+        total = sum(len(p) for p in parts)
+
+        # golden: per-part sort+dedup, then counting merge
+        sparts = [native.sort_dedup_u64(p.copy()).copy() for p in parts]
+        ki_g = np.zeros(n_bucket, np.int64)
+        for p in sparts:
+            native.count_bucket(p, ki_g)
+        native.bucket_scan(ki_g)
+        kb_g = np.empty(sum(len(p) for p in sparts), np.uint32)
+        for p in sparts:
+            native.scatter_bucket(p, ki_g, kb_g)
+        native.bucket_shift(ki_g)
+
+        # streaming build on the RAW (unsorted, duplicated) parts
+        native.bb_reset(n_bucket, int(rng.integers(0, total + 1)))
+        for p in parts:
+            native.bb_add(p)
+        ki_s = np.empty(n_bucket, np.int64)
+        kb_s = np.empty(total, np.uint32)
+        n_final = native.bb_finish(ki_s, kb_s)
+
+        assert n_final == len(kb_g), (trial, bucket_bits)
+        assert np.array_equal(kb_s[:n_final], kb_g), trial
+        assert np.array_equal(ki_s, ki_g), trial
