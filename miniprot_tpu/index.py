@@ -29,17 +29,15 @@ _BUILD_CTX = None
 
 
 def _build_worker(job):
-    from . import native
     cid, strand = job
     nt, opt, bo = _BUILD_CTX
     seq = nt.get(cid, 0, -1, bool(strand))
-    # sketch into the shared module buffer, sort+dedup there, then copy
-    # only the deduped prefix out (saves one full-size copy per strand)
-    part = sketch_nt4(seq, opt.min_aa_len, opt.kmer, opt.mod_bit, opt.bbit,
+    # RAW (hash, block) entries, unsorted: the parent streams every part
+    # through the fused bucket build, which sorts + dedups per bucket
+    # (the reference's per-strand radix sort + dedup, sketch.c:94-99,
+    # becomes unnecessary work).  The view pickles by value.
+    return sketch_nt4(seq, opt.min_aa_len, opt.kmer, opt.mod_bit, opt.bbit,
                       int(bo[cid << 1 | strand]), opt.trans_code, copy=False)
-    # per-strand sort + dedup (sketch.c:94-99); block ranges are disjoint
-    # across strands, so no cross-part duplicates exist
-    return native.sort_dedup_u64(part).copy()
 
 
 @dataclass
@@ -88,91 +86,76 @@ class Index:
         (kernels/sketch_jax.py, exact vs the host scan) instead of the
         fork pool — --tpu-sketch on the CLI."""
         tables.set_default_code(opt.trans_code)
+        from . import native, sysutil
         from .sysutil import profiler
         profiler.start("index_build")
         nt = fn_or_db if isinstance(fn_or_db, NtDB) else NtDB.from_fasta(fn_or_db)
         bo = cls._block_offsets(nt, opt.bbit)
         jobs = [(cid, strand) for cid in range(nt.n_ctg) for strand in (0, 1)]
         global _BUILD_CTX
+
+        # every sketch source yields RAW (hash, block) parts in job
+        # order; they stream straight into the fused bucket build, which
+        # sorts + dedups per (tiny, cache-local) bucket slice in place.
+        # Byte-identical to the reference pipeline (per-strand radix
+        # sort + dedup, sketch.c:94-99, then counting scatter,
+        # index.c:71-95) because block ranges are disjoint + ascending
+        # across strand parts (see mx_bb_finish); replaces 5-6
+        # full-array radix passes per strand and the full-size cursor
+        # table walks of the counting merge.
         if use_tpu:
-            from . import native
             from .kernels.sketch_jax import sketch_nt4_device
-            parts = []
-            for cid, strand in jobs:
-                seq = nt.get(cid, 0, -1, bool(strand))
-                part = sketch_nt4_device(seq, opt.min_aa_len, opt.kmer,
-                                         opt.mod_bit, opt.bbit,
-                                         int(bo[cid << 1 | strand]),
-                                         opt.trans_code)
-                parts.append(native.sort_dedup_u64(part))
+
+            def raw_parts():
+                for cid, strand in jobs:
+                    seq = nt.get(cid, 0, -1, bool(strand))
+                    yield sketch_nt4_device(seq, opt.min_aa_len, opt.kmer,
+                                            opt.mod_bit, opt.bbit,
+                                            int(bo[cid << 1 | strand]),
+                                            opt.trans_code)
         elif n_threads > 1 and len(jobs) > 1:
-            import multiprocessing as mp
-            import warnings
-            _BUILD_CTX = (nt, opt, bo)
-            with warnings.catch_warnings():
-                # fork after jax/BLAS threads exist: safe here because the
-                # workers touch only numpy + libmpnative (no locks shared
-                # with those threads)
-                warnings.filterwarnings("ignore", message=".*fork.*")
-                with mp.get_context("fork").Pool(min(n_threads, len(jobs))) as pool:
-                    parts = pool.map(_build_worker, jobs,
-                                     chunksize=max(1, len(jobs) // (4 * n_threads)))
-            _BUILD_CTX = None
+            def raw_parts():
+                import multiprocessing as mp
+                import warnings
+                global _BUILD_CTX
+                _BUILD_CTX = (nt, opt, bo)
+                try:
+                    with warnings.catch_warnings():
+                        # fork after jax/BLAS threads exist: safe here
+                        # because the workers touch only numpy +
+                        # libmpnative (no locks shared with those threads)
+                        warnings.filterwarnings("ignore", message=".*fork.*")
+                        with mp.get_context("fork").Pool(
+                                min(n_threads, len(jobs))) as pool:
+                            # ordered imap: parts merge as they arrive
+                            yield from pool.imap(_build_worker, jobs)
+                finally:
+                    _BUILD_CTX = None
         else:
-            # single-process fast path: skip the per-strand u64 sort
-            # entirely — stream RAW (hash, block) entries straight off
-            # the sketcher into a partitioned build buffer (no per-part
-            # copies), then sort+dedup each (tiny, cache-local) bucket
-            # slice in place.  Byte-identical to the reference pipeline
-            # because block ranges are disjoint + ascending across
-            # strand parts (see mx_bb_finish); replaces 5-6 full-array
-            # radix passes and halves the build's fresh-page footprint.
-            from . import native as _nv
-            n_bucket = opt.n_bucket
-            # raw modimer density is ~1/bp per strand-pair before the
-            # 2^-mod_bit sampling (one 6-mer per codon position across
-            # 3 frames x 2 strands, thinned by ORF/min_aa_len masking);
-            # reserve ~10% above that so growth copies are rare
-            density = 1.10 / (1 << opt.mod_bit)
-            _nv.bb_reset(n_bucket, int(nt.l_seq * density) + (1 << 16))
-            total = 0
-            for j in jobs:
-                cid, strand = j
-                seq = nt.get(cid, 0, -1, bool(strand))
-                part = sketch_nt4(seq, opt.min_aa_len, opt.kmer,
-                                  opt.mod_bit, opt.bbit,
-                                  int(bo[cid << 1 | strand]),
-                                  opt.trans_code, copy=False)
-                total += len(part)
-                _nv.bb_add(part)
-            from . import sysutil
-            sysutil.log("Index.build", "collected syncmers")
-            ki = np.empty(n_bucket, np.int64)
-            kb = np.empty(total, np.uint32)
-            n_final = _nv.bb_finish(ki, kb)
-            kb = kb[:n_final]
-            sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
-            _nv.release_sketch_buf()
-            profiler.stop("index_build")
-            return cls(opt, nt, bo, ki, kb)
-        from . import native, sysutil
-        sysutil.log("Index.build", "collected syncmers")
-        # counting-sort merge (build_bidx, index.c:71-95): parts are
-        # sorted+deduped per strand with disjoint, part-order-increasing
-        # block ranges, so per-bucket concatenation in part order equals
-        # the globally sorted bucket contents
-        # one int64 array serves as counts -> scatter cursors -> final ki
-        # (three fewer 64MB first-touch allocations than the naive
-        # counts/ki/cursors split; the array walk itself is cheap)
+            def raw_parts():
+                for cid, strand in jobs:
+                    seq = nt.get(cid, 0, -1, bool(strand))
+                    yield sketch_nt4(seq, opt.min_aa_len, opt.kmer,
+                                     opt.mod_bit, opt.bbit,
+                                     int(bo[cid << 1 | strand]),
+                                     opt.trans_code, copy=False)
+
         n_bucket = opt.n_bucket
-        ki = np.zeros(n_bucket, np.int64)
-        for p in parts:
-            native.count_bucket(p, ki)
-        native.bucket_scan(ki)
-        kb = np.empty(sum(len(p) for p in parts), np.uint32)
-        for p in parts:
-            native.scatter_bucket(p, ki, kb)
-        native.bucket_shift(ki)
+        # raw modimer density is ~1/bp per strand-pair before the
+        # 2^-mod_bit sampling (one 6-mer per codon position across
+        # 3 frames x 2 strands, thinned by ORF/min_aa_len masking);
+        # reserve ~10% above that so growth copies are rare
+        density = 1.10 / (1 << opt.mod_bit)
+        native.bb_reset(n_bucket, int(nt.l_seq * density) + (1 << 16))
+        total = 0
+        for part in raw_parts():
+            total += len(part)
+            native.bb_add(part)
+        sysutil.log("Index.build", "collected syncmers")
+        ki = np.empty(n_bucket, np.int64)
+        kb = np.empty(total, np.uint32)
+        n_final = native.bb_finish(ki, kb)
+        kb = kb[:n_final]
         sysutil.log("Index.build", "%d kmer-block pairs", len(kb))
         native.release_sketch_buf()
         profiler.stop("index_build")
