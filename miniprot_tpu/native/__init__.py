@@ -501,31 +501,6 @@ _lib.mx_sort_dedup_u64.restype = ct.c_int64
 _lib.mx_sort_dedup_u64.argtypes = [_u64p, ct.c_int64]
 
 
-_lib.mx_scatter_bucket_part.argtypes = [_u64p, ct.c_int64, _i64p, _u32p,
-                                        ct.c_int32]
-_lib.mx_scatter_trim.argtypes = []
-
-
-def scatter_bucket_part(a, cursors, kb, bucket_bits: int) -> None:
-    _lib.mx_scatter_bucket_part(a, len(a), cursors, kb, bucket_bits)
-
-
-def scatter_trim() -> None:
-    _lib.mx_scatter_trim()
-
-
-_lib.mx_bucket_finalize.restype = ct.c_int64
-_lib.mx_bucket_finalize.argtypes = [_i64p, ct.c_int64, _u32p, ct.c_int64]
-
-
-def bucket_finalize(ki: np.ndarray, kb: np.ndarray) -> int:
-    """Sort + dedup every bucket slice of kb in place (compacting), and
-    rewrite ki to the deduped start offsets.  Returns the new kb
-    length.  See mx_bucket_finalize for the byte-parity argument."""
-    assert ki.dtype == np.int64 and kb.dtype == np.uint32
-    return int(_lib.mx_bucket_finalize(ki, len(ki), kb, len(kb)))
-
-
 _lib.mx_bb_reset.argtypes = [ct.c_int64, ct.c_int64]
 _lib.mx_bb_add.restype = ct.c_int32
 _lib.mx_bb_add.argtypes = [_u64p, ct.c_int64]

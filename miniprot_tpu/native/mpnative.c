@@ -2512,48 +2512,6 @@ MX_EXPORT void mx_scatter_bucket(const uint64_t *a, int64_t n,
 	for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
 }
 
-/* [original]  Two-pass partitioned scatter: a straight scatter walks
- * the 64MB cursor table + the kb array at random (TLB/cache hostile);
- * partitioning entries by the top 8 bits of the bucket id first makes
- * pass 2 touch a 1/256 slice of both tables per partition (~L2-sized).
- * Identical output to mx_scatter_bucket, ~2-3x faster at genome scale.
- * bucket_bits = log2(n_bucket). */
-MX_EXPORT void mx_scatter_bucket_part(const uint64_t *a, int64_t n,
-                                      int64_t *cursors, uint32_t *kb,
-                                      int32_t bucket_bits)
-{
-	const int shift = bucket_bits > 8 ? bucket_bits - 8 + 32 : 32;
-	int64_t cnt[256], pos[256];
-	uint64_t *buf;
-	int64_t i;
-	int p;
-	if (n < (1 << 18)) {  /* tables fit cache anyway */
-		for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
-		return;
-	}
-	buf = (uint64_t*)mx_scratch(26, (size_t)n * 8);
-	if (!buf) {  /* allocation failure: fall back to one-pass scatter */
-		for (i = 0; i < n; ++i) kb[cursors[a[i] >> 32]++] = (uint32_t)a[i];
-		return;
-	}
-	memset(cnt, 0, sizeof(cnt));
-	for (i = 0; i < n; ++i) ++cnt[a[i] >> shift & 0xFF];
-	pos[0] = 0;
-	for (p = 1; p < 256; ++p) pos[p] = pos[p - 1] + cnt[p - 1];
-	for (i = 0; i < n; ++i) buf[pos[a[i] >> shift & 0xFF]++] = a[i];
-	for (p = 0, i = 0; p < 256; ++p) {
-		int64_t e = pos[p];  /* pos[p] is now partition p's END */
-		for (; i < e; ++i) kb[cursors[buf[i] >> 32]++] = (uint32_t)buf[i];
-	}
-}
-
-/* Free the partitioned-scatter scratch (index build releases it once
- * the tables are final; it can be ~n*8 bytes). */
-MX_EXPORT void mx_scatter_trim(void)
-{
-	mx_scr_free(26);
-}
-
 /* In-place exclusive scan: per-bucket counts -> start offsets.  Lets
  * one int64 array serve as counts, then scatter cursors, then the final
  * ki table (the reference's build_bidx reuses ki the same way,
@@ -2570,18 +2528,11 @@ MX_EXPORT void mx_bucket_scan(int64_t *ki, int64_t n)
 	}
 }
 
-/* [original]  Per-bucket finalize for the unsorted-scatter index
- * build: the raw (hash, block) entries were scattered by bucket WITHOUT
- * a global sort; each bucket slice now holds a handful of interleaved
- * ascending runs (3 frames x strands).  Sorting + dedup'ing every
- * bucket ascending and compacting in place yields tables byte-identical
- * to the reference pipeline (per-strand radix sort + dedup + counting
- * scatter, sketch.c:94-99 + index.c:71-95) because block ranges are
- * disjoint and ascending across strand parts.  Buckets are small (mean
- * occupancy ~12) so the sequential per-bucket passes are cache-local —
- * this replaces 5-6 full-array radix passes.  ki[] holds bucket START
- * offsets on entry; rewritten to the deduped starts.  Returns the new
- * kb length. */
+/* Small-array sorters shared by the streaming bucket build: buckets
+ * are tiny (mean occupancy ~12) and mostly nearly-sorted (interleaved
+ * ascending frame runs), so an early-exit insertion sort below 48
+ * elements plus a byte-wise LSD radix above it keeps the per-bucket
+ * finalize cache-local. */
 static void u32_sort_small(uint32_t *a, int64_t n)
 {
 	int64_t i, j;
@@ -2614,24 +2565,6 @@ static void u32_sort(uint32_t *a, int64_t n)
 		}
 		if (src != a) memcpy(a, src, n * 4);
 	}
-}
-
-MX_EXPORT int64_t mx_bucket_finalize(int64_t *ki, int64_t n_bucket,
-                                     uint32_t *kb, int64_t n_kb)
-{
-	int64_t b, w = 0;
-	for (b = 0; b < n_bucket; ++b) {
-		int64_t st = ki[b], en = b + 1 < n_bucket ? ki[b + 1] : n_kb;
-		int64_t i, w0 = w;
-		ki[b] = w;
-		if (en <= st) continue;
-		u32_sort(kb + st, en - st);
-		kb[w++] = kb[st];
-		for (i = st + 1; i < en; ++i)
-			if (kb[i] != kb[w - 1]) kb[w++] = kb[i];
-		(void)w0;
-	}
-	return w;
 }
 
 /* After scattering with ki as the cursor array, each ki[h] holds its
