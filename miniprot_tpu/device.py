@@ -39,8 +39,9 @@ NL_BUCKETS = (2112, 4224, 8448, 16896, 33792, 67584, 101376)
 MIN_TPU_NL = 1024        # smaller windows are cheaper on the host
 CIG_SLEN_CLASSES = (4, 16, 64)          # al <= 32 / 128 / 512
 CIG_NL_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
-CIG_TB_CAP = 1200 << 20      # per-batch traceback HBM footprint cap
-PENDING_TB_CAP = 2500 << 20  # drain launched batches beyond this
+CIG_TB_CAP = 4200 << 20      # per-batch traceback HBM footprint cap
+                             # (v5e: 16GB HBM; slen=64 reaches nl=32768)
+PENDING_TB_CAP = 5000 << 20  # drain launched batches beyond this
 CIG_MIN_NL = 512
 
 # set when a device collect was abandoned on timeout: a worker thread is

@@ -385,6 +385,127 @@ def _compiled_cigar(slen, n_rows, n_lanes, rows_used, interpret):
     return jax.jit(wrapped)
 
 
+# ---------------------------------------------------------------------------
+# On-device traceback walk.  Downloading the traceback matrix is the
+# dominant device->host transfer of the CIGAR path (rows x slen*8 x 128
+# x int16 per batch — tens of MB to GB); walking it on device and
+# fetching only the per-step state stream (max_steps x 128 x int8)
+# shrinks the transfer by ~2 x slen*8.  The walk replicates
+# dp_backtrack_st (native/mpnative.c) exactly — state selection, the
+# lazy-F bit-9 rewrite, gap-run carry, and the U/V conditional query
+# step — vectorized across lanes with per-lane (nl, al, slen) state;
+# the host then replays the state stream through the same pinned
+# push/reverse/tiny-UV helpers (mx_cigar_from_states).
+# ---------------------------------------------------------------------------
+
+_BT_DI = (3, 0, 3, 1, 1, 1, 1, 2, 1, 2, 0, 0, 0, 0, 0, 0)
+_BT_DJ = (1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0)
+
+
+def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps):
+    """tb: (n_rows, W, B) int16; nlv0/alv/slen0: (B,) int32 per-lane
+    dims.  Returns (states (max_steps, B) int8 with 15 = done,
+    i_final (B,), j_final (B,))."""
+    lanes = jnp.arange(B, dtype=jnp.int32)
+    i0 = nlv0 - 1
+    j0 = alv - 1
+    sl = jnp.maximum(slen0, 1)
+    tbf = tb.reshape(-1)
+    di_tab = jnp.asarray(_BT_DI, jnp.int32)
+    dj_tab = jnp.asarray(_BT_DJ, jnp.int32)
+    out0 = jnp.full((max_steps, B), 15, jnp.int8)
+
+    def cond(c):
+        k, i, j, last, out = c
+        return (k < max_steps) & jnp.any((i >= 2) & (j >= 0))
+
+    def body(c):
+        k, i, j, last, out = c
+        active = (i >= 2) & (j >= 0)
+        ii = jnp.clip(i, 0, n_rows - 1)
+        col = jnp.clip((j % sl) * VL + j // sl, 0, W - 1)
+        x = jnp.take(tbf, (ii * W + col) * B + lanes).astype(jnp.int32)
+        # lazy-F overwrote H with I (bit 9)
+        x = jnp.where((x >> 9) & 1 == 1, 1 | ((x >> 4) << 4), x)
+        state = jnp.where(last == 0, x & 0xF, last)
+        is_gap = (state >= 1) & (state <= 5)
+        ext = jnp.where(is_gap, (x >> (state + 3)) & 1, 0)
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(active, state, 15).astype(jnp.int8)[None, :],
+            (k, 0))
+        dj = jnp.where((state == 4) | (state == 5), 1 - ext,
+                       jnp.take(dj_tab, state))
+        i = jnp.where(active, i - jnp.take(di_tab, state), i)
+        j = jnp.where(active, j - dj, j)
+        last = jnp.where(active,
+                         jnp.where(is_gap & (ext == 1), state, 0), last)
+        return k + 1, i, j, last, out
+
+    _, fi, fj, _, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, jnp.zeros(B, jnp.int32), out0))
+    return out, fi, fj
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_cigar_dtb(slen, n_rows, rows_used, interpret):
+    call = _make_cigar_call(slen, n_rows, interpret)
+    W = slen * VL
+    max_steps = rows_used + W + 2
+
+    def wrapped(nas, D, A, nlv, slens, opts, prof, endsel, qpad, alv):
+        D = D.astype(jnp.int32)
+        A = A.astype(jnp.int32)
+        z1 = jnp.zeros((1, B), jnp.int32)
+        z2 = jnp.zeros((2, B), jnp.int32)
+        d0 = D[:n_rows]
+        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+        dp1 = D[1:n_rows + 1]
+        a0 = A[:n_rows]
+        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+        tb, score = call(nas.astype(jnp.int32), dm1, d0, dp1, a0, am1, am2,
+                         nlv, slens, opts, prof, endsel.astype(jnp.int32),
+                         qpad.astype(jnp.int32))
+        states, fi, fj = _device_backtrack(
+            tb, nlv[0].astype(jnp.int32), alv[0].astype(jnp.int32),
+            slens[0].astype(jnp.int32), n_rows, W, max_steps)
+        return states, fi, fj, score
+
+    return jax.jit(wrapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_cigar_raw_dtb(slen, n_rows, rows_used, sp_key, trans_code,
+                            interpret):
+    call = _make_cigar_call(slen, n_rows, interpret)
+    W = slen * VL
+    max_steps = rows_used + W + 2
+    sp = np.asarray(sp_key, np.int32)
+    codon = _tables.get_tables(trans_code).codon
+
+    def wrapped(nt8, iov, nlv1, nlv, slens, opts, prof, endsel, qpad, alv):
+        zero_left = jnp.zeros((1, B), jnp.int8)
+        nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
+                                     nlv1, sp=sp, codon=codon, n_rows=n_rows)
+        z1 = jnp.zeros((1, B), jnp.int32)
+        z2 = jnp.zeros((2, B), jnp.int32)
+        d0 = D[:n_rows]
+        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+        dp1 = D[1:n_rows + 1]
+        a0 = A[:n_rows]
+        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+        tb, score = call(nas, dm1, d0, dp1, a0, am1, am2,
+                         nlv, slens, opts, prof, endsel.astype(jnp.int32),
+                         qpad.astype(jnp.int32))
+        states, fi, fj = _device_backtrack(
+            tb, nlv[0].astype(jnp.int32), alv[0].astype(jnp.int32),
+            slens[0].astype(jnp.int32), n_rows, W, max_steps)
+        return states, fi, fj, score
+
+    return jax.jit(wrapped)
+
+
 class CigarBatch:
     """A padded batch of full-CIGAR DP problems (mixed stripe counts).
 
@@ -412,6 +533,7 @@ class CigarBatch:
         self.prof = np.zeros((6, W, B), np.int32)
         self.qpad = np.ones((W, B), np.int8)
         self.endsel = np.zeros((W, B), np.int32)
+        self.alv = np.zeros((1, B), np.int32)   # per-lane real al
         self.dims = []
         self.n = 0
 
@@ -435,6 +557,7 @@ class CigarBatch:
         qe = al - 1
         self.endsel[(qe % slen_p) * stride + qe // slen_p, b] = 1
         self.slens[:, b] = slen_p
+        self.alv[0, b] = al
 
     def add(self, nas, aas, donor, acceptor, io=None):
         b = self.n
@@ -461,6 +584,7 @@ class CigarBatch:
 
     def launch(self, interpret=None):
         """Start the device computation without blocking."""
+        import os as _os
         if interpret is None:
             from . import on_tpu_backend
             interpret = not on_tpu_backend()
@@ -468,23 +592,43 @@ class CigarBatch:
         # round the row clip to 512 so the compile-key count stays small
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
         rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
-        call = _compiled_cigar(self.slen, self.nl, n_lanes, rows_used,
-                               interpret)
         from .nasw_pallas import _opts_array
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
-        return call(
+        if _os.environ.get("MINIPROT_TPU_TB_HOST") != "1":
+            call = _compiled_cigar_dtb(self.slen, self.nl, rows_used,
+                                       interpret)
+            return ("dtb",) + tuple(call(
+                jnp.asarray(self.nas), jnp.asarray(self.D),
+                jnp.asarray(self.A), jnp.asarray(self.nlv),
+                jnp.asarray(self.slens), jnp.asarray(opts),
+                jnp.asarray(self.prof),
+                jnp.asarray(self.endsel.astype(np.int8)),
+                jnp.asarray(self.qpad), jnp.asarray(self.alv)))
+        call = _compiled_cigar(self.slen, self.nl, n_lanes, rows_used,
+                               interpret)
+        return ("tb",) + tuple(call(
             jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
             jnp.asarray(self.nlv), jnp.asarray(self.slens),
             jnp.asarray(opts), jnp.asarray(self.prof),
             jnp.asarray(self.endsel.astype(np.int8)),
-            jnp.asarray(self.qpad))
+            jnp.asarray(self.qpad)))
 
     def collect(self, handles):
-        tb, score = handles
+        from .. import native
+        if handles[0] == "dtb":
+            _, states, fi, fj, score = handles
+            states = np.ascontiguousarray(np.asarray(states).T)  # (B, steps)
+            fi = np.asarray(fi)
+            fj = np.asarray(fj)
+            score = np.asarray(score)[0]
+            return [(int(score[b]),
+                     native.cigar_from_states(states[b], int(fi[b]),
+                                              int(fj[b])))
+                    for b in range(self.n)]
+        _, tb, score = handles
         tb = np.asarray(tb)
         score = np.asarray(score)[0]
-        from .. import native
         out = []
         for b in range(self.n):
             nl, al = self.dims[b]
@@ -568,23 +712,35 @@ class RawCigarBatch(CigarBatch):
         return b
 
     def launch(self, interpret=None):
+        import os as _os
         if interpret is None:
             from . import on_tpu_backend
             interpret = not on_tpu_backend()
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
         rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
-        call = _compiled_cigar_raw(self.slen, self.nl, n_lanes, rows_used,
-                                   self.sp_key, self.trans_code, interpret)
         from .nasw_pallas import _opts_array
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
-        return call(jnp.asarray(self.nt), jnp.asarray(self.iov),
+        if _os.environ.get("MINIPROT_TPU_TB_HOST") != "1":
+            call = _compiled_cigar_raw_dtb(self.slen, self.nl, rows_used,
+                                           self.sp_key, self.trans_code,
+                                           interpret)
+            return ("dtb",) + tuple(call(
+                jnp.asarray(self.nt), jnp.asarray(self.iov),
+                jnp.asarray(self.nlv1), jnp.asarray(self.nlv),
+                jnp.asarray(self.slens), jnp.asarray(opts),
+                jnp.asarray(self.prof),
+                jnp.asarray(self.endsel.astype(np.int8)),
+                jnp.asarray(self.qpad), jnp.asarray(self.alv)))
+        call = _compiled_cigar_raw(self.slen, self.nl, n_lanes, rows_used,
+                                   self.sp_key, self.trans_code, interpret)
+        return ("tb",) + tuple(call(jnp.asarray(self.nt), jnp.asarray(self.iov),
                     jnp.asarray(self.nlv1), jnp.asarray(self.nlv),
                     jnp.asarray(self.slens), jnp.asarray(opts),
                     jnp.asarray(self.prof),
                     jnp.asarray(self.endsel.astype(np.int8)),
-                    jnp.asarray(self.qpad))
+                    jnp.asarray(self.qpad)))
 
 
 # ---------------------------------------------------------------------------
@@ -646,9 +802,10 @@ class Dp32Batch(CigarBatch):
         from .nasw_pallas import _opts_array
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
-        return call(
+        # 32-bit library path keeps the host-side decode ("tb" handles)
+        return ("tb",) + tuple(call(
             jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
             jnp.asarray(self.nlv), jnp.asarray(self.slens),
             jnp.asarray(opts), jnp.asarray(self.prof),
             jnp.asarray(self.endsel.astype(np.int8)),
-            jnp.asarray(self.qpad))
+            jnp.asarray(self.qpad)))

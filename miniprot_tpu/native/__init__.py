@@ -205,6 +205,21 @@ def backtrack_strided(tb: np.ndarray, slen: int, row_stride: int,
     return cig[:n].copy()
 
 
+_lib.mx_cigar_from_states.restype = ct.c_int32
+_lib.mx_cigar_from_states.argtypes = [_u8p, ct.c_int64, ct.c_int32,
+                                      ct.c_int32, _u32p]
+
+
+def cigar_from_states(states: np.ndarray, i_final: int,
+                      j_final: int) -> np.ndarray:
+    """CIGAR from a device-walked traceback state stream (one bt_step
+    state per step, 15 = done) — bit-identical to the host decode."""
+    states = np.ascontiguousarray(states, dtype=np.uint8)
+    cig = np.empty(len(states) + 4, np.uint32)
+    n = _lib.mx_cigar_from_states(states, len(states), i_final, j_final, cig)
+    return cig[:n].copy()
+
+
 _lib.mx_dp32.argtypes = [
     _u8p, ct.c_int32, _u8p, ct.c_int32, ct.c_void_p,
     _i8p, ct.c_int32, _u8p, _u8p, _u8p, _i32p, ct.c_int32,

@@ -1794,6 +1794,39 @@ MX_EXPORT int32_t mx_backtrack_strided(const int16_t *tb, int32_t slen,
 	return dp_backtrack_st(tb, slen, vl, row_stride, nl, al, cigar);
 }
 
+/* Decode a device-walked traceback state stream into a CIGAR.  The
+ * accelerator walks the traceback matrix on device (the matrix itself
+ * never leaves HBM) and ships one bt_step state per walk step (15 =
+ * done) plus the walk's final (i, j); this replays the emission through
+ * the same pinned push/prefix/reverse/tiny-UV path as dp_backtrack_st,
+ * so the CIGAR is bit-identical to the host decode.  cigar needs room
+ * for n_steps + 2 entries. */
+MX_EXPORT int32_t mx_cigar_from_states(const uint8_t *st, int64_t max_steps,
+                                       int32_t i_final, int32_t j_final,
+                                       uint32_t *cig)
+{
+	int32_t n = 0, k;
+	int64_t s;
+	for (s = 0; s < max_steps && st[s] <= 9; ++s)
+		n = push_cigar(cig, n, bt_step[st[s]][2], bt_step[st[s]][3]);
+	if (j_final > 0) n = push_cigar(cig, n, C_I, j_final);
+	if (i_final >= 0) {
+		int32_t whole = (i_final + 1) / 3 * 3, part = (i_final + 1) % 3;
+		if (whole > 0) n = push_cigar(cig, n, C_D, whole);
+		if (part != 0) n = push_cigar(cig, n, C_F, part);
+	}
+	for (k = 0; k < n >> 1; ++k) {
+		uint32_t tmp = cig[k];
+		cig[k] = cig[n - 1 - k], cig[n - 1 - k] = tmp;
+	}
+	for (k = 0; k < n; ++k) {
+		uint32_t op = cig[k] & 0xf;
+		if ((op == C_U || op == C_V) && cig[k] >> 4 < 3)
+			cig[k] = (cig[k] >> 4 << 4) | C_G;
+	}
+	return n;
+}
+
 /*****************************************
  * 32-bit striped DP (library parity)    *
  *****************************************/
