@@ -431,3 +431,38 @@ def test_big_cigar_bucket_64k_rows_bit_exact():
         rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
         assert sc == rsc, (len(ns), len(aa))
         assert np.array_equal(cig, rcig), (len(ns), len(aa))
+
+
+def test_device_traceback_walk_interpret_parity():
+    """The on-device traceback walk (state stream + mx_cigar_from_states
+    replay) matches the host striped DP bit-for-bit.  Runs the Pallas
+    kernel in interpret mode, so this covers the walk on CPU-only CI;
+    the on-TPU big-bucket tests above cover it on hardware."""
+    from miniprot_tpu.kernels.nasw_cigar_pallas import RawCigarBatch
+    from miniprot_tpu.native import DPF_CIGAR
+
+    T = tables.get_tables(1)
+    mat = tables.BLOSUM62.copy()
+    tables.set_stop_sc(mat, 23)
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    rng = np.random.default_rng(1005)
+    batch = RawCigarBatch(al_pad=32, nl_pad=256, mat=mat,
+                          opt_scalars=(11, 1, 23, 29, 100, 5, 0.5),
+                          sp=sp, trans_code=1)
+    cases = []
+    for _ in range(4):
+        nl = int(rng.integers(40, 250))
+        al = int(rng.integers(2, 32))
+        ns = rng.choice(list(b"ACGTN"), nl, p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        batch.add_raw(T.nt4[ns], T.aa20[aa], io=29)
+    handles = batch.launch(interpret=True)
+    assert handles[0] == "dtb", "device-walk path should be the default"
+    for (ns, aa), (sc, cig) in zip(cases, batch.collect(handles)):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc, (len(ns), len(aa))
+        assert np.array_equal(cig, rcig), (len(ns), len(aa))
