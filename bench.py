@@ -201,6 +201,8 @@ def _measure_in_subprocess() -> float:
 
 
 def main() -> None:
+    from miniprot_tpu.sysutil import disable_numpy_thp
+    disable_numpy_thp()
     import sys
     if "--measure-only" in sys.argv:
         print(measure_pallas_gcups())

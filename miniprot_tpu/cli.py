@@ -158,6 +158,8 @@ def tpu_live(timeout: float | None = None) -> bool:
 
 
 def _run(argv: list[str], server_parse: bool):
+    from .sysutil import disable_numpy_thp
+    disable_numpy_thp()
     want_tpu = None  # auto: engage the engine when a TPU is live
     if "--no-tpu" in argv or os.environ.get("MINIPROT_TPU_DISABLE") == "1":
         want_tpu = False

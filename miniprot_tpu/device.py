@@ -21,6 +21,7 @@ fall back to the host-C striped DP, which produces identical results.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 
 import numpy as np
@@ -39,9 +40,14 @@ NL_BUCKETS = (2112, 4224, 8448, 16896, 33792, 67584, 101376)
 MIN_TPU_NL = 1024        # smaller windows are cheaper on the host
 CIG_SLEN_CLASSES = (4, 16, 64)          # al <= 32 / 128 / 512
 CIG_NL_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
-CIG_TB_CAP = 4200 << 20      # per-batch traceback HBM footprint cap
-                             # (v5e: 16GB HBM; slen=64 reaches nl=32768)
-PENDING_TB_CAP = 5000 << 20  # drain launched batches beyond this
+# traceback HBM caps scale with the chip's memory (default 16GB, the
+# v5e; override with MINIPROT_TPU_HBM_GB on smaller devices).  At 16GB
+# the slen=64 class reaches nl=32768.  An overshoot is not fatal — a
+# device OOM marks the engine broken and the run completes on the host
+# engine with identical output — but it forfeits the device for the run.
+_HBM_GB = float(_os.environ.get("MINIPROT_TPU_HBM_GB", "16"))
+CIG_TB_CAP = int(4200 * _HBM_GB / 16) << 20   # per-batch cap
+PENDING_TB_CAP = int(5000 * _HBM_GB / 16) << 20  # drain beyond this
 CIG_MIN_NL = 512
 
 # set when a device collect was abandoned on timeout: a worker thread is

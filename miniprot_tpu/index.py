@@ -127,8 +127,14 @@ class Index:
                         warnings.filterwarnings("ignore", message=".*fork.*")
                         with mp.get_context("fork").Pool(
                                 min(n_threads, len(jobs))) as pool:
-                            # ordered imap: parts merge as they arrive
-                            yield from pool.imap(_build_worker, jobs)
+                            # ordered imap, chunksize=1 REQUIRED: workers
+                            # return copy=False views into their module
+                            # sketch buffer, which stay valid only until
+                            # the worker's next job; chunked dispatch
+                            # would overwrite earlier views in the chunk
+                            # before they are pickled
+                            yield from pool.imap(_build_worker, jobs,
+                                                 chunksize=1)
                 finally:
                     _BUILD_CTX = None
         else:

@@ -410,7 +410,6 @@ def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps):
     i0 = nlv0 - 1
     j0 = alv - 1
     sl = jnp.maximum(slen0, 1)
-    tbf = tb.reshape(-1)
     di_tab = jnp.asarray(_BT_DI, jnp.int32)
     dj_tab = jnp.asarray(_BT_DJ, jnp.int32)
     out0 = jnp.full((max_steps, B), 15, jnp.int8)
@@ -424,7 +423,9 @@ def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps):
         active = (i >= 2) & (j >= 0)
         ii = jnp.clip(i, 0, n_rows - 1)
         col = jnp.clip((j % sl) * VL + j // sl, 0, W - 1)
-        x = jnp.take(tbf, (ii * W + col) * B + lanes).astype(jnp.int32)
+        # per-dimension gather: a flattened index would overflow int32
+        # (jax's default itemsize) at rows*W*B >= 2^31
+        x = tb[ii, col, lanes].astype(jnp.int32)
         # lazy-F overwrote H with I (bit 9)
         x = jnp.where((x >> 9) & 1 == 1, 1 | ((x >> 4) << 4), x)
         state = jnp.where(last == 0, x & 0xF, last)

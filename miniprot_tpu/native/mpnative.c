@@ -2642,6 +2642,11 @@ MX_EXPORT void mx_bb_reset(int64_t n_bucket, int64_t reserve)
 	mx_bb_bpp_bits = bb < 14 ? bb : 14;  /* 16K buckets/partition:
 	    cursor tables stay L1/L2-resident, the kb slice ~L2-sized */
 	mx_bb_nparts = mx_bb_total = 0;
+	/* drop any state left by an aborted build: the offset rows are
+	 * sized (npart+1), and npart depends on n_bucket, so reusing a
+	 * buffer allocated for a different n_bucket would overflow it */
+	free(mx_bb_off);
+	mx_bb_off = 0, mx_bb_cap_parts = 0;
 	/* pre-reserve the entry buffer (caller estimates from genome
 	 * length): growth copies + refaults on multi-100MB reallocs are
 	 * expensive on fault-slow virtualized hosts */

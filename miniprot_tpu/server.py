@@ -105,6 +105,8 @@ def query(host: str, port: int, payload: bytes, timeout: float = 600.0) -> bytes
 
 
 def main(argv=None) -> int:
+    from .sysutil import disable_numpy_thp
+    disable_numpy_thp()
     from .cli import load_for_server
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "--query":

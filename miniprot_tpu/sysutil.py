@@ -141,3 +141,27 @@ class Profiler:
 
 
 profiler = Profiler()
+
+
+def disable_numpy_thp() -> None:
+    """Stop numpy from madvising MADV_HUGEPAGE on >=4MB allocations.
+
+    On hosts where THP defrag is synchronous (virtualized/fragmented
+    machines) those faults run 100x+ slower (measured 2us ->
+    230-335us/page here), dominating index build and batch I/O, and
+    genome-scale arrays gain nothing from THP in this access profile.
+    Called from the tool entry points (CLI, server, bench) — NOT at
+    package import, so embedding applications keep their own policy.
+    Respects an explicit NUMPY_MADVISE_HUGEPAGE from the user."""
+    import os
+    if "NUMPY_MADVISE_HUGEPAGE" in os.environ:
+        return
+    os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"   # forks / subprocesses
+    try:  # runtime setter: numpy may already be imported (e.g. by jax)
+        import numpy as np
+        np._core.multiarray._set_madvise_hugepage(False)
+    except (ImportError, AttributeError):
+        try:
+            np.core.multiarray._set_madvise_hugepage(False)  # numpy 1.x
+        except Exception:
+            pass

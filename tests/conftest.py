@@ -12,6 +12,9 @@ import subprocess
 
 import pytest
 
+# stabilize test timing on THP-defrag-slow hosts (see sysutil helper)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 REF_DIR = pathlib.Path("/root/reference")
 REF_BIN = pathlib.Path("/tmp/refbuild/miniprot")
 GENOME = REF_DIR / "test" / "DPP3-hs.gen.fa.gz"

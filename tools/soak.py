@@ -189,6 +189,8 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
 
 
 def main() -> int:
+    from miniprot_tpu.sysutil import disable_numpy_thp
+    disable_numpy_thp()
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=50)
     ap.add_argument("--seed0", type=int, default=int(time.time()) % 100000)
