@@ -113,6 +113,13 @@ def load_for_server(argv: list[str]) -> tuple | int:
     return _run(argv, server_parse=True)
 
 
+# set when the backend probe timed out: its daemon thread is still
+# blocked inside backend init and interpreter teardown can abort with
+# "exception not rethrown" even though the run finished on the host
+# engine — the exit path below hard-exits when this is set
+_PROBE_WEDGED = False
+
+
 def tpu_live(timeout: float | None = None) -> bool:
     """True when an actual TPU backend is usable (not CPU fallback).
 
@@ -152,6 +159,8 @@ def tpu_live(timeout: float | None = None) -> bool:
     try:
         return box.get(timeout=timeout)
     except _q.Empty:
+        global _PROBE_WEDGED
+        _PROBE_WEDGED = True
         sys.stderr.write("WARNING: TPU backend probe timed out; "
                          "using the host engine\n")
         return False
@@ -437,10 +446,10 @@ def _run(argv: list[str], server_parse: bool):
     sysutil.profiler.report()
     import sys as _sys
     dev = _sys.modules.get("miniprot_tpu.device")
-    if dev is not None and getattr(dev, "WEDGED", False):
-        # a collect thread is still wedged inside the device runtime;
-        # normal teardown would join/kill it and can abort the process
-        # after all useful work is done — exit hard instead
+    if _PROBE_WEDGED or (dev is not None and getattr(dev, "WEDGED", False)):
+        # a probe or collect thread is still wedged inside the device
+        # runtime; normal teardown would join/kill it and can abort the
+        # process after all useful work is done — exit hard instead
         _sys.stdout.flush()
         _sys.stderr.flush()
         os._exit(0)
