@@ -47,8 +47,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_g: int, n_q: int, devices=None) -> Mesh:
-    devices = np.asarray(devices if devices is not None else jax.devices())
-    assert devices.size >= n_g * n_q
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < n_g * n_q:
+            # the default platform may be a single relay-attached chip
+            # while xla_force_host_platform_device_count provides a
+            # larger virtual CPU mesh — prefer whichever fits
+            try:
+                cpu = jax.devices("cpu")
+                if len(cpu) >= n_g * n_q:
+                    devices = cpu
+            except RuntimeError:
+                pass
+    devices = np.asarray(devices)
+    assert devices.size >= n_g * n_q, (
+        f"need {n_g * n_q} devices for a {n_g}x{n_q} mesh, "
+        f"have {devices.size}")
     return Mesh(devices[: n_g * n_q].reshape(n_g, n_q), ("g", "q"))
 
 
