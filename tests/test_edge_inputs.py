@@ -84,3 +84,24 @@ def test_dbg_no_refine_does_not_crash(dpp3_files):
     genome, query = dpp3_files
     out = run_mine(["--dbg-no-refine", genome, query])
     assert out == ""
+
+
+def test_dbg_aflt_matches_reference(ref_binary, dpp3_files, tmp_path):
+    """--dbg-aflt (MP_DBG_MORE_DP): disable anchor filtering and DP each
+    region in one call — the reference's internal oracle for the
+    anchored DP (align.c:248-257, 303-305).  Byte-parity on DPP3 and on
+    a synthetic multi-gene workload."""
+    import subprocess
+
+    from miniprot_tpu.testgen import make_workload
+
+    genome, query = dpp3_files
+    fa = str(tmp_path / "g.fa")
+    faa = str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=200_000, n_genes=8, seed=77,
+                  n_ctg=2, max_exons=5, max_intron=2000,
+                  mut_rate=0.05, rev_frac=0.4, fs_frac=0.2)
+    for g, q in ((genome, query), (fa, faa)):
+        ref = subprocess.run([ref_binary, "-t1", "--dbg-aflt", g, q],
+                             capture_output=True, text=True).stdout
+        assert run_mine(["--dbg-aflt", g, q]) == ref
