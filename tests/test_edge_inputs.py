@@ -105,3 +105,33 @@ def test_dbg_aflt_matches_reference(ref_binary, dpp3_files, tmp_path):
         ref = subprocess.run([ref_binary, "-t1", "--dbg-aflt", g, q],
                              capture_output=True, text=True).stdout
         assert run_mine(["--dbg-aflt", g, q]) == ref
+
+
+def test_dbg_anchor_chain_dumps_match_reference(ref_binary, tmp_path):
+    """--dbg-anchor / --dbg-chain stderr dumps (map.c:179-184, 113-124)
+    byte-match the reference's, pinning the seed and chain internals
+    directly (not just the final output)."""
+    import subprocess
+
+    from miniprot_tpu.testgen import make_workload
+
+    fa = str(tmp_path / "g.fa")
+    faa = str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=150_000, n_genes=5, seed=31,
+                  n_ctg=2, max_exons=5, max_intron=2000,
+                  mut_rate=0.04, rev_frac=0.5, fs_frac=0.2)
+
+    def dumps(cmd):
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        lines = [ln for ln in r.stderr.splitlines()
+                 if ln.startswith(("X\t", "Y1\t"))]
+        return r.stdout, "\n".join(lines)
+
+    ref_out, ref_dump = dumps(
+        [ref_binary, "-t1", "--dbg-anchor", "--dbg-chain", fa, faa])
+    my_out, my_dump = dumps(
+        ["python", "-m", "miniprot_tpu.cli", "-t1", "--no-tpu",
+         "--dbg-anchor", "--dbg-chain", fa, faa])
+    assert my_dump == ref_dump
+    assert my_out == ref_out
+    assert ref_dump.count("\n") > 50, "dump unexpectedly small"
