@@ -619,17 +619,19 @@ class CigarBatch:
         from .. import native
         if handles[0] == "dtb":
             _, states, fi, fj, score = handles
-            states = np.ascontiguousarray(np.asarray(states).T)  # (B, steps)
-            fi = np.asarray(fi)
-            fj = np.asarray(fj)
-            score = np.asarray(score)[0]
+            # one device_get for all four outputs: separate np.asarray
+            # calls each cost a device round trip (4x the fetch latency
+            # through a relay)
+            states, fi, fj, score = jax.device_get((states, fi, fj, score))
+            states = np.ascontiguousarray(states.T)  # (B, steps)
+            score = score[0]
             return [(int(score[b]),
                      native.cigar_from_states(states[b], int(fi[b]),
                                               int(fj[b])))
                     for b in range(self.n)]
         _, tb, score = handles
-        tb = np.asarray(tb)
-        score = np.asarray(score)[0]
+        tb, score = jax.device_get((tb, score))
+        score = score[0]
         out = []
         for b in range(self.n):
             nl, al = self.dims[b]
