@@ -124,17 +124,17 @@ class TpuExtEngine:
             # it is killed mid-exception (the CLI hard-exits instead)
             WEDGED = True
 
-    def _collect(self, batch, handles):
-        """batch.collect with a watchdog: on relay-attached devices a
-        transfer can block for minutes; past MINIPROT_TPU_BATCH_TIMEOUT
-        seconds (default 180, 0 disables) the engine gives up on the
-        device and recomputes on the host (identical results).  The
-        blocked worker thread is abandoned — once that happens the
-        engine is marked broken and never touches the device again."""
+    def _guarded(self, fn):
+        """Run fn under a watchdog: on relay-attached devices a transfer
+        can block for minutes; past MINIPROT_TPU_BATCH_TIMEOUT seconds
+        (default 180, 0 disables) the engine gives up on the device and
+        recomputes on the host (identical results).  The blocked worker
+        thread is abandoned — once that happens the engine is marked
+        broken and never touches the device again."""
         import os as _os
         timeout = float(_os.environ.get("MINIPROT_TPU_BATCH_TIMEOUT", "180"))
         if timeout <= 0 or self.interpret:
-            return batch.collect(handles)
+            return fn()
         # daemon thread, NOT ThreadPoolExecutor: the executor's workers
         # are joined at interpreter exit, so one transfer wedged in the
         # relay would hang process shutdown long after the run fell back
@@ -145,7 +145,7 @@ class TpuExtEngine:
 
         def run() -> None:
             try:
-                box.put((True, batch.collect(handles)))
+                box.put((True, fn()))
             except BaseException as e:   # surfaced to the caller below
                 box.put((False, e))
 
@@ -157,6 +157,39 @@ class TpuExtEngine:
         if not ok:
             raise val
         return val
+
+    def _collect(self, batch, handles):
+        """batch.collect under the transfer watchdog."""
+        return self._guarded(lambda: batch.collect(handles))
+
+    def _prefetch(self, pending):
+        """One device_get covering every pending batch's outputs.
+
+        Through a relay each per-batch fetch costs a full round trip,
+        so a wave of K collected batches paid K round trips; fetching
+        the whole wave in one device_get pays one.  Returns a list of
+        prefetched handle tuples aligned with `pending` (numpy-backed,
+        so the per-batch collect's own fetches become no-ops), or None
+        when prefetching is pointless or failed — the caller then runs
+        the normal per-batch collect path."""
+        if self.interpret or self.broken or len(pending) < 2:
+            return None
+        import jax
+        tags, tails = [], []
+        for _, _, h in pending:
+            if isinstance(h, tuple) and isinstance(h[0], str):
+                tags.append(h[0])
+                tails.append(tuple(h[1:]))
+            else:
+                tags.append(None)
+                tails.append(h)
+        try:
+            fetched = self._guarded(lambda: jax.device_get(tails))
+        except Exception as e:
+            self._device_failed(e)
+            return None
+        return [f if t is None else (t, *f)
+                for t, f in zip(tags, fetched)]
 
     def _launch(self, pending: list, idxs: list, batch) -> bool:
         """Launch a batch; on a device error mark the engine broken and
@@ -271,7 +304,10 @@ class TpuExtEngine:
 
         for i in host_jobs:
             run_ext_host(i)
-        for chunk, batch, handles in pending:
+        pre = self._prefetch(pending)
+        for n, (chunk, batch, handles) in enumerate(pending):
+            if pre is not None:
+                handles = pre[n]
             try:
                 results = None if self.broken else self._collect(batch, handles)
             except Exception as e:
@@ -382,8 +418,9 @@ class TpuExtEngine:
                     launch(usable, batch)
         for i in host_jobs:
             run_cig_host(i)
-        for usable, batch, handles in pending:
-            collect_one(usable, batch, handles)
+        pre = self._prefetch(pending)
+        for n, (usable, batch, handles) in enumerate(pending):
+            collect_one(usable, batch, pre[n] if pre is not None else handles)
 
     def flush(self) -> list:
         self._run_ext()
