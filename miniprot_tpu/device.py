@@ -124,7 +124,7 @@ class TpuExtEngine:
             # it is killed mid-exception (the CLI hard-exits instead)
             WEDGED = True
 
-    def _guarded(self, fn):
+    def _guarded(self, fn, timeout=None):
         """Run fn under a watchdog: on relay-attached devices a transfer
         can block for minutes; past MINIPROT_TPU_BATCH_TIMEOUT seconds
         (default 180, 0 disables) the engine gives up on the device and
@@ -132,7 +132,9 @@ class TpuExtEngine:
         thread is abandoned — once that happens the engine is marked
         broken and never touches the device again."""
         import os as _os
-        timeout = float(_os.environ.get("MINIPROT_TPU_BATCH_TIMEOUT", "180"))
+        if timeout is None:
+            timeout = float(_os.environ.get("MINIPROT_TPU_BATCH_TIMEOUT",
+                                            "180"))
         if timeout <= 0 or self.interpret:
             return fn()
         # daemon thread, NOT ThreadPoolExecutor: the executor's workers
@@ -193,11 +195,26 @@ class TpuExtEngine:
 
     def _launch(self, pending: list, idxs: list, batch) -> bool:
         """Launch a batch; on a device error mark the engine broken and
-        return False so the caller reroutes the jobs to the host."""
+        return False so the caller reroutes the jobs to the host.
+
+        The launch runs under the same watchdog as collects: launching
+        uploads the batch's input arrays, and a relay wedged on the
+        upload side otherwise blocks here indefinitely (observed in the
+        --big --tpu soak: runs killed at the harness timeout with the
+        engine stuck inside jnp.asarray, not in a collect)."""
         if self.broken:
             return False
+        import os as _os
+        # launches get a longer allowance than collects: the first
+        # launch of a shape bucket compiles the kernel (up to ~160s
+        # observed through a relay), and a false timeout here demotes
+        # the whole run to the host engine; 300s = ~2x that worst case
+        # while still letting a wedged run demote and finish
+        lt = float(_os.environ.get("MINIPROT_TPU_LAUNCH_TIMEOUT", "300"))
         try:
-            pending.append((idxs, batch, batch.launch(self.interpret)))
+            handles = self._guarded(lambda: batch.launch(self.interpret),
+                                    timeout=lt)
+            pending.append((idxs, batch, handles))
         except Exception as e:
             self._device_failed(e)
             return False
