@@ -207,9 +207,22 @@ def _measure_in_subprocess() -> float:
 
 
 def main() -> None:
-    from miniprot_tpu.sysutil import disable_numpy_thp
+    from miniprot_tpu.sysutil import disable_numpy_thp, \
+        ensure_responsive_backend
     disable_numpy_thp()
     import sys
+    # the benchmark is the round's permanent record: if the device relay
+    # is wedged right now, ride it out for up to ~30 min before failing
+    # (wedges observed here are transient).  A "wedged" verdict demotes
+    # this process to CPU jax — reporting an interpret-mode rate as the
+    # chip's GCUPS would be wrong, so fail loudly instead.
+    if "--measure-only" not in sys.argv:
+        status = ensure_responsive_backend(retries=10, retry_wait=90)
+        if status == "wedged":
+            raise SystemExit(
+                "bench: TPU relay wedged (backend init hangs); no honest "
+                "device measurement is possible — see BENCH history for "
+                "the last live numbers")
     if "--measure-only" in sys.argv:
         print(measure_pallas_gcups())
         return
@@ -225,17 +238,35 @@ def main() -> None:
         }))
         return
     # retry ladder: the TPU is attached through a relay whose claim can
-    # transiently fail or wedge; a lost benchmark would cost the whole
-    # round's record.  First in-process, then two fresh subprocesses.
+    # transiently fail or WEDGE (backend init blocks forever, no
+    # exception); a lost benchmark would cost the whole round's record.
+    # First in-process under a watchdog thread — a wedge must surface as
+    # a timeout, not a hang — then fresh subprocesses with hard
+    # timeouts, spaced out to give a degraded relay time to recover.
     gcups = None
+    watchdog_s = float(os.environ.get("MINIPROT_TPU_BENCH_TIMEOUT", "420"))
     try:
-        gcups = measure_pallas_gcups()
+        import queue as _q
+        import threading as _t
+        box: _q.Queue = _q.Queue(1)
+
+        def run() -> None:
+            try:
+                box.put((True, measure_pallas_gcups()))
+            except BaseException as e:
+                box.put((False, e))
+
+        _t.Thread(target=run, daemon=True, name="bench-watchdog").start()
+        ok, val = box.get(timeout=watchdog_s)
+        if not ok:
+            raise val
+        gcups = val
     except Exception as ex:
         print(f"bench: first attempt failed ({ex!r}); retrying in a "
               "fresh process", file=sys.stderr)
     if gcups is None:
-        for attempt in range(2):
-            time.sleep(10)
+        for attempt in range(3):
+            time.sleep(60)
             try:
                 gcups = _measure_in_subprocess()
                 break

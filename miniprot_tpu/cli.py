@@ -84,6 +84,12 @@ Options:
     -o FILE      write output to FILE instead of stdout
     --resume     with -o: checkpoint after each mini-batch and resume an
                  interrupted run from the last complete batch
+  Multi-host (data-parallel shards over a shared --spool-dir):
+    --shards INT     total number of shard processes [1]
+    --shard-id INT   this process's shard index (0 emits the merge) [0]
+    --spool-dir DIR  shared directory for shard spools; an existing
+                 complete spool is a checkpoint (that shard is skipped),
+                 so use a fresh DIR when inputs or options change
 """
 
 _LONG_OPTS = {
@@ -95,13 +101,21 @@ _LONG_OPTS = {
 _LONG_OPTS_ARG = {
     "xdrop", "outn", "gff-delim", "J2", "outs", "max-skip", "max-intron-out",
     "outc", "ie-coef", "spsc", "spsc0", "spsc-max", "profile-trace",
+    "shards", "shard-id", "spool-dir",
 }
 _SHORT_ARG = "kMLslbTtdcnmKpNOEJCFGegBPwjo"
 
 
 def main(argv: list[str] | None = None) -> int:
-    """CLI entry point; always returns an exit code."""
-    r = _run(sys.argv[1:] if argv is None else argv, server_parse=False)
+    """CLI entry point; always returns an exit code.
+
+    argv=None means the process is ours (console script / python -m):
+    the exit path may then hard-exit to sidestep teardown aborts from
+    threads marooned in a wedged device relay.  Callers that pass argv
+    explicitly (tests, embedding apps) always get a normal return."""
+    owns = argv is None
+    r = _run(sys.argv[1:] if argv is None else argv, server_parse=False,
+             owns_process=owns)
     assert isinstance(r, int)
     return r
 
@@ -123,50 +137,17 @@ _PROBE_WEDGED = False
 def tpu_live(timeout: float | None = None) -> bool:
     """True when an actual TPU backend is usable (not CPU fallback).
 
-    The probe runs in a worker thread with a timeout: on relay-attached
-    devices (axon) a wedged relay makes backend init hang indefinitely,
-    and the auto-TPU default must degrade to the host engine rather
-    than hang the whole run.  MINIPROT_TPU_PROBE_TIMEOUT overrides the
-    default 60 s (0 disables the timeout)."""
-    if timeout is None:
-        timeout = float(os.environ.get("MINIPROT_TPU_PROBE_TIMEOUT", "60"))
-
-    def probe() -> bool:
-        import jax
-        jax.devices()
-        from .kernels import on_tpu_backend
-        return on_tpu_backend()
-
-    if timeout <= 0:
-        try:
-            return probe()
-        except Exception:
-            return False
-    # daemon thread, NOT ThreadPoolExecutor: executor workers are joined
-    # at interpreter exit, so a probe wedged in the relay would hang
-    # process shutdown after the run completed on the host engine
-    import queue as _q
-    import threading as _t
-    box: _q.Queue = _q.Queue(1)
-
-    def run() -> None:
-        try:
-            box.put(bool(probe()))
-        except Exception:
-            box.put(False)
-
-    _t.Thread(target=run, daemon=True, name="tpu-probe").start()
-    try:
-        return box.get(timeout=timeout)
-    except _q.Empty:
-        global _PROBE_WEDGED
-        _PROBE_WEDGED = True
-        sys.stderr.write("WARNING: TPU backend probe timed out; "
-                         "using the host engine\n")
-        return False
+    Delegates to the package-wide guarded probe
+    (kernels.probe_backend_guarded): one bounded, cached backend-init
+    attempt per process, so a wedged relay degrades the auto-TPU
+    default to the host engine instead of hanging the run.
+    MINIPROT_TPU_PROBE_TIMEOUT overrides the default 60 s (0 disables
+    the timeout)."""
+    from .kernels import probe_backend_guarded
+    return probe_backend_guarded(timeout)
 
 
-def _run(argv: list[str], server_parse: bool):
+def _run(argv: list[str], server_parse: bool, owns_process: bool = False):
     from .sysutil import disable_numpy_thp
     disable_numpy_thp()
     want_tpu = None  # auto: engage the engine when a TPU is live
@@ -193,6 +174,7 @@ def _run(argv: list[str], server_parse: bool):
     fn_spsc = None
     fn_out = None
     resume = False
+    n_shards, shard_id, spool_dir = 1, 0, None
     set_I = set_G = keep_io = 0
     pos: list[str] = []
     dbg: dict = {"use_tpu": dbg0_use_tpu}
@@ -251,6 +233,12 @@ def _run(argv: list[str], server_parse: bool):
                 mo.sp_null_bonus = s if s < 0 else -s
             elif key == "spsc-max":
                 mo.sp_max_bonus = int(val)
+            elif key == "shards":
+                n_shards = int(val)
+            elif key == "shard-id":
+                shard_id = int(val)
+            elif key == "spool-dir":
+                spool_dir = val
             elif key == "version":
                 print(MP_VERSION)
                 return 0
@@ -409,6 +397,38 @@ def _run(argv: list[str], server_parse: bool):
             trace_dir = None
     out = sys.stdout
     ckpt = None
+    if n_shards > 1 or spool_dir is not None:
+        # multi-host data-parallel run (parallel/runner.py): each shard
+        # is an independent CLI process over a shared --spool-dir; the
+        # shard-0 process performs the ordered k-way merge emit.
+        from . import sysutil
+        if spool_dir is None:
+            sysutil.error("--shards requires --spool-dir")
+            return 1
+        if not 0 <= shard_id < n_shards:
+            sysutil.error("--shard-id must be in [0, --shards)")
+            return 1
+        if len(pos) != 2:
+            sysutil.error("--shards supports exactly one query file")
+            return 1
+        if resume:
+            sysutil.error("--shards uses spool files as checkpoints; "
+                          "rerun failed shards instead of --resume")
+            return 1
+        os.makedirs(spool_dir, exist_ok=True)
+        if fn_out is not None and shard_id == 0:
+            out = open(fn_out, "w")
+        from .parallel.runner import map_file_multihost
+        try:
+            map_file_multihost(mi, pos[1], mo, shard_id, n_shards,
+                               spool_dir, out, resume=True)
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        sysutil.log("main", "Real time: %.3f sec; CPU: %.3f sec; "
+                    "Peak RSS: %.3f GB", sysutil.realtime(),
+                    sysutil.cputime(), sysutil.peakrss_gb())
+        return 0
     if resume and fn_out is None:
         from . import sysutil
         sysutil.error("--resume requires -o FILE")
@@ -446,10 +466,13 @@ def _run(argv: list[str], server_parse: bool):
     sysutil.profiler.report()
     import sys as _sys
     dev = _sys.modules.get("miniprot_tpu.device")
-    if _PROBE_WEDGED or (dev is not None and getattr(dev, "WEDGED", False)):
+    if owns_process and (
+            _PROBE_WEDGED or (dev is not None and getattr(dev, "WEDGED", False))):
         # a probe or collect thread is still wedged inside the device
         # runtime; normal teardown would join/kill it and can abort the
-        # process after all useful work is done — exit hard instead
+        # process after all useful work is done — exit hard instead.
+        # Only when the process is ours (argv=None entry): an in-process
+        # caller (pytest!) must never be silently terminated.
         _sys.stdout.flush()
         _sys.stderr.flush()
         os._exit(0)

@@ -105,45 +105,17 @@ class _Prefetcher:
 
 
 def _probe_backend_guarded() -> None:
-    """jax.devices() in a daemon thread with a timeout.
+    """Bounded backend-init check before building the device engine.
 
     On relay-attached devices the claim handshake can wedge: a raw
     jax.devices() on the main thread then blocks past every batch
     watchdog and the run dies at the harness timeout (observed in the
-    --big --tpu soak).  The CLI's tpu_live() probe guards its own call
-    the same way, but map_file re-probes — this keeps that second probe
-    bounded too.  Raises on timeout so the caller degrades to the host
-    engine; also marks the device module WEDGED so process exit is a
-    hard exit (the probe thread stays marooned inside backend init)."""
-    timeout = float(os.environ.get("MINIPROT_TPU_PROBE_TIMEOUT", "60"))
-
-    def probe() -> None:
-        import jax
-        jax.devices()
-
-    if timeout <= 0:
-        probe()
-        return
-    import queue as _q
-    import threading as _t
-    box: _q.Queue = _q.Queue(1)
-
-    def run() -> None:
-        try:
-            probe()
-            box.put((True, None))
-        except BaseException as e:
-            box.put((False, e))
-
-    _t.Thread(target=run, daemon=True, name="tpu-probe2").start()
-    try:
-        ok, err = box.get(timeout=timeout)
-    except _q.Empty:
-        from . import device
-        device.WEDGED = True
-        raise TimeoutError(f"backend probe exceeded {timeout:.0f}s")
-    if not ok:
-        raise err
+    --big --tpu soak).  Delegates to the package-wide guarded+cached
+    probe (kernels.probe_backend_guarded); raises on a dead backend so
+    the caller degrades to the host engine."""
+    from .kernels import probe_backend_guarded
+    if not probe_backend_guarded():
+        raise TimeoutError("no usable TPU backend (probe failed or timed out)")
 
 
 def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,

@@ -165,3 +165,65 @@ def disable_numpy_thp() -> None:
             np.core.multiarray._set_madvise_hugepage(False)  # numpy 1.x
         except Exception:
             pass
+
+
+def ensure_responsive_backend(timeout: float | None = None,
+                              retries: int = 1, retry_wait: float = 0.0) -> str:
+    """Make sure jax backend init cannot wedge this process.
+
+    Returns "tpu" (live accelerator backend), "cpu" (no accelerator,
+    backend init healthy), or "wedged" (the relay probe hung and this
+    process was demoted to CPU-only jax).
+
+    On relay-attached machines the site hook registers the relay
+    platform in EVERY python process (jax.config jax_platforms is
+    force-set at startup, so JAX_PLATFORMS=cpu in the env does not
+    help), and a degraded relay then blocks the first jax.devices() /
+    jit of ANY process forever.  This helper probes backend init in a
+    throwaway SUBPROCESS under a timeout; if the probe wedges, the
+    current process is demoted: jax_platforms is forced to "cpu"
+    before any backend exists here (so the relay backend is never
+    initialized in-process), and the relay env triggers are removed
+    from os.environ so child processes start with plain CPU jax.
+
+    Call this at process entry (test session start, bench, driver
+    entry) BEFORE the first jax backend touch.  No-op when the relay
+    site hook is absent.  MINIPROT_TPU_PROBE_TIMEOUT overrides the
+    default 90 s."""
+    import os
+    import subprocess
+    import sys
+    import time
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return "cpu"  # no relay hook; nothing can wedge
+    if timeout is None:
+        timeout = float(os.environ.get("MINIPROT_TPU_PROBE_TIMEOUT", "90"))
+    for attempt in range(max(1, retries)):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=timeout)
+            if r.returncode == 0:
+                be = r.stdout.strip().splitlines()[-1]
+                return "tpu" if be in ("tpu", "axon") else "cpu"
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < retries and retry_wait > 0:
+            time.sleep(retry_wait)
+    # demote this process (and its children) to CPU-only jax
+    warn("accelerator backend probe wedged; demoting this process to "
+         "CPU-only jax")
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)   # children: no relay hook
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # undo the site hook's set
+    except Exception:
+        pass
+    try:  # the shared in-process probe must agree with the demotion
+        from . import kernels
+        kernels._probe_result = False
+    except Exception:
+        pass
+    return "wedged"

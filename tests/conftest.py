@@ -1,11 +1,23 @@
 import os
 
-# Run all tests on the CPU backend with a virtual 8-device mesh so
-# multi-chip sharding logic is exercised without TPU hardware.
+# A virtual 8-device CPU mesh so multi-chip sharding logic is exercised
+# without TPU hardware.  JAX_PLATFORMS is only a default: on
+# relay-attached machines the site hook force-selects the relay
+# platform via jax.config at interpreter startup, so TPU-gated tests
+# run live when a chip is healthy.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A degraded relay wedges the first backend init of EVERY process (the
+# site hook registers the relay platform regardless of JAX_PLATFORMS).
+# Probe it in a subprocess and demote this pytest run to CPU-only jax
+# if it hangs — otherwise collection itself deadlocks on the first
+# module-level on_tpu_backend() gate.
+from miniprot_tpu.sysutil import ensure_responsive_backend
+
+ensure_responsive_backend()
 
 import pathlib
 import subprocess
