@@ -44,11 +44,41 @@ def spool_path(spool_dir: str, process_id: int) -> str:
     return os.path.join(spool_dir, f"shard{process_id:05d}.pkl")
 
 
+def wait_for_spools(spool_dir: str, num_processes: int,
+                    timeout: float = 86400.0, poll: float = 0.5) -> None:
+    """Filesystem barrier: block until every shard spool exists.
+
+    Used when no jax.distributed client coordinates the processes (e.g.
+    independent CLI launches over a shared filesystem).  Spool files are
+    written to a .tmp name and os.replace()d, so existence implies the
+    shard is complete."""
+    import time as _time
+    deadline = _time.monotonic() + timeout
+    missing = set(range(num_processes))
+    while missing:
+        missing = {pid for pid in missing
+                   if not os.path.exists(spool_path(spool_dir, pid))}
+        if not missing:
+            return
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"shards never finished: {sorted(missing)} "
+                f"(no spool file after {timeout:.0f}s)")
+        _time.sleep(poll)
+
+
 def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
-              num_processes: int, spool_dir: str) -> int:
+              num_processes: int, spool_dir: str,
+              resume: bool = False) -> int:
     """Map queries with global index % num_processes == process_id,
     streaming (query_index, name, seq_bytes, regions) records to the
-    shard spool in ascending query order."""
+    shard spool in ascending query order.
+
+    resume: when the final spool file already exists, skip mapping (the
+    atomic .tmp -> final rename makes an existing spool a complete,
+    trustworthy checkpoint; docstring at module top)."""
+    if resume and os.path.exists(spool_path(spool_dir, process_id)):
+        return -1
     env = DpEnv(opt)
     reader = BatchReader(fn)
     n = 0
@@ -103,21 +133,41 @@ def emit_merged(mi: Index, opt: MapOpt, num_processes: int, spool_dir: str,
 
 def map_file_multihost(mi: Index, fn: str, opt: MapOpt, process_id: int,
                        num_processes: int, spool_dir: str, out,
-                       barrier=None) -> int:
+                       barrier=None, resume: bool = False) -> int:
     """Full multi-host run for one process: map my shard, barrier, and
     (on process 0) emit the merged ordered output.
 
     barrier: callable; defaults to jax.experimental.multihost_utils.
     sync_global_devices when a jax.distributed client is initialized,
-    else a no-op (single process)."""
-    n = map_shard(mi, fn, opt, process_id, num_processes, spool_dir)
+    else the filesystem barrier (wait for every shard's spool file) —
+    the mode the CLI's --shards flag uses, where each shard is an
+    independent process over a shared spool directory."""
+    n = map_shard(mi, fn, opt, process_id, num_processes, spool_dir,
+                  resume=resume)
     if barrier is None:
         if num_processes > 1:
-            from jax.experimental.multihost_utils import sync_global_devices
-            barrier = lambda: sync_global_devices("miniprot_tpu_spool")
+            try:
+                # presence of a jax.distributed client, WITHOUT touching
+                # jax backends: backend init can wedge on a degraded
+                # relay, and the fs-mode barrier must not require it
+                from jax._src.distributed import global_state as _jd
+                dist_up = getattr(_jd, "client", None) is not None
+            except Exception:
+                dist_up = False
+            if dist_up:
+                from jax.experimental.multihost_utils import \
+                    sync_global_devices
+                barrier = lambda: sync_global_devices("miniprot_tpu_spool")
+            elif process_id == 0:
+                barrier = lambda: wait_for_spools(spool_dir, num_processes)
+            else:
+                # fs mode: a non-zero shard is done once its own spool
+                # is renamed; only the emitter must wait for everyone
+                barrier = lambda: None
         else:
             barrier = lambda: None
-    barrier()
     if process_id == 0:
+        barrier()
         return emit_merged(mi, opt, num_processes, spool_dir, out)
+    barrier()
     return n

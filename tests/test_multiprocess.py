@@ -163,3 +163,47 @@ def test_multi_process_mapping_matches_single(tmp_path, n_proc):
         assert p.returncode == 0 and f"MAP-OK-{i}" in out, (out, err[-2000:])
     with open(out_path) as f:
         assert f.read() == golden
+
+
+def test_cli_shards_match_single(tmp_path):
+    """The CLI --shards/--shard-id/--spool-dir flags (independent
+    processes over a shared spool dir, no jax.distributed) produce
+    byte-identical output to a plain single-process CLI run, and an
+    existing spool is honored as a checkpoint (rerun skips mapping)."""
+    from miniprot_tpu.testgen import make_workload
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=400_000, n_genes=8, seed=11, n_ctg=2,
+                  max_intron=4000, rev_frac=0.4)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # plain CPU children
+    single = subprocess.run(
+        [sys.executable, "-m", "miniprot_tpu.cli", "--no-tpu", "-t1", fa, faa],
+        env=env, capture_output=True, text=True, timeout=600, check=True)
+
+    spool = str(tmp_path / "spool")
+    out_path = str(tmp_path / "sharded.paf")
+    n = 3
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "miniprot_tpu.cli", "--no-tpu", "-t1",
+         "--shards", str(n), "--shard-id", str(i), "--spool-dir", spool,
+         *(["-o", out_path] if i == 0 else []), fa, faa],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(n)]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err
+    got = open(out_path).read()
+    assert got == single.stdout
+    assert got.count("\n") >= 8
+
+    # checkpoint semantics: shard 1's spool exists, rerun must skip its
+    # mapping (and the emitter must still produce identical output)
+    os.remove(out_path)
+    r = subprocess.run(
+        [sys.executable, "-m", "miniprot_tpu.cli", "--no-tpu", "-t1",
+         "--shards", str(n), "--shard-id", "0", "--spool-dir", spool,
+         "-o", out_path, fa, faa],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert open(out_path).read() == single.stdout
