@@ -266,21 +266,12 @@ def extra_cal(r: Region, opt: MapOpt, nt: np.ndarray, l_nt: int,
         r.feat = None
 
 
-def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
-                       r: Region, extl0: int, extr0: int,
-                       dbg_more_dp: bool = False):
-    """Per-region alignment as a generator (mp_align, align.c:239-342).
-
-    Yields LISTS of DP requests — ("ext", nsq, asq, ss, io, ext_left)
-    expecting (score, nt_len, aa_len) back, or ("cigars", jobs)
-    expecting [(score, cigar), ...] — and receives the matching list of
-    results at each send.  The rounds are arranged to minimize device
-    round trips: round 1 issues the left AND right extensions together
-    (the right extension's rectangle depends only on the anchor walk,
-    not on the left result), round 2 only the io_end retries when
-    needed, round 3 one merged CIGAR batch covering the left-clip
-    rectangle, every anchor gap and the right-tail rectangle.
-    """
+def _region_window(opt: MapOpt, mi, qlen: int, aa: np.ndarray, r: Region,
+                   extl0: int, extr0: int, dbg_more_dp: bool):
+    """Shared alignment-round prefix (align.c:241-275): anchor filter,
+    extension caps, genome window + spsc track fetch.  Returns
+    (i0, as_, ae, nt, ss), or None when no tight anchor block survives
+    (the region dies).  Mutates r.a (bit-31 marks)."""
     assert r.cnt > 0
     i0 = 0
     if not dbg_more_dp:
@@ -289,7 +280,7 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
         nz = np.flatnonzero(marked)
         if len(nz) == 0:
             r.a = np.empty(0, np.uint64)
-            return
+            return None
         i0 = int(nz[0])
 
     extl = extr = opt.max_ext
@@ -305,9 +296,44 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
     as_ = r.vs - extl if r.vs > extl else 0
     ae = min(r.ve + extr, ctg_len)
     nt = mi.nt.get_by_v(r.vid, as_, ae)
-    l_nt = len(nt)
-    assert l_nt == ae - as_
+    assert len(nt) == ae - as_
     ss = mi.nt.spsc_get_by_v(r.vid, as_, ae) if mi.nt.spsc is not None else None
+    return i0, as_, ae, nt, ss
+
+
+def _region_finish(opt: MapOpt, mi, qlen: int, aa: np.ndarray, r: Region,
+                   score: int, cigar: np.ndarray, nt: np.ndarray,
+                   as_: int, ae: int) -> None:
+    """Shared alignment-round suffix: attach the Extra record, the
+    start/stop-codon distances and the per-CIGAR-op stats/features
+    (align.c:336-339)."""
+    r.p = Extra(dp_score=score, cigar=cigar)
+    r.p.dist_stop = extra_stop(r, nt, as_, ae)
+    r.p.dist_start = extra_start(r, nt, as_, ae)
+    extra_cal(r, opt, nt[r.vs - as_:], len(nt) - (r.vs - as_), aa[r.qs:],
+              qlen, mi.nt.spsc is not None)
+
+
+def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
+                       r: Region, extl0: int, extr0: int,
+                       dbg_more_dp: bool = False):
+    """Per-region alignment as a generator (mp_align, align.c:239-342).
+
+    Yields LISTS of DP requests — ("ext", nsq, asq, ss, io, ext_left)
+    expecting (score, nt_len, aa_len) back, or ("cigars", jobs)
+    expecting [(score, cigar), ...] — and receives the matching list of
+    results at each send.  The rounds are arranged to minimize device
+    round trips: round 1 issues the left AND right extensions together
+    (the right extension's rectangle depends only on the anchor walk,
+    not on the left result), round 2 only the io_end retries when
+    needed, round 3 one merged CIGAR batch covering the left-clip
+    rectangle, every anchor gap and the right-tail rectangle.
+    """
+    setup = _region_window(opt, mi, qlen, aa, r, extl0, extr0, dbg_more_dp)
+    if setup is None:
+        return
+    i0, as_, ae, nt, ss = setup
+    l_nt = len(nt)
     vs0 = r.vs
     cig: list[int] = []
     score = 0
@@ -453,11 +479,8 @@ def align_region_steps(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
         r.ve = r_ve + r_ntl
         r.qe = r_qe + r_aal
 
-    r.p = Extra(dp_score=score, cigar=np.array(cig, dtype=np.uint32))
-    r.p.dist_stop = extra_stop(r, nt, as_, ae)
-    r.p.dist_start = extra_start(r, nt, as_, ae)
-    extra_cal(r, opt, nt[r.vs - as_:], l_nt - (r.vs - as_), aa[r.qs:], qlen,
-              mi.nt.spsc is not None)
+    _region_finish(opt, mi, qlen, aa, r, score,
+                   np.array(cig, dtype=np.uint32), nt, as_, ae)
 
 
 def run_steps_host(gen, env: DpEnv) -> None:
@@ -482,6 +505,23 @@ def run_steps_host(gen, env: DpEnv) -> None:
 
 def align_region(env: DpEnv, opt: MapOpt, mi, qlen: int, aa: np.ndarray,
                  r: Region, extl0: int, extr0: int, dbg_more_dp: bool = False) -> None:
-    """Full per-region alignment with inline host-C extensions."""
-    run_steps_host(align_region_steps(env, opt, mi, qlen, aa, r, extl0, extr0,
-                                      dbg_more_dp), env)
+    """Full per-region alignment on the host engine.
+
+    Runs the whole DP-step plan in one native call (mx_align_region):
+    extensions + io_end retries + gap/tail CIGAR DPs + cigar assembly.
+    Identical results to driving align_region_steps with run_steps_host
+    (the device path's generator), which remains the parity oracle
+    (tests/test_native.py::test_align_region_native_matches_generator)."""
+    setup = _region_window(opt, mi, qlen, aa, r, extl0, extr0, dbg_more_dp)
+    if setup is None:
+        return
+    i0, as_, ae, nt, ss = setup
+    res = native.align_region(
+        env.ctx, nt, ss, aa, qlen, r.a[i0:r.cnt], r.vs, as_, ae,
+        r.ve, r.qe, dbg_more_dp, env.io, env.io_end,
+        opt.kmer2, opt.max_ext)
+    score, r.vs, r.qs, r.ve, r.qe, cigar, cells, ndp = res
+    from .sysutil import profiler
+    profiler.cells_host += cells
+    profiler.n_dp_host += ndp
+    _region_finish(opt, mi, qlen, aa, r, score, cigar, nt, as_, ae)

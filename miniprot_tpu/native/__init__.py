@@ -732,3 +732,63 @@ def unpack(packed: np.ndarray, s: int, e: int, rev: bool) -> np.ndarray:
     if n:
         _unpack_raw(packed.ctypes.data, s, e, int(rev), out.ctypes.data)
     return out
+
+
+_lib.mx_align_region.argtypes = None  # called through the raw pointer below
+_align_region_raw = ct.CFUNCTYPE(
+    None,
+    ct.c_void_p, ct.c_int64, ct.c_void_p,        # nt, l_nt, ss
+    ct.c_void_p, ct.c_int32,                     # aa, qlen
+    ct.c_void_p, ct.c_int64,                     # av, n_av
+    ct.c_int64, ct.c_int64, ct.c_int64,          # vs0, as_, ae
+    ct.c_int64, ct.c_int32, ct.c_int32,          # in_ve, in_qe, more_dp
+    ct.c_void_p, ct.c_int32,                     # mat, asize
+    ct.c_void_p, ct.c_void_p, ct.c_void_p,       # nt4, aa20, codon
+    ct.c_void_p, ct.c_int32,                     # sp, sp_null_bonus
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,  # go ge io io_end fs
+    ct.c_int32, ct.c_int32, ct.c_float,          # xdrop, end_bonus, ie_coef
+    ct.c_int32, ct.c_int32, ct.c_int32,          # kmer2, max_ext, use_x4
+    ct.c_void_p, ct.c_void_p, ct.c_void_p,       # out_score, out_vs, out_qs
+    ct.c_void_p, ct.c_void_p,                    # out_ve, out_qe
+    ct.c_void_p, ct.c_void_p,                    # cig, n_cig
+    ct.c_void_p, ct.c_void_p,                    # out_cells, out_ndp
+)(ct.cast(_lib.mx_align_region, ct.c_void_p).value)
+
+
+def align_region(ctx: "Dp16Ctx", nt: np.ndarray, ss: np.ndarray | None,
+                 aa: np.ndarray, qlen: int, av: np.ndarray,
+                 vs0: int, as_: int, ae: int, in_ve: int, in_qe: int,
+                 more_dp: bool, io: int, io_end: int,
+                 kmer2: int, max_ext: int):
+    """One-call host alignment of a region (mx_align_region): the whole
+    per-region DP-step plan — extensions, io_end retries, anchor-gap
+    CIGAR DPs with the trivial shortcut, right tail — executed natively.
+    Bit-identical to driving align.align_region_steps with the host DP.
+
+    Returns (score, vs, qs, ve, qe, cigar, cells, n_dp)."""
+    n_av = len(av)
+    cig = np.empty(len(nt) + qlen + 16 * (n_av + 4), np.uint32)
+    sc = ct.c_int32(0)
+    ovs = ct.c_int64(0)
+    oqs = ct.c_int32(0)
+    ove = ct.c_int64(0)
+    oqe = ct.c_int32(0)
+    ncig = ct.c_int32(0)
+    cells = ct.c_int64(0)
+    ndp = ct.c_int32(0)
+    _align_region_raw(
+        nt.ctypes.data, len(nt), ss.ctypes.data if ss is not None else None,
+        aa.ctypes.data, qlen, av.ctypes.data, n_av,
+        vs0, as_, ae, in_ve, in_qe, int(more_dp),
+        ctx._pmat, ctx.asize, ctx._pnt4, ctx._paa20, ctx._pcodon,
+        ctx._psp, ctx.sp_null_bonus,
+        ctx.go, ctx.ge, io, io_end, ctx.fs,
+        ctx.xdrop, ctx.end_bonus, ctx.ie_coef,
+        kmer2, max_ext, int(_x4_pays(ctx)),
+        ct.addressof(sc), ct.addressof(ovs), ct.addressof(oqs),
+        ct.addressof(ove), ct.addressof(oqe),
+        cig.ctypes.data, ct.addressof(ncig),
+        ct.addressof(cells), ct.addressof(ndp))
+    return (int(sc.value), int(ovs.value), int(oqs.value), int(ove.value),
+            int(oqe.value), cig[:ncig.value].copy(), int(cells.value),
+            int(ndp.value))

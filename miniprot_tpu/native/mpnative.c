@@ -2850,3 +2850,260 @@ MX_EXPORT void mx_unpack(const uint8_t *packed, int64_t s, int64_t e,
 		}
 	}
 }
+
+/* ---------------------------------------------------------------- */
+/* [original]  Host alignment-region driver.
+ *
+ * Runs the whole per-region DP-step plan of the alignment round in
+ * native code: left/right score-only extensions with the cheaper
+ * io_end terminal-exon retry, the left-clip CIGAR rectangle, one
+ * CIGAR DP (or the trivial exact-size ungapped shortcut) per marked
+ * anchor gap, and the right-tail rectangle — behavioral spec
+ * mp_align, align.c:239-342.  The Python generator
+ * (align.align_region_steps) implements the identical plan for the
+ * device engine and serves as this driver's parity oracle
+ * (tests/test_native.py).  Eliminates ~15 Python/ctypes round trips
+ * and ~6 numpy slice copies per region on the host path.
+ *
+ * av[]: region-local anchors (nt_off<<32 | qpos), starting at the
+ * first marked (bit31) anchor; only marked entries participate.
+ * Genome coordinates (vs0, as_, ae and the vs/ve outputs) are int64.
+ * Returns the summed dp_score, the merged CIGAR, the final region
+ * rectangle, and profiler counts (DP calls + cells).
+ */
+MX_EXPORT void mx_align_region(
+	const uint8_t *nt, int64_t l_nt, const uint8_t *ss,
+	const uint8_t *aa, int32_t qlen,
+	const uint64_t *av, int64_t n_av,
+	int64_t vs0, int64_t as_, int64_t ae,
+	int64_t in_ve, int32_t in_qe, int32_t more_dp,
+	const int8_t *mat, int32_t asize,
+	const uint8_t *nt4, const uint8_t *aa20, const uint8_t *codon_tab,
+	const int32_t *sp, int32_t sp_null_bonus,
+	int32_t go_, int32_t ge_, int32_t io_, int32_t io_end,
+	int32_t fs_, int32_t xdrop, int32_t end_bonus, float ie_coef,
+	int32_t kmer2, int32_t max_ext, int32_t use_x4,
+	int32_t *out_score, int64_t *out_vs, int32_t *out_qs,
+	int64_t *out_ve, int32_t *out_qe,
+	uint32_t *cig, int32_t *n_cig,
+	int64_t *out_cells, int32_t *out_ndp)
+{
+	int64_t vs1, r_ve, ne0, base, k;
+	int32_t as1, r_qe, ae0, score = 0, nc = 0;
+	int32_t sc, nt_len, aa_len, r_ntl = 0, r_aal = 0, ncig_tmp;
+	int32_t do_right, n_marked = 0, n_jobs = 0, n_plan = 0;
+	int64_t cells = 0;
+	int32_t ndp = 0;
+	uint32_t ext_cig[16];  /* ext modes never emit ops; sized like the
+	                          Python wrapper's _EMPTY_CIG for safety */
+	/* per-gap job tables (malloc: mx_dp16 below owns the scratch slots) */
+	int64_t *jb_nts, *jb_ntl, *jb_aas, *jb_aal;   /* job rectangles */
+	int32_t *jb_sc, *jb_nc;                       /* results */
+	int64_t *jb_off;                              /* cigar segment offsets */
+	uint32_t *jb_cig;                             /* cigar segments */
+	int32_t *plan;                                /* >=0: job idx; <0: -(Mlen+1) trivial */
+	int64_t cig_cap;
+
+	*out_score = 0, *n_cig = 0, *out_cells = 0, *out_ndp = 0;
+	*out_vs = vs0, *out_qs = 0, *out_ve = in_ve, *out_qe = in_qe;
+	if (n_av <= 0) return;
+
+	for (k = 0; k < n_av; ++k)
+		n_marked += (int32_t)(av[k] >> 31 & 1);
+	if (!more_dp && n_marked == 0) return;
+
+	vs1 = vs0 + (int64_t)(av[0] >> 32) + 1;
+	as1 = (int32_t)(av[0] & 0x7FFFFFFFu) + 1;
+	if (more_dp) {
+		r_ve = in_ve, r_qe = in_qe;
+	} else {
+		for (k = n_av - 1; k >= 0; --k)
+			if (av[k] >> 31 & 1) break;
+		r_ve = vs0 + (int64_t)(av[k] >> 32) + 1;
+		r_qe = (int32_t)(av[k] & 0x7FFFFFFFu) + 1;
+	}
+
+	/* left extension (align.c:280-301); reversed inputs inside mx_dp16 */
+	mx_dp16(nt, (int32_t)(vs1 - as_), aa, as1, ss, mat, asize, nt4, aa20,
+	        codon_tab, sp, sp_null_bonus, DPF_EXT_LEFT, go_, ge_, io_, fs_,
+	        xdrop, end_bonus, ie_coef, &sc, &nt_len, &aa_len, ext_cig, &ncig_tmp);
+	cells += (int64_t)(vs1 - as_) * as1, ++ndp;
+
+	do_right = r_qe < qlen && r_ve < ae;
+	if (do_right) {
+		mx_dp16(nt + (r_ve - as_), (int32_t)(ae - r_ve), aa + r_qe,
+		        qlen - r_qe, ss ? ss + (r_ve - as_) : 0, mat, asize, nt4,
+		        aa20, codon_tab, sp, sp_null_bonus, DPF_EXT_RIGHT, go_, ge_,
+		        io_, fs_, xdrop, end_bonus, ie_coef, &sc, &r_ntl, &r_aal,
+		        ext_cig, &ncig_tmp);
+		cells += (int64_t)(ae - r_ve) * (qlen - r_qe), ++ndp;
+	}
+
+	/* io_end retries for terminal exons (align.c:290-296, 320-327) */
+	if (aa_len != as1 && nt_len < max_ext && io_ > io_end) {
+		int64_t as_alt = vs1 - as_ > max_ext ? vs1 - max_ext : as_;
+		int32_t ntl2, aal2;
+		mx_dp16(nt + (as_alt - as_), (int32_t)(vs1 - as_alt), aa, as1,
+		        ss ? ss + (as_alt - as_) : 0, mat, asize, nt4, aa20,
+		        codon_tab, sp, sp_null_bonus, DPF_EXT_LEFT, go_, ge_,
+		        io_end, fs_, xdrop, end_bonus, ie_coef, &sc, &ntl2, &aal2,
+		        ext_cig, &ncig_tmp);
+		cells += (vs1 - as_alt) * (int64_t)as1, ++ndp;
+		if (aal2 == as1) nt_len = ntl2, aa_len = aal2;
+	}
+	if (do_right && r_aal < qlen - r_qe && r_ntl < max_ext && io_ > io_end) {
+		int64_t l_ext = ae - r_ve < max_ext ? ae - r_ve : max_ext;
+		int32_t ntl2, aal2;
+		mx_dp16(nt + (r_ve - as_), (int32_t)l_ext, aa + r_qe, qlen - r_qe,
+		        ss ? ss + (r_ve - as_) : 0, mat, asize, nt4, aa20,
+		        codon_tab, sp, sp_null_bonus, DPF_EXT_RIGHT, go_, ge_,
+		        io_end, fs_, xdrop, end_bonus, ie_coef, &sc, &ntl2, &aal2,
+		        ext_cig, &ncig_tmp);
+		cells += l_ext * (int64_t)(qlen - r_qe), ++ndp;
+		if (aal2 == qlen - r_qe) r_ntl = ntl2, r_aal = aal2;
+	}
+
+	*out_vs = vs1 - nt_len;
+	*out_qs = as1 - aa_len;
+	ne0 = *out_vs - vs0;
+	ae0 = *out_qs;
+	base = vs0 - as_;
+
+	/* plan the gap-patching DPs (align.c:303-314) */
+	{
+		int32_t cap = n_marked + 2;
+		plan = (int32_t*)malloc(sizeof(int32_t) * cap);
+		jb_nts = (int64_t*)malloc(sizeof(int64_t) * cap);
+		jb_ntl = (int64_t*)malloc(sizeof(int64_t) * cap);
+		jb_aas = (int64_t*)malloc(sizeof(int64_t) * cap);
+		jb_aal = (int64_t*)malloc(sizeof(int64_t) * cap);
+	}
+
+#define PLAN_GAP(nt_s_, nt_e_, aa_s_, aa_e_) do { \
+	int64_t _ns = (nt_s_), _ne = (nt_e_); \
+	int32_t _as = (aa_s_), _ae2 = (aa_e_), _al = _ae2 - _as; \
+	if (_ne - _ns == (int64_t)_al * 3 && _al <= kmer2) { \
+		score += mx_score_ungapped(nt + _ns, aa + _as, _al, mat, asize, \
+		                           codon_tab, aa20); \
+		plan[n_plan++] = -(_al + 1); \
+	} else { \
+		jb_nts[n_jobs] = _ns, jb_ntl[n_jobs] = _ne - _ns; \
+		jb_aas[n_jobs] = _as, jb_aal[n_jobs] = _al; \
+		plan[n_plan++] = n_jobs++; \
+	} \
+} while (0)
+
+	if (more_dp) {  /* debug oracle: one DP over the whole region */
+		PLAN_GAP(*out_vs - as_, in_ve - as_, ae0, in_qe);
+	} else {
+		int64_t nt_s = ne0 + base;
+		for (k = 0; k < n_av; ++k) {
+			int64_t ne1;
+			int32_t ae1;
+			if (!(av[k] >> 31 & 1)) continue;
+			ne1 = (int64_t)(av[k] >> 32) + 1;
+			ae1 = (int32_t)(av[k] & 0x7FFFFFFFu) + 1;
+			PLAN_GAP(nt_s, ne1 + base, ae0, ae1);
+			ne0 = ne1, ae0 = ae1, nt_s = ne1 + base;
+		}
+		*out_ve = ne0 + vs0;
+		*out_qe = ae0;
+	}
+
+	/* right-tail rectangle joins the same batch (align.c:328-333) */
+	if (do_right)
+		PLAN_GAP(r_ve - as_, r_ve - as_ + r_ntl, r_qe, r_qe + r_aal);
+#undef PLAN_GAP
+
+	/* run the CIGAR jobs: order by genome length desc and batch up to
+	 * 4 per AVX-512 call with the padding-waste gate (identical policy
+	 * to the Python dp_cigars batcher; results are bit-identical to
+	 * per-problem mx_dp16 either way) */
+	cig_cap = 0;
+	for (k = 0; k < n_jobs; ++k) cig_cap += jb_ntl[k] + jb_aal[k] + 16;
+	jb_cig = (uint32_t*)malloc(sizeof(uint32_t) * (cig_cap > 0 ? cig_cap : 1));
+	jb_off = (int64_t*)malloc(sizeof(int64_t) * (n_jobs + 1));
+	jb_sc = (int32_t*)malloc(sizeof(int32_t) * (n_jobs + 1));
+	jb_nc = (int32_t*)malloc(sizeof(int32_t) * (n_jobs + 1));
+	{
+		int64_t off = 0;
+		for (k = 0; k < n_jobs; ++k)
+			jb_off[k] = off, off += jb_ntl[k] + jb_aal[k] + 16;
+	}
+	if (n_jobs > 0) {
+		int32_t *order = (int32_t*)malloc(sizeof(int32_t) * n_jobs);
+		int32_t i, j;
+		for (i = 0; i < n_jobs; ++i) order[i] = i;
+		for (i = 1; i < n_jobs; ++i) {  /* insertion sort, nl desc, stable */
+			int32_t t = order[i];
+			for (j = i; j > 0 && jb_ntl[order[j - 1]] < jb_ntl[t]; --j)
+				order[j] = order[j - 1];
+			order[j] = t;
+		}
+		i = 0;
+		while (i < n_jobs) {
+			int32_t n_chunk = 0;
+			if (use_x4) {
+				int64_t cost = 0, mnl = 0, msl = 0;
+				for (j = i; j < n_jobs && n_chunk < X4; ++j) {
+					int64_t nl_i = jb_ntl[order[j]];
+					int64_t sl_i = (jb_aal[order[j]] + 7) / 8;
+					if (n_chunk > 0 &&
+					    (n_chunk + 1) * mnl * (msl > sl_i ? msl : sl_i) * 10
+					        > 13 * (cost + nl_i * sl_i))
+						break;
+					if (n_chunk == 0) mnl = nl_i, msl = sl_i;
+					else msl = msl > sl_i ? msl : sl_i;
+					cost += nl_i * sl_i;
+					++n_chunk;
+				}
+			} else n_chunk = 1;
+			{
+				int64_t nsq_addr[X4], asq_addr[X4], ss_addr[X4], offs[X4];
+				int32_t nls[X4], als[X4], scs[X4], ncs[X4];
+				for (j = 0; j < n_chunk; ++j) {
+					int32_t jj = order[i + j];
+					nsq_addr[j] = (int64_t)(intptr_t)(nt + jb_nts[jj]);
+					asq_addr[j] = (int64_t)(intptr_t)(aa + jb_aas[jj]);
+					ss_addr[j] = ss ? (int64_t)(intptr_t)(ss + jb_nts[jj]) : 0;
+					nls[j] = (int32_t)jb_ntl[jj];
+					als[j] = (int32_t)jb_aal[jj];
+					offs[j] = jb_off[jj];
+					cells += jb_ntl[jj] * jb_aal[jj], ++ndp;
+				}
+				mx_dp16x4(n_chunk, nsq_addr, nls, asq_addr, als, ss_addr,
+				          mat, asize, nt4, aa20, codon_tab, sp,
+				          sp_null_bonus, go_, ge_, io_, fs_, scs, jb_cig,
+				          offs, ncs);
+				for (j = 0; j < n_chunk; ++j) {
+					int32_t jj = order[i + j];
+					jb_sc[jj] = scs[j], jb_nc[jj] = ncs[j];
+				}
+			}
+			i += n_chunk;
+		}
+		free(order);
+	}
+
+	/* assemble the region CIGAR in plan order */
+	for (k = 0; k < n_plan; ++k) {
+		if (plan[k] < 0) {
+			nc = push_cigar(cig, nc, C_M, (uint32_t)(-plan[k] - 1));
+		} else {
+			int32_t jj = plan[k], c;
+			const uint32_t *seg = jb_cig + jb_off[jj];
+			score += jb_sc[jj];
+			for (c = 0; c < jb_nc[jj]; ++c)
+				nc = push_cigar(cig, nc, seg[c] & 0xF, seg[c] >> 4);
+		}
+	}
+	if (do_right) {
+		*out_ve = r_ve + r_ntl;
+		*out_qe = r_qe + r_aal;
+	}
+
+	*out_score = score, *n_cig = nc;
+	*out_cells = cells, *out_ndp = ndp;
+	free(plan), free(jb_nts), free(jb_ntl), free(jb_aas), free(jb_aal);
+	free(jb_cig), free(jb_off), free(jb_sc), free(jb_nc);
+}

@@ -394,3 +394,58 @@ def test_bb_streaming_build_matches_sorted_merge():
         assert n_final == len(kb_g), (trial, bucket_bits)
         assert np.array_equal(kb_s[:n_final], kb_g), trial
         assert np.array_equal(ki_s, ki_g), trial
+
+
+def test_align_region_native_matches_generator(tmp_path):
+    """The one-call native region driver (mx_align_region) is
+    bit-identical to driving the device path's DP-step generator
+    (align.align_region_steps + run_steps_host) — same Extra records,
+    same emitted bytes — across a randomized multi-gene workload with
+    frameshifts, reverse strands and both --dbg-aflt modes."""
+    import io
+
+    from miniprot_tpu import align as al
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.bseq import read_fastx
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.pipeline import _emit_query
+    from miniprot_tpu.mapper import map_query
+    from miniprot_tpu.testgen import make_workload
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=300_000, n_genes=10, seed=23, n_ctg=2,
+                  max_exons=6, max_intron=3000, mut_rate=0.06, rev_frac=0.5,
+                  fs_frac=0.3)
+    mi = Index.build(fa, IdxOpt())
+    recs = list(read_fastx(faa))
+
+    def run(use_native, more_dp):
+        saved = al.align_region
+        if not use_native:
+            def gen_driver(env, opt, mi_, qlen, aa, r, extl0, extr0,
+                           dbg_more_dp=False):
+                al.run_steps_host(
+                    al.align_region_steps(env, opt, mi_, qlen, aa, r,
+                                          extl0, extr0, dbg_more_dp), env)
+            al.align_region = gen_driver
+        import miniprot_tpu.mapper as mp
+        mp.align_region = al.align_region
+        try:
+            buf = io.StringIO()
+            idc = [0]
+            opt = MapOpt()
+            dbg = {"more_dp": True} if more_dp else None
+            for rec in recs:
+                seq = np.frombuffer(rec.seq, np.uint8)
+                regs = map_query(mi, seq, opt, dbg=dbg)
+                _emit_query(mi, opt, rec.name, seq, regs, idc, buf)
+            return buf.getvalue()
+        finally:
+            al.align_region = saved
+            mp.align_region = saved
+
+    for more_dp in (False, True):
+        got = run(True, more_dp)
+        want = run(False, more_dp)
+        assert got == want, f"native driver diverged (more_dp={more_dp})"
+        assert got.count("\n") >= 10
