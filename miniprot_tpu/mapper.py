@@ -59,7 +59,37 @@ def cal_max_occ(mi: Index, sd: np.ndarray) -> int:
 def refine_region(mi: Index, opt: MapOpt, aa: np.ndarray, r: Region,
                   extl: int, extr: int) -> None:
     """Second-round re-seeding at base resolution (mp_refine_reg,
-    map.c:32-111).  Clears r.a if no chain survives."""
+    map.c:32-111), executed in one native call (mx_refine_region).
+    Clears r.a if no chain survives.  refine_region_py is the Python
+    plan this replaced — kept as the parity oracle."""
+    from . import tables
+    kmer = opt.kmer2
+    ctg_len = mi.nt.ctg[r.vid >> 1].len
+    as_ = r.vs - extl if r.vs > extl else 0
+    ae = min(r.ve + extr, ctg_len)
+    nt = mi.nt.get_by_v(r.vid, as_, ae)
+    T = tables.get_tables(mi.opt.trans_code)
+    res = native.refine_region_c(
+        nt, aa, codon=T.codon, codon13=T.codon13,
+        aa13=tables.get_tables(1).aa13,  # reduced alphabet is code-independent
+        kmer=kmer, min_aa_len=mi.opt.min_aa_len, max_ava=opt.max_ava,
+        max_dist_x=opt.max_intron, max_dist_y=opt.max_gap, bw=opt.bw,
+        max_skip=opt.max_chn_max_skip, max_iter=opt.max_chn_iter,
+        min_cnt=opt.min_chn_cnt, min_sc=opt.min_chn_sc,
+        chn_coef_log=opt.chn_coef_log,
+        is_spliced=not (opt.flag & F_NO_SPLICE))
+    if res is None:
+        r.a = np.empty(0, np.uint64)
+        return
+    r.a, r.chn_sc, r.qs, r.qe, vs_rel, ve_rel, r.chn_sc_ungap = res
+    r.vs = as_ + vs_rel
+    r.ve = as_ + ve_rel
+
+
+def refine_region_py(mi: Index, opt: MapOpt, aa: np.ndarray, r: Region,
+                     extl: int, extr: int) -> None:
+    """Python plan for the second-round refinement (parity oracle for
+    mx_refine_region; same primitives, same order)."""
     kmer = opt.kmer2
     is_splice = not (opt.flag & F_NO_SPLICE)
     ctg_len = mi.nt.ctg[r.vid >> 1].len
@@ -112,9 +142,21 @@ def refine_region(mi: Index, opt: MapOpt, aa: np.ndarray, r: Region,
 def seed_anchors(mi: Index, seq: np.ndarray, opt: MapOpt) -> np.ndarray:
     """Sketch one protein and gather its seed anchors
     blockId<<32|qpos from the local bucket table (map.c:155-177),
-    unsorted.  The mesh path (parallel/dist.mesh_map_queries) replaces
-    this with the index-sharded device gather; both produce the same
-    anchor multiset."""
+    unsorted, in one native call (mx_seed_anchors).  The mesh path
+    (parallel/dist.mesh_map_queries) replaces this with the
+    index-sharded device gather; both produce the same anchor
+    multiset.  seed_anchors_py is the Python plan this replaced —
+    kept as the parity oracle."""
+    from . import tables
+    io = mi.opt
+    return native.seed_anchors_c(
+        np.ascontiguousarray(seq), tables.get_tables(1).aa13, io.kmer,
+        io.mod_bit, mi.ki, mi.kb, opt.max_occ)
+
+
+def seed_anchors_py(mi: Index, seq: np.ndarray, opt: MapOpt) -> np.ndarray:
+    """Python plan for the seed gather (parity oracle for
+    mx_seed_anchors; same primitives, same order)."""
     io = mi.opt
     sd = sketch_prot(seq, io.kmer, io.mod_bit)
     native.sort_u64(sd)

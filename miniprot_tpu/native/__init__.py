@@ -792,3 +792,75 @@ def align_region(ctx: "Dp16Ctx", nt: np.ndarray, ss: np.ndarray | None,
     return (int(sc.value), int(ovs.value), int(oqs.value), int(ove.value),
             int(oqe.value), cig[:ncig.value].copy(), int(cells.value),
             int(ndp.value))
+
+
+_lib.mx_refine_region.argtypes = None  # called through the raw pointer below
+_refine_region_raw = ct.CFUNCTYPE(
+    ct.c_int64,
+    ct.c_void_p, ct.c_int64,                     # nt, l_nt
+    ct.c_void_p, ct.c_int64,                     # aa, alen
+    ct.c_void_p, ct.c_void_p, ct.c_void_p,       # codon, codon13, aa13
+    ct.c_int32, ct.c_int32, ct.c_int64,          # kmer, min_aa_len, max_ava
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,  # mdx, mdy, bw, max_skip
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_float,  # max_iter, min_cnt, min_sc, coef
+    ct.c_int32,                                  # is_spliced
+    ct.c_void_p, ct.c_void_p, ct.c_void_p,       # out_a_ptr, out_i32, out_i64
+)(ct.cast(_lib.mx_refine_region, ct.c_void_p).value)
+
+
+def refine_region_c(nt: np.ndarray, aa: np.ndarray, *, codon: np.ndarray,
+                    codon13: np.ndarray, aa13: np.ndarray, kmer: int,
+                    min_aa_len: int, max_ava: int, max_dist_x: int,
+                    max_dist_y: int, bw: int, max_skip: int, max_iter: int,
+                    min_cnt: int, min_sc: int, chn_coef_log: float,
+                    is_spliced: bool):
+    """One-call second-round refinement (mx_refine_region): re-sketch,
+    pair, re-chain, pick + rebase the best chain.  Returns None when
+    the region dies, else (anchors, chn_sc, qs, qe, vs_rel, ve_rel,
+    chn_sc_ungap) with vs/ve relative to the window start.  Mirrors
+    mapper.refine_region's Python plan (the parity oracle)."""
+    aptr = ct.c_void_p(0)
+    i32 = (ct.c_int32 * 4)()
+    i64 = (ct.c_int64 * 2)()
+    n = _refine_region_raw(
+        nt.ctypes.data, len(nt), aa.ctypes.data, len(aa),
+        codon.ctypes.data, codon13.ctypes.data, aa13.ctypes.data,
+        kmer, min_aa_len, max_ava,
+        max_dist_x, max_dist_y, bw, max_skip, max_iter, min_cnt, min_sc,
+        chn_coef_log, int(is_spliced),
+        ct.addressof(aptr), ct.addressof(i32), ct.addressof(i64))
+    if n == 0:
+        return None
+    anchors = np.frombuffer((ct.c_uint64 * n).from_address(aptr.value),
+                            dtype=np.uint64).copy()
+    return (anchors, int(i32[0]), int(i32[1]), int(i32[2]),
+            int(i64[0]), int(i64[1]), int(i32[3]))
+
+
+_lib.mx_seed_anchors.argtypes = None  # called through the raw pointer below
+_seed_anchors_raw = ct.CFUNCTYPE(
+    ct.c_int64,
+    ct.c_void_p, ct.c_int64, ct.c_void_p,        # seq, qlen, aa13
+    ct.c_int32, ct.c_int32,                      # kmer, mod_bit
+    ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int64,  # ki, n_ki, kb, n_kb
+    ct.c_int64,                                  # max_occ cap
+    ct.c_void_p,                                 # out_ptr
+)(ct.cast(_lib.mx_seed_anchors, ct.c_void_p).value)
+
+
+def seed_anchors_c(seq: np.ndarray, aa13: np.ndarray, kmer: int,
+                   mod_bit: int, ki: np.ndarray, kb: np.ndarray,
+                   max_occ: int) -> np.ndarray:
+    """One-call per-query seed gather (mx_seed_anchors): protein sketch,
+    sort, boxplot occurrence cap, bucket gather.  Returns unsorted
+    anchors blockId<<32|qpos.  Mirrors mapper.seed_anchors (the parity
+    oracle)."""
+    aptr = ct.c_void_p(0)
+    n = _seed_anchors_raw(seq.ctypes.data, len(seq), aa13.ctypes.data,
+                          kmer, mod_bit, ki.ctypes.data, len(ki),
+                          kb.ctypes.data, len(kb), max_occ,
+                          ct.addressof(aptr))
+    if n == 0:
+        return np.empty(0, np.uint64)
+    return np.frombuffer((ct.c_uint64 * n).from_address(aptr.value),
+                         dtype=np.uint64).copy()

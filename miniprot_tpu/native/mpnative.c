@@ -3107,3 +3107,161 @@ MX_EXPORT void mx_align_region(
 	free(plan), free(jb_nts), free(jb_ntl), free(jb_aas), free(jb_aal);
 	free(jb_cig), free(jb_off), free(jb_sc), free(jb_nc);
 }
+
+/* ---------------------------------------------------------------- */
+/* [original]  Second-round refinement of one region, in one call
+ * (behavioral spec: mp_refine_reg, map.c:32-111): re-sketch the
+ * region's genome window and the query with all kmer2-mers at base
+ * resolution, build the per-hash seed cross products (<= max_ava),
+ * re-chain, keep the best chain (first maximum), and rebase its
+ * anchors to region-local coordinates.  Mirrors
+ * mapper.refine_region's Python orchestration of the same C
+ * primitives; that function is the parity oracle.
+ *
+ * Returns the best chain's anchor count (0 = region dies), with the
+ * rebased anchors in an internal buffer exposed via *out_a_ptr —
+ * valid until the next call on this thread (the mapper consumes it
+ * immediately; the fork pool gives each worker its own process).
+ * out_i32 = {chn_sc, qs, qe, chn_sc_ungap}; out_i64 = {vs_rel, ve_rel}
+ * (window-relative; the caller adds the window start). */
+MX_EXPORT int64_t mx_refine_region(
+	const uint8_t *nt, int64_t l_nt,
+	const uint8_t *aa, int64_t alen,
+	const uint8_t *codon, const uint8_t *codon13, const uint8_t *aa13,
+	int32_t kmer, int32_t min_aa_len, int64_t max_ava,
+	int32_t max_dist_x, int32_t max_dist_y, int32_t bw, int32_t max_skip,
+	int32_t max_iter, int32_t min_cnt, int32_t min_sc, float coef_log,
+	int32_t is_spliced,
+	int64_t **out_a_ptr, int32_t *out_i32, int64_t *out_i64)
+{
+	int64_t n_g, n_a_sk, n_sd, n_pairs, n_chain_a, k, i;
+	int64_t best_i, best_off, n_best;
+	uint64_t *sd, *pairs, *chn_a, *chn_u, *best;
+	int64_t n_u;
+	int64_t vs_rel;
+	int32_t best_sc;
+
+	*out_a_ptr = 0;
+	/* sketch genome window (3 fwd frames; mod_bit=0, bbit=0) + query */
+	sd = (uint64_t*)mx_scratch(27, (size_t)(l_nt + alen + 8) * 8);
+	n_g = mx_sketch_nt4(nt, l_nt, min_aa_len, kmer, 0, 0, 0,
+	                    codon, codon13, sd);
+	if (n_g < 0) return 0;
+	n_a_sk = mx_sketch_prot(aa, alen, aa13, kmer, 0, sd + n_g);
+	for (k = n_g; k < n_g + n_a_sk; ++k)
+		sd[k] |= 1ULL << 31;            /* protein entries flag (map.c:49) */
+	n_sd = n_g + n_a_sk;
+	if (n_sd == 0) return 0;
+	mx_sort_u64_lsd(sd, n_sd);
+
+	n_pairs = mx_refine_pairs(sd, n_sd, max_ava, 0);
+	if (n_pairs == 0) return 0;
+	pairs = (uint64_t*)malloc((size_t)n_pairs * 8);
+	chn_a = (uint64_t*)malloc((size_t)n_pairs * 8);
+	chn_u = (uint64_t*)malloc((size_t)n_pairs * 8);
+	mx_refine_pairs(sd, n_sd, max_ava, pairs);
+	mx_sort_u64_lsd(pairs, n_pairs);
+
+	n_u = mx_chain(max_dist_x, max_dist_y, bw, max_skip, max_iter, min_cnt,
+	               min_sc, coef_log, is_spliced, kmer, 0 /* bbit */,
+	               n_pairs, pairs, chn_a, chn_u, &n_chain_a);
+	if (n_u == 0) {
+		free(pairs), free(chn_a), free(chn_u);
+		return 0;
+	}
+	/* best chain = first maximum score (map.c:89-96) */
+	best_i = 0, best_sc = (int32_t)(chn_u[0] >> 32);
+	for (i = 1; i < n_u; ++i) {
+		int32_t sc = (int32_t)(chn_u[i] >> 32);
+		if (sc > best_sc) best_sc = sc, best_i = i;
+	}
+	best_off = 0;
+	for (i = 0; i < best_i; ++i)
+		best_off += (uint32_t)chn_u[i];
+	n_best = (uint32_t)chn_u[best_i];
+	best = chn_a + best_off;
+
+	out_i32[0] = best_sc;
+	out_i32[1] = (int32_t)(uint32_t)best[0] - (kmer - 1);          /* qs */
+	out_i32[2] = (int32_t)(uint32_t)best[n_best - 1] + 1;          /* qe */
+	vs_rel = (int64_t)(best[0] >> 32) + 1 - 3 * kmer;
+	out_i64[0] = vs_rel;
+	out_i64[1] = (int64_t)(best[n_best - 1] >> 32) + 1;            /* ve_rel */
+	/* rebase anchors so nt_off is relative to the new region start
+	 * (map.c:107-108): nt_off' = nt_off - vs_rel */
+	{
+		uint64_t *dst = (uint64_t*)mx_scratch(27, (size_t)n_best * 8);
+		for (i = 0; i < n_best; ++i)
+			dst[i] = (uint64_t)((int64_t)(best[i] >> 32) - vs_rel) << 32
+				| (uint32_t)best[i];
+		out_i32[3] = mx_chn_sc_ungap(n_best, dst, kmer);
+		*out_a_ptr = (int64_t*)dst;
+	}
+	free(pairs), free(chn_a), free(chn_u);
+	return n_best;
+}
+
+/* ---------------------------------------------------------------- */
+/* [original]  Per-query seed gather, in one call (behavioral spec:
+ * mp_map's seed stage, map.c:155-177 + mp_cal_max_occ map.c:126-141):
+ * protein modimer sketch, sort, dynamic per-query occurrence cap via
+ * the boxplot outlier rule, and the bucket-table gather producing
+ * anchors blockId<<32|qpos (unsorted across seeds beyond the sorted-
+ * seed order; the caller sorts).  Mirrors mapper.seed_anchors (the
+ * parity oracle).
+ *
+ * Returns the anchor count with the anchors in an internal buffer via
+ * *out_ptr — valid until the next mx_refine_region/mx_seed_anchors
+ * call on this thread. */
+MX_EXPORT int64_t mx_seed_anchors(
+	const uint8_t *seq, int64_t qlen, const uint8_t *aa13,
+	int32_t kmer, int32_t mod_bit,
+	const int64_t *ki, int64_t n_ki, const uint32_t *kb, int64_t n_kb,
+	int64_t max_occ_cap,
+	uint64_t **out_ptr)
+{
+	int64_t n_sd, i, total, max_occ = max_occ_cap, cnt_out = 0;
+	uint64_t *sd, *out;
+	*out_ptr = 0;
+	if (qlen <= 0) return 0;
+	sd = (uint64_t*)malloc((size_t)qlen * 8);
+	n_sd = mx_sketch_prot(seq, qlen, aa13, kmer, mod_bit, sd);
+	if (n_sd == 0) { free(sd); return 0; }
+	mx_sort_u64_lsd(sd, n_sd);
+
+	if (n_sd >= 8) {   /* boxplot cap (mp_cal_max_occ, map.c:126-141) */
+		uint64_t *cnt = (uint64_t*)malloc((size_t)n_sd * 8);
+		int64_t q25, q75, occ_dyn;
+		for (i = 0; i < n_sd; ++i) {
+			int64_t h = sd[i] >> 32;
+			int64_t en = h + 1 < n_ki ? ki[h + 1] : n_kb;
+			cnt[i] = (uint64_t)(en - ki[h]);
+		}
+		mx_sort_u64_lsd(cnt, n_sd);
+		q25 = (int64_t)cnt[(int64_t)(n_sd * 0.25 + 0.499)];
+		q75 = (int64_t)cnt[(int64_t)(n_sd * 0.75 + 0.499)];
+		occ_dyn = (int64_t)(q75 + (q75 - q25) * 1.5 + 10.0);
+		if (occ_dyn < max_occ) max_occ = occ_dyn;
+		free(cnt);
+	}
+
+	total = 0;
+	for (i = 0; i < n_sd; ++i) {
+		int64_t h = sd[i] >> 32;
+		int64_t en = h + 1 < n_ki ? ki[h + 1] : n_kb;
+		int64_t c = en - ki[h];
+		if (c <= max_occ) total += c;
+	}
+	out = (uint64_t*)mx_scratch(27, (size_t)(total > 0 ? total : 1) * 8);
+	for (i = 0; i < n_sd; ++i) {
+		int64_t h = sd[i] >> 32, st = ki[h], j;
+		int64_t en = h + 1 < n_ki ? ki[h + 1] : n_kb;
+		uint64_t qpos = (uint32_t)sd[i];
+		if (en - st > max_occ) continue;
+		for (j = st; j < en; ++j)
+			out[cnt_out++] = (uint64_t)kb[j] << 32 | qpos;
+	}
+	free(sd);
+	*out_ptr = out;
+	return cnt_out;
+}

@@ -449,3 +449,78 @@ def test_align_region_native_matches_generator(tmp_path):
         want = run(False, more_dp)
         assert got == want, f"native driver diverged (more_dp={more_dp})"
         assert got.count("\n") >= 10
+
+
+def test_refine_region_native_matches_python(tmp_path):
+    """mx_refine_region (one-call refinement) produces the same region
+    state as the Python plan it replaced, across a randomized workload:
+    same anchors, chain scores, and coordinates."""
+    import copy
+
+    from miniprot_tpu import mapper
+    from miniprot_tpu.hits import cal_max_ext, reg_gen_from_block, sort_reg
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.bseq import read_fastx
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.testgen import make_workload
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=250_000, n_genes=8, seed=41, n_ctg=2,
+                  max_exons=5, max_intron=2500, mut_rate=0.07, rev_frac=0.5,
+                  fs_frac=0.25)
+    mi = Index.build(fa, IdxOpt())
+    opt = MapOpt()
+    n_checked = 0
+    for rec in read_fastx(faa):
+        seq = np.frombuffer(rec.seq, np.uint8)
+        a = mapper.seed_anchors(mi, seq, opt)
+        native.sort_u64(a)
+        a, u = native.chain(a, max_dist_x=opt.max_intron,
+                            max_dist_y=opt.max_gap, bw=opt.bw,
+                            max_skip=opt.max_chn_max_skip,
+                            max_iter=opt.max_chn_iter,
+                            min_cnt=opt.min_chn_cnt, min_sc=opt.min_chn_sc,
+                            chn_coef_log=opt.chn_coef_log, is_spliced=True,
+                            kmer=mi.opt.kmer, bbit=mi.opt.bbit)
+        regs = sort_reg(reg_gen_from_block(mi, u, a))
+        ext = cal_max_ext(None, regs, 100, opt.max_ext)
+        for r, (el, er) in zip(regs, ext):
+            r2 = copy.deepcopy(r)
+            mapper.refine_region(mi, opt, seq, r, el, er)
+            mapper.refine_region_py(mi, opt, seq, r2, el, er)
+            assert np.array_equal(r.a, r2.a), rec.name
+            assert (r.chn_sc, r.qs, r.qe, r.vs, r.ve) == \
+                   (r2.chn_sc, r2.qs, r2.qe, r2.vs, r2.ve), rec.name
+            if len(r.a):
+                assert r.chn_sc_ungap == r2.chn_sc_ungap, rec.name
+            n_checked += 1
+    assert n_checked >= 8
+
+
+def test_seed_anchors_native_matches_python(tmp_path):
+    """mx_seed_anchors (one-call seed gather incl. the boxplot
+    occurrence cap) returns exactly the anchors of the Python plan."""
+    from miniprot_tpu import mapper
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.bseq import read_fastx
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.testgen import make_workload
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=200_000, n_genes=8, seed=57, n_ctg=3,
+                  max_exons=4, max_intron=2000, mut_rate=0.05, rev_frac=0.5)
+    mi = Index.build(fa, IdxOpt())
+    opt = MapOpt()
+    n_nonempty = 0
+    for rec in read_fastx(faa):
+        seq = np.frombuffer(rec.seq, np.uint8)
+        got = mapper.seed_anchors(mi, seq, opt)
+        want = mapper.seed_anchors_py(mi, seq, opt)
+        assert np.array_equal(got, want), rec.name
+        n_nonempty += len(got) > 0
+    # tiny queries (< 8 seeds, no boxplot) too
+    for q in (b"M", b"MKVLLPQ", b"MKVLLPQRSTAVILXX*QQ"):
+        seq = np.frombuffer(q, np.uint8)
+        assert np.array_equal(mapper.seed_anchors(mi, seq, opt),
+                              mapper.seed_anchors_py(mi, seq, opt))
+    assert n_nonempty >= 6
