@@ -421,7 +421,8 @@ def _run(argv: list[str], server_parse: bool, owns_process: bool = False):
         from .parallel.runner import map_file_multihost
         try:
             map_file_multihost(mi, pos[1], mo, shard_id, n_shards,
-                               spool_dir, out, resume=True)
+                               spool_dir, out, resume=True,
+                               use_tpu=bool(dbg.get("use_tpu")))
         finally:
             if out is not sys.stdout:
                 out.close()

@@ -69,14 +69,31 @@ def wait_for_spools(spool_dir: str, num_processes: int,
 
 def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
               num_processes: int, spool_dir: str,
-              resume: bool = False) -> int:
+              resume: bool = False, use_tpu: bool = False) -> int:
     """Map queries with global index % num_processes == process_id,
     streaming (query_index, name, seq_bytes, regions) records to the
     shard spool in ascending query order.
 
     resume: when the final spool file already exists, skip mapping (the
     atomic .tmp -> final rename makes an existing spool a complete,
-    trustworthy checkpoint; docstring at module top)."""
+    trustworthy checkpoint; docstring at module top).
+
+    use_tpu: batch this shard's alignment-round DPs onto the local
+    accelerator (each host drives its own chip; the spooled Region
+    records are identical either way).  Degrades to the host engine
+    when no TPU backend is live."""
+    engine = None
+    if use_tpu:
+        try:
+            from ..pipeline import _probe_backend_guarded
+            _probe_backend_guarded()
+            from ..device import TpuExtEngine
+            engine = TpuExtEngine(opt)
+        except Exception as e:
+            import sys
+            sys.stderr.write(f"WARNING: TPU engine unavailable ({e}); "
+                             f"shard {process_id} maps on the host engine\n")
+            engine = None
     if resume and os.path.exists(spool_path(spool_dir, process_id)):
         return -1
     env = DpEnv(opt)
@@ -89,14 +106,25 @@ def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
             batch = reader.read_batch(opt.mini_batch_size)
             if not batch:
                 break
-            for rec in batch:
-                if qi % num_processes == process_id:
-                    seq = np.frombuffer(rec.seq, dtype=np.uint8)
-                    regs = map_query(mi, seq, opt, env=env)
-                    pickle.dump((qi, rec.name, rec.seq, regs), fp,
+            mine = [(qi0, rec) for qi0, rec in
+                    enumerate(batch, start=qi)
+                    if qi0 % num_processes == process_id]
+            qi += len(batch)
+            if engine is not None:
+                from ..pipeline import map_batch_tpu
+                mapped = map_batch_tpu(mi, opt, env, engine,
+                                       [rec for _, rec in mine])
+                for (qi0, _), (rec, _, regs) in zip(mine, mapped):
+                    pickle.dump((qi0, rec.name, rec.seq, regs), fp,
                                 protocol=pickle.HIGHEST_PROTOCOL)
                     n += 1
-                qi += 1
+            else:
+                for qi0, rec in mine:
+                    seq = np.frombuffer(rec.seq, dtype=np.uint8)
+                    regs = map_query(mi, seq, opt, env=env)
+                    pickle.dump((qi0, rec.name, rec.seq, regs), fp,
+                                protocol=pickle.HIGHEST_PROTOCOL)
+                    n += 1
     os.replace(tmp, spool_path(spool_dir, process_id))  # atomic: resumable
     return n
 
@@ -133,7 +161,8 @@ def emit_merged(mi: Index, opt: MapOpt, num_processes: int, spool_dir: str,
 
 def map_file_multihost(mi: Index, fn: str, opt: MapOpt, process_id: int,
                        num_processes: int, spool_dir: str, out,
-                       barrier=None, resume: bool = False) -> int:
+                       barrier=None, resume: bool = False,
+                       use_tpu: bool = False) -> int:
     """Full multi-host run for one process: map my shard, barrier, and
     (on process 0) emit the merged ordered output.
 
@@ -143,7 +172,7 @@ def map_file_multihost(mi: Index, fn: str, opt: MapOpt, process_id: int,
     the mode the CLI's --shards flag uses, where each shard is an
     independent process over a shared spool directory."""
     n = map_shard(mi, fn, opt, process_id, num_processes, spool_dir,
-                  resume=resume)
+                  resume=resume, use_tpu=use_tpu)
     if barrier is None:
         if num_processes > 1:
             try:

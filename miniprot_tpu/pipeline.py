@@ -221,9 +221,10 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     return n_mapped
 
 
-def _map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
-                   id_counter, out, pool=None) -> None:
-    """One mini-batch with TPU-batched extension DPs.
+def map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
+                  pool=None) -> list:
+    """Map one mini-batch with TPU-batched extension DPs; returns
+    [(rec, seq, final_regs), ...] in batch order.
 
     Seed/chain/refine run on the worker pool when available; the
     alignment round's extension DPs batch onto the Pallas kernel."""
@@ -246,6 +247,11 @@ def _map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
             gens.append(align_region_steps(env, opt, mi, len(seq), seq, r,
                                            el, er))
     pump_align_generators(gens, engine)
-    for rec, seq, regs in per_query:
-        regs = finish_align(mi, opt, regs)
+    return [(rec, seq, finish_align(mi, opt, regs))
+            for rec, seq, regs in per_query]
+
+
+def _map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
+                   id_counter, out, pool=None) -> None:
+    for rec, seq, regs in map_batch_tpu(mi, opt, env, engine, batch, pool):
         _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)

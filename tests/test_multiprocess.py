@@ -207,3 +207,54 @@ def test_cli_shards_match_single(tmp_path):
         env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr
     assert open(out_path).read() == single.stdout
+
+
+def test_shard_engine_spool_matches_host(tmp_path, monkeypatch):
+    """map_shard(use_tpu=True) routes the shard's alignment DPs through
+    the batching engine (interpret mode on CPU) and spools Region
+    records identical to the host-engine shard."""
+    import pickle
+    import numpy as np
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.parallel.runner import map_shard, spool_path
+    from miniprot_tpu.testgen import make_workload
+    import miniprot_tpu.pipeline as pl
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=24_000, n_genes=1, seed=9, n_ctg=1,
+                  max_intron=900, max_exons=3, rev_frac=0.0)
+    mi = Index.build(fa, IdxOpt())
+    opt = MapOpt()
+    opt.max_ext = 1100   # keep interpret-mode ext rectangles small
+    # Deterministic CPU run: force the CPU jax backend in-process (the
+    # relay site hook force-selects its platform via jax.config, and a
+    # degraded relay would wedge backend init), disable the batch
+    # watchdog (an abandoned watchdog thread aborts interpreter
+    # teardown), and let the engine construct in interpret mode.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    monkeypatch.setenv("MINIPROT_TPU_BATCH_TIMEOUT", "0")
+    monkeypatch.setattr(pl, "_probe_backend_guarded", lambda: None)
+
+    def load(pid_dir):
+        recs = []
+        with open(spool_path(pid_dir, 0), "rb") as f:
+            while True:
+                try:
+                    qi, name, seq, regs = pickle.load(f)
+                except EOFError:
+                    break
+                recs.append((qi, name, seq,
+                             [(r.vid, r.vs, r.ve, r.qs, r.qe,
+                               None if r.p is None else
+                               (r.p.dp_score, r.p.cigar.tobytes()))
+                              for r in regs]))
+        return recs
+
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    os.makedirs(d1), os.makedirs(d2)
+    n1 = map_shard(mi, faa, opt, 0, 1, d1, use_tpu=False)
+    n2 = map_shard(mi, faa, opt, 0, 1, d2, use_tpu=True)
+    assert n1 == n2 == 1
+    assert load(d1) == load(d2)
