@@ -56,6 +56,28 @@ CIG_MIN_NL = 512
 WEDGED = False
 
 
+def ext_fits_int16(al: int, mat_max: int, end_bonus: int) -> bool:
+    """True when the int32 ext kernel is provably bit-equivalent to the
+    reference's saturating-int16 arithmetic (nasw-sse.c:342-402) for an
+    extension problem with query length ``al``.
+
+    Top side: every true prefix score is <= al*max(mat) (each aligned aa
+    contributes at most the best matrix entry; all other transitions are
+    penalties), and the tracked candidate adds end_bonus once — so when
+    al*mat_max + end_bonus <= 32767 no saturating add in the reference
+    ever clips upward, and the int32 kernel computes the same values.
+
+    Bottom side needs no bound: per-step floor clipping commutes with
+    the DP's max/sub algebra (clip(max(a,b)-c) == max(clip(a-c),
+    clip(b-c))), so a floor-clipped chain equals max(unclipped chain,
+    -32768) — and the OUTPUTS (row-max score, end rows) never bind the
+    floor because every row keeps a cell reachable through the free
+    intron carry (A/B/C states) worth >= -(|min mat| + io + donor +
+    acceptor + logpen) >> -32768.  Adversarial tests:
+    tests/test_pallas.py::test_ext_saturation_*."""
+    return al * max(mat_max, 0) + max(end_bonus, 0) <= 32767
+
+
 def cig_shape(nl: int, al: int):
     """Pick the (slen_class, nl_bucket) for a CIGAR job, or None when
     the job must run on the host."""
@@ -99,6 +121,7 @@ class TpuExtEngine:
         self.scalars = (opt.go, opt.ge, opt.fs, opt.io, opt.xdrop,
                         opt.end_bonus, opt.ie_coef)
         self.mat = opt.mat
+        self.mat_max = int(np.max(opt.mat))
         self.interpret = interpret
         self.ext_jobs: list[_ExtJob] = []
         self.cig_jobs: list[_CigJob] = []
@@ -132,11 +155,17 @@ class TpuExtEngine:
         thread is abandoned — once that happens the engine is marked
         broken and never touches the device again."""
         import os as _os
+        import time as _time
+        from .sysutil import profiler
         if timeout is None:
             timeout = float(_os.environ.get("MINIPROT_TPU_BATCH_TIMEOUT",
                                             "180"))
+        t0 = _time.monotonic()
         if timeout <= 0 or self.interpret:
-            return fn()
+            try:
+                return fn()
+            finally:
+                profiler.add_device_block(_time.monotonic() - t0)
         # daemon thread, NOT ThreadPoolExecutor: the executor's workers
         # are joined at interpreter exit, so one transfer wedged in the
         # relay would hang process shutdown long after the run fell back
@@ -156,6 +185,8 @@ class TpuExtEngine:
             ok, val = box.get(timeout=timeout)
         except _q.Empty:
             raise TimeoutError(f"device collect exceeded {timeout:.0f}s")
+        finally:
+            profiler.add_device_block(_time.monotonic() - t0)
         if not ok:
             raise val
         return val
@@ -252,6 +283,8 @@ class TpuExtEngine:
             nl, al = len(job.nsq), len(job.asq)
             if (self.broken or nl < MIN_TPU_NL or al > AL_BUCKETS[-1]
                     or nl > NL_BUCKETS[-1]
+                    or not ext_fits_int16(al, self.mat_max,
+                                          self.opt.end_bonus)
                     or self.opt.ie_coef > 8.0):  # raw-path thr table growth
                 host_jobs.append(i)   # runs after launch, overlapped
                 continue
@@ -375,7 +408,7 @@ class TpuExtEngine:
                 results = None
             if results is None:
                 profiler.add_tpu_dp(-o_batch.nl * o_batch.al * o_batch.n,
-                                    -o_batch.n)
+                                    -o_batch.n, kind="cig")
                 for k in o_idxs:
                     self.n_tpu -= 1
                     run_cig_host(k)
@@ -390,7 +423,8 @@ class TpuExtEngine:
                     run_cig_host(k)
                 return
             outstanding += batch.tb_bytes()
-            profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n)
+            profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n,
+                                kind="cig")
             # drain the oldest launches once the uncollected traceback
             # buffers would crowd HBM
             while outstanding > PENDING_TB_CAP and len(pending) > 1:

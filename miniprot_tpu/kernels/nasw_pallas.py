@@ -19,8 +19,16 @@ is solved exactly with a prefix max-scan along the protein axis:
 (where Hni is H without the I option; opening from an I cell is
 dominated because go >= 0), which is value-equivalent to the reference's
 lazy-F fixpoint.  Scores are int32 without saturation; equivalent to the
-reference's saturating int16 whenever true path scores stay within
-int16 range (always, for real proteins the reference itself handles).
+reference's saturating int16 (nasw-sse.c:342-402) under the bound
+    al * max(mat) + end_bonus <= 32767
+— the top clip then never engages (every true prefix score is bounded
+by al*max(mat)), and the floor clip can never affect the outputs: the
+free intron carry keeps every row's max far above -32768, and per-step
+floor clipping commutes with the max/sub chain algebra (a floor-clipped
+chain equals max(unclipped chain, -32768)).  device.ext_fits_int16
+enforces the bound at job routing (BLOSUM62's max entry is 11, so every
+CLI-reachable problem passes: 512*11+5 = 5637); adversarial tests at
+and beyond the bound: tests/test_pallas.py::test_ext_saturation_*.
 
 The extension bookkeeping (per-row max, end bonus, log-length-adjusted
 best row, x-drop deactivation) mirrors nasw-sse.c:349-443; per-problem

@@ -65,8 +65,17 @@ class Profiler:
         self.stages: dict[str, float] = {}
         self.cells_host = 0       # DP cells evaluated by the host C kernel
         self.cells_tpu = 0        # DP cells evaluated by the Pallas kernels
+        self.cells_tpu_ext = 0    # split: extension kernel cells
+        self.cells_tpu_cig = 0    # split: CIGAR kernel cells
         self.n_dp_host = 0
         self.n_dp_tpu = 0
+        # device-interaction accounting (always on, two adds per batch):
+        # wall time the driving thread spent blocked inside device
+        # launches/collects/fetches, and how many such round trips ran —
+        # the basis for the co-located throughput projection on
+        # relay-attached machines (bench.py)
+        self.device_blocked_s = 0.0
+        self.device_round_trips = 0
         self._open: dict[str, float] = {}
 
     def start(self, stage: str) -> None:
@@ -87,9 +96,17 @@ class Profiler:
         self.cells_host += nl * al
         self.n_dp_host += 1
 
-    def add_tpu_dp(self, cells: int, n: int) -> None:
+    def add_tpu_dp(self, cells: int, n: int, kind: str = "ext") -> None:
         self.cells_tpu += cells
         self.n_dp_tpu += n
+        if kind == "cig":
+            self.cells_tpu_cig += cells
+        else:
+            self.cells_tpu_ext += cells
+
+    def add_device_block(self, dt: float, trips: int = 1) -> None:
+        self.device_blocked_s += dt
+        self.device_round_trips += trips
 
     def device_fraction(self) -> float:
         """Fraction of DP cells evaluated on the device (padded batch

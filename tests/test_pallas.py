@@ -466,3 +466,161 @@ def test_device_traceback_walk_interpret_parity():
         rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
         assert sc == rsc, (len(ns), len(aa))
         assert np.array_equal(cig, rcig), (len(ns), len(aa))
+
+
+# ---------------------------------------------------------------------------
+# Saturation equivalence (VERDICT r2 item 3): the ext kernel is int32
+# and non-saturating; the reference saturates every add/sub at int16
+# (nasw-sse.c:342-402).  device.ext_fits_int16 documents and enforces
+# the equivalence bound al*max(mat)+end_bonus <= 32767; these tests
+# drive the extension path to the +-32767 edges and bit-compare against
+# the saturating host engine (mx_dp16).
+# ---------------------------------------------------------------------------
+
+
+def _perfect_codons(aa_codes, T):
+    """nt4 genome spelling each aa code as one codon (perfect match)."""
+    rev = np.full(22, -1, np.int64)
+    for c in range(63, -1, -1):
+        rev[T.codon[c]] = c
+    cod = rev[aa_codes]
+    assert (cod >= 0).all()
+    return np.stack([(cod >> 4) & 3, (cod >> 2) & 3, cod & 3],
+                    axis=1).reshape(-1).astype(np.uint8)
+
+
+def _hot_matrix(diag, off):
+    mat = np.full((22, 22), off, np.int32)
+    np.fill_diagonal(mat, diag)
+    mat[21, :] = mat[:, 21] = off          # X row stays punitive
+    return mat
+
+
+def test_ext_fits_int16_bound():
+    from miniprot_tpu.device import ext_fits_int16
+    assert ext_fits_int16(512, 11, 5)          # BLOSUM62 worst case
+    assert ext_fits_int16(512, 63, 5)          # 32261 <= 32767
+    assert not ext_fits_int16(512, 64, 5)      # 32773 > 32767
+    assert not ext_fits_int16(300, 127, 5)
+    assert ext_fits_int16(512, -4, 0)          # all-penalty matrix
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_ext_saturation_edge_bit_exact():
+    """Extension scores driven to the int16 edge (true max 32261 with a
+    512-aa perfect match at diag=63): the int32 kernel must bit-match
+    the saturating host engine right up to the bound."""
+    from miniprot_tpu.kernels.nasw_pallas import RawExtBatch
+    from miniprot_tpu.native import DPF_EXT_LEFT, DPF_EXT_RIGHT
+
+    T = tables.get_tables(1)
+    mat = _hot_matrix(63, -3)
+    sp = tables.splice_model_scores(1)
+    rng = np.random.default_rng(77)
+    batch = RawExtBatch(al_pad=512, nl_pad=2640, mat=mat,
+                        opt_scalars=(11, 1, 23, 29, 100, 5, 0.5), sp=sp,
+                        trans_code=1)
+    aa_pool = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    cases = []
+    for k in range(12):
+        al = 512 if k < 4 else int(rng.integers(64, 512))
+        aa = rng.choice(aa_pool, al).astype(np.uint8)
+        nt4 = _perfect_codons(T.aa20[aa], T)
+        if k % 2:  # mutate a few codons so mismatch penalties engage
+            pos = rng.integers(0, len(nt4), max(2, len(nt4) // 50))
+            nt4 = nt4.copy()
+            nt4[pos] = (nt4[pos] + 1) % 4
+        tail = rng.integers(0, 4, int(rng.integers(0, 800))).astype(np.uint8)
+        nt4 = np.concatenate([nt4, tail])
+        ext_left = bool(rng.integers(0, 2))
+        ns = np.frombuffer(b"ACGT", np.uint8)[nt4]
+        cases.append((ns, aa, ext_left))
+        if ext_left:
+            batch.add_raw(nt4[::-1], T.aa20[aa][::-1], io=29, ext_left=True)
+        else:
+            batch.add_raw(nt4, T.aa20[aa], io=29)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=11, ge=1, io=29, fs=23, xdrop=100,
+              end_bonus=5, ie_coef=0.5)
+    hit_edge = 0
+    for (ns, aa, ext_left), got in zip(cases, batch.run(interpret=False)):
+        rsc, rntl, raal, _ = native.dp16(
+            ns, aa, flag=DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT, **kw)
+        assert got == (rsc, rntl, raal), (len(ns), len(aa), ext_left)
+        if rsc > 30000:
+            hit_edge += 1
+    assert hit_edge >= 2, "test must actually reach the int16 edge"
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_ext_saturation_deep_negative_bit_exact():
+    """Adversarial penalties (go=120, ge=60, fs=125) push intermediate
+    chain values far below -32768 in int32 terms; the reference clamps
+    them at the floor.  Outputs must still agree (the floor provably
+    cannot bind the tracked row maxima)."""
+    from miniprot_tpu.kernels.nasw_pallas import RawExtBatch
+    from miniprot_tpu.native import DPF_EXT_LEFT, DPF_EXT_RIGHT
+
+    T = tables.get_tables(1)
+    mat = _hot_matrix(63, -120)
+    sp = tables.splice_model_scores(1)
+    rng = np.random.default_rng(78)
+    batch = RawExtBatch(al_pad=512, nl_pad=2112, mat=mat,
+                        opt_scalars=(120, 60, 125, 29, 1 << 28, 5, 0.5),
+                        sp=sp, trans_code=1)
+    aa_pool = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    cases = []
+    for _ in range(12):
+        al = int(rng.integers(200, 512))
+        nl = int(rng.integers(1100, 2100))
+        aa = rng.choice(aa_pool, al).astype(np.uint8)
+        nt4 = rng.integers(0, 4, nl).astype(np.uint8)
+        ext_left = bool(rng.integers(0, 2))
+        ns = np.frombuffer(b"ACGT", np.uint8)[nt4]
+        cases.append((ns, aa, ext_left))
+        if ext_left:
+            batch.add_raw(nt4[::-1], T.aa20[aa][::-1], io=29, ext_left=True)
+        else:
+            batch.add_raw(nt4, T.aa20[aa], io=29)
+    kw = dict(mat=mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=120, ge=60, io=29, fs=125,
+              xdrop=1 << 28, end_bonus=5, ie_coef=0.5)
+    for (ns, aa, ext_left), got in zip(cases, batch.run(interpret=False)):
+        rsc, rntl, raal, _ = native.dp16(
+            ns, aa, flag=DPF_EXT_LEFT if ext_left else DPF_EXT_RIGHT, **kw)
+        assert got == (rsc, rntl, raal), (len(ns), len(aa), ext_left)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+def test_ext_saturation_beyond_bound_routes_to_host():
+    """A matrix whose attainable extension score exceeds int16 (diag=127,
+    al=300 -> true 38105) must (a) actually saturate the reference path
+    and (b) be routed to the host engine by ext_fits_int16, keeping the
+    engine's output identical to the saturating semantics."""
+    from miniprot_tpu.device import TpuExtEngine
+    from miniprot_tpu.native import DPF_EXT_RIGHT
+    from miniprot_tpu.options import MapOpt
+
+    T = tables.get_tables(1)
+    opt = MapOpt()
+    opt.mat = _hot_matrix(127, -3)
+    rng = np.random.default_rng(79)
+    aa_pool = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    aa = rng.choice(aa_pool, 300).astype(np.uint8)
+    nt4 = _perfect_codons(T.aa20[aa], T)
+    nt4 = np.concatenate([nt4, rng.integers(0, 4, 1200).astype(np.uint8)])
+    ns = np.frombuffer(b"ACGT", np.uint8)[nt4]
+    sp = tables.splice_model_scores(1)
+    kw = dict(mat=opt.mat, nt4=T.nt4, aa20=T.aa20, codon=T.codon, sp=sp,
+              sp_null_bonus=-7, go=opt.go, ge=opt.ge, io=opt.io, fs=opt.fs,
+              xdrop=opt.xdrop, end_bonus=opt.end_bonus, ie_coef=opt.ie_coef)
+    rsc, rntl, raal, _ = native.dp16(ns, aa, flag=DPF_EXT_RIGHT, **kw)
+    # the vector DP saturates at 32767; the reference then adds the end
+    # bonus as unsaturated scalar int (nasw-sse.c:423-433 bookkeeping)
+    assert rsc == 32767 + opt.end_bonus, \
+        "reference semantics must saturate here"
+    engine = TpuExtEngine(opt)
+    engine.submit(("ext", ns, aa, None, opt.io, False))
+    (res,) = engine.flush()
+    assert engine.n_host == 1 and engine.n_tpu == 0
+    assert res == (rsc, rntl, raal)
