@@ -24,7 +24,36 @@ def _aa2codons():
     return m
 
 
-_COMP = str.maketrans("ACGT", "TGCA")
+_NT = np.frombuffer(b"ACGT", np.uint8)
+_AA = np.frombuffer(AA20.encode(), np.uint8)
+
+
+def _codon_tables():
+    """(table, cnt): table[a, k] = the k-th synonymous codon (3 nt codes)
+    of AA20 letter a; cnt[a] = number of synonyms."""
+    aa2c = _aa2codons()
+    nt_i = {c: i for i, c in enumerate("ACGT")}
+    table = np.zeros((20, 8, 3), np.uint8)
+    cnt = np.zeros(20, np.int64)
+    for a, ch in enumerate(AA20):
+        for k, cod in enumerate(aa2c[ch]):
+            table[a, k] = [nt_i[c] for c in cod]
+        cnt[a] = len(aa2c[ch])
+    return table, cnt
+
+
+def _write_fasta_seq(f, ascii_arr: np.ndarray, line_len: int) -> None:
+    """Write one sequence wrapped at line_len (vectorized newline insert)."""
+    n = len(ascii_arr)
+    full = n // line_len * line_len
+    if full:
+        block = ascii_arr[:full].reshape(-1, line_len)
+        out = np.empty((block.shape[0], line_len + 1), np.uint8)
+        out[:, :line_len] = block
+        out[:, line_len] = 0x0A
+        f.write(out.tobytes())
+    if n > full:
+        f.write(ascii_arr[full:].tobytes() + b"\n")
 
 
 def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
@@ -37,19 +66,23 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
     rev_frac of the genes are implanted on the reverse strand (the gene
     region is reverse-complemented in place after writing).  fs_frac of
     the genes get a 1-2bp indel inside an exon body (a genomic
-    frameshift), exercising the F/G CIGAR ops end-to-end."""
+    frameshift), exercising the F/G CIGAR ops end-to-end.
+
+    Vectorized over uint8 nt codes end-to-end so whole-genome workloads
+    (hundreds of Mb) generate in seconds; the bench's 200Mb x 2000
+    workload depends on this."""
     rng = np.random.default_rng(seed)
-    aa2c = _aa2codons()
+    cod_tab, cod_cnt = _codon_tables()
     per_ctg = genome_len // n_ctg
     genes_per_ctg = n_genes // n_ctg
     prots = []
-    with open(path_fa, "w") as f:
+    with open(path_fa, "wb") as f:
         for ci in range(n_ctg):
-            g = rng.choice(list("ACGT"), per_ctg)
+            g = rng.integers(0, 4, per_ctg, dtype=np.uint8)
             cursor = 1000
             for gi in range(genes_per_ctg):
                 plen = int(rng.integers(100, 700))
-                prot = "".join(rng.choice(list(AA20), plen))
+                prot = rng.integers(0, 20, plen).astype(np.uint8)
                 n_ex = int(rng.integers(1, max_exons + 1))
                 cuts = sorted(rng.choice(np.arange(1, plen), n_ex - 1,
                                          replace=False).tolist()) if n_ex > 1 else []
@@ -61,15 +94,15 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                 exon_spans = []
                 for e in range(n_ex):
                     ex_start = pos
-                    for ch in prot[bounds[e]:bounds[e + 1]]:
-                        cod = aa2c[ch][int(rng.integers(len(aa2c[ch])))]
-                        g[pos:pos + 3] = list(cod)
-                        pos += 3
+                    codes = prot[bounds[e]:bounds[e + 1]]
+                    syn = (rng.random(len(codes)) * cod_cnt[codes]).astype(np.int64)
+                    g[pos:pos + 3 * len(codes)] = cod_tab[codes, syn].reshape(-1)
+                    pos += 3 * len(codes)
                     exon_spans.append((ex_start, pos))
                     if e < n_ex - 1:
                         ilen = int(rng.integers(80, max_intron))
-                        g[pos], g[pos + 1] = "G", "T"
-                        g[pos + ilen - 2], g[pos + ilen - 1] = "A", "G"
+                        g[pos], g[pos + 1] = 2, 3                  # GT
+                        g[pos + ilen - 2], g[pos + ilen - 1] = 0, 2  # AG
                         pos += ilen
                 wide = [sp for sp in exon_spans if sp[1] - sp[0] > 60]
                 if fs_frac > 0 and rng.random() < fs_frac and wide \
@@ -83,28 +116,25 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                         pos -= k
                     else:                   # insertion
                         g[off + k:pos + k] = g[off:pos].copy()
-                        g[off:off + k] = rng.choice(list("ACGT"), k)
+                        g[off:off + k] = rng.integers(0, 4, k, dtype=np.uint8)
                         pos += k
                 if rng.random() < rev_frac:
                     # flip the whole gene locus to the reverse strand
-                    seg = "".join(g[cursor:pos])
-                    g[cursor:pos] = list(seg.translate(_COMP)[::-1])
+                    g[cursor:pos] = (3 - g[cursor:pos])[::-1]
                 cursor = pos + int(rng.integers(500, 3000))
-                p = list(prot)
-                for _ in range(int(plen * mut_rate)):
-                    p[int(rng.integers(plen))] = AA20[int(rng.integers(20))]
+                p = prot.copy()
+                mut = rng.integers(0, plen, int(plen * mut_rate))
+                p[mut] = rng.integers(0, 20, len(mut)).astype(np.uint8)
                 if rng.random() < 0.2:
                     k = int(rng.integers(1, plen - 1))
                     if rng.random() < 0.5:
-                        del p[k]
+                        p = np.delete(p, k)
                     else:
-                        p.insert(k, AA20[int(rng.integers(20))])
-                prots.append((f"prot_c{ci}_{gi}", "".join(p)))
-            f.write(f">ctg{ci}\n")
-            s = "".join(g)
-            for i in range(0, per_ctg, line_len):
-                f.write(s[i:i + line_len] + "\n")
-    with open(path_faa, "w") as f:
+                        p = np.insert(p, k, rng.integers(0, 20))
+                prots.append((f"prot_c{ci}_{gi}", p))
+            f.write(f">ctg{ci}\n".encode())
+            _write_fasta_seq(f, _NT[g], line_len)
+    with open(path_faa, "wb") as f:
         for name, p in prots:
-            f.write(f">{name}\n{p}\n")
+            f.write(f">{name}\n".encode() + _AA[p].tobytes() + b"\n")
     return len(prots)
