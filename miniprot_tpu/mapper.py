@@ -258,13 +258,15 @@ def map_query(mi: Index, seq: bytes | np.ndarray, opt: MapOpt,
 
 
 def pre_align(mi: Index, seq: np.ndarray, opt: MapOpt,
-              dbg: dict | None = None):
+              dbg: dict | None = None, anchors: np.ndarray | None = None):
     """Seed + chain + refine rounds; returns (regs, per-region ext caps)
-    ready for the alignment round (map.c:143-226)."""
+    ready for the alignment round (map.c:143-226).
+
+    anchors: pre-gathered seed anchors (the mesh path's device gather)."""
     saved = opt.flag
     opt.flag |= F_NO_ALIGN
     try:
-        regs = map_query(mi, seq, opt, dbg=dbg)
+        regs = map_query(mi, seq, opt, dbg=dbg, anchors=anchors)
     finally:
         opt.flag = saved
     ext = cal_max_ext(mi.nt, regs, 100, opt.max_intron // 2)

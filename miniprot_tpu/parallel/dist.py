@@ -176,43 +176,72 @@ def dryrun(n_devices: int) -> None:
     np.testing.assert_array_equal(np.asarray(out), expect)
 
 
-def sharded_anchor_step(mesh: Mesh, max_hits_per_seed: int):
-    """Jitted sharded anchor gather: each "g" shard looks up its hash
-    range and contributes up to max_hits_per_seed block ids per (query,
-    seed); an all_gather over "g" assembles every query's full candidate
-    set on its "q" shard.  This is step 2+3 of the distributed mapping
-    plan (docs/DESIGN.md §2) with real index data."""
+def sharded_anchor_gather_step(mesh: Mesh, a_cap: int):
+    """Jitted sharded anchor gather, pass 2 of the two-pass plan: each
+    "g" shard COMPACTS all hits of its locally-owned (query, seed) pairs
+    into a flat per-query buffer of a_cap slots (slot -> seed resolved
+    with a cumsum + searchsorted), then an all_gather over "g" lands
+    every query's full candidate set on its "q" shard.  This is step 2+3
+    of the distributed mapping plan (docs/DESIGN.md §2) with real index
+    data and NO per-seed occurrence cap: a_cap bounds a query's TOTAL
+    hits on one shard, which pass 1 (sharded_seed_count_step) lets the
+    host size exactly, so the default max_occ=20000 configuration
+    (options.c:44) runs unmodified.
+
+    keep: (Bq, K) int8 mask of seeds that survive the per-query max_occ
+    rule (occ <= max_occ, map.c:163-177) — computed on the host from
+    pass 1's counts via the boxplot rule (map.c:126-141).
+
+    Returns (blocks, seed_of, tot), each with a leading per-"g" axis:
+      blocks  (Bq, n_g, a_cap) uint32 block ids, compacted per shard
+      seed_of (Bq, n_g, a_cap) int32 seed index of each slot (-1 = pad)
+      tot     (Bq, n_g)        int32 slots used by that shard
+    """
     from jax.experimental.shard_map import shard_map
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("q", None), P("g", None), P("g", None)),
+        in_specs=(P("q", None), P("q", None), P("g", None), P("g", None)),
         out_specs=(P("q", None, None), P("q", None, None), P("q", None)),
+        # outputs ARE replicated over "g" (each shard holds the same
+        # all_gathered assembly) but the static checker cannot infer it
+        check_rep=False,
     )
-    def step(hashes, ki_l, kb_l):
-        import jax.numpy as jnp
+    def step(hashes, keep, ki_l, kb_l):
         ki = ki_l[0]
         kb = kb_l[0]
+        K = hashes.shape[1]
         n_local = ki.shape[0] - 1
         base = jax.lax.axis_index("g") * n_local
         local = hashes - base
-        in_range = (local >= 0) & (local < n_local)
+        own = (local >= 0) & (local < n_local) & (keep != 0)
         idx = jnp.clip(local, 0, n_local - 1)
-        st = ki[idx]
-        cnt = jnp.where(in_range, ki[idx + 1] - st, 0)
-        # fixed-cap gather: hit slot h of seed s = kb[st + h] when h < cnt
-        offs = jnp.arange(max_hits_per_seed)
-        take = jnp.minimum(st[..., None] + offs, kb.shape[0] - 1)
-        hits = kb[take]
-        valid = offs < cnt[..., None]
-        hits = jnp.where(valid, hits, 0)
-        # merge across index shards: each (query, seed) hits exactly one
-        # shard, so a sum is a disjoint union; cnt rides along so the
-        # host sees true occupancies (beyond the cap) for max_occ logic
-        hits = jax.lax.psum(hits, "g")
-        valid = jax.lax.psum(valid.astype(jnp.int32), "g")
-        cnt = jax.lax.psum(cnt.astype(jnp.int64), "g")
-        return hits, valid, cnt
+        st = jnp.where(own, ki[idx], 0)
+        cnt = jnp.where(own, ki[idx + 1] - ki[idx], 0)
+        csum = jnp.cumsum(cnt, axis=1)              # (Bq, K) inclusive
+        tot = csum[:, -1]                           # (Bq,)
+        j = jnp.arange(a_cap)
+        # slot j belongs to the first seed whose inclusive cumsum
+        # exceeds j; within-seed rank r = j - exclusive cumsum
+        s = jax.vmap(lambda cs: jnp.searchsorted(cs, j, side="right"))(
+            csum).astype(jnp.int32)
+        sc = jnp.clip(s, 0, K - 1)
+        prev = jnp.where(
+            sc > 0, jnp.take_along_axis(csum, jnp.maximum(sc - 1, 0).astype(
+                jnp.int32), axis=1), 0)
+        r = j[None, :] - prev
+        pos = jnp.take_along_axis(st, sc, axis=1) + r
+        validj = j[None, :] < tot[:, None]
+        blocks = jnp.where(validj, kb[jnp.clip(pos, 0, kb.shape[0] - 1)], 0)
+        seed_of = jnp.where(validj, sc, -1)
+        # assemble the full candidate set on the "q" shard (ICI
+        # all_gather over the index axis); outputs are identical across
+        # "g" afterwards, satisfying the replicated out_specs
+        blocks = jnp.moveaxis(jax.lax.all_gather(blocks, "g"), 0, 1)
+        seed_of = jnp.moveaxis(jax.lax.all_gather(seed_of, "g"), 0, 1)
+        tot = jnp.moveaxis(
+            jax.lax.all_gather(tot.astype(jnp.int32), "g"), 0, 1)
+        return blocks, seed_of, tot
 
     return jax.jit(step)
 
@@ -236,13 +265,30 @@ def _boxplot_max_occ(occ: np.ndarray, cap: int) -> int:
     return min(int(q75 + (q75 - q25) * 1.5 + 10.0), cap)
 
 
-def mesh_map_queries(mesh: Mesh, mi, seqs, opt, *, cap: int,
-                     env=None) -> list:
+def _pow2_at_least(n: int, lo: int = 64) -> int:
+    v = lo
+    while v < n:
+        v <<= 1
+    return v
+
+
+def mesh_map_queries(mesh: Mesh, mi, seqs, opt, *, env=None, engine=None,
+                     chunk_elems: int = 1 << 25) -> list:
     """Map a batch of proteins with the seed->anchor stage on the device
     mesh (index hash-sharded on "g", queries data-parallel on "q",
-    candidates merged by psum over "g") and the exact chain/refine/align
-    rounds on the host.  Byte-identical to per-query map_query as long
-    as cap >= the effective max_occ (asserted).
+    candidates assembled by all_gather over "g") and the exact
+    chain/refine rounds on the host.  Byte-identical to per-query
+    map_query at ANY max_occ (including the default 20000, options.c:44):
+    pass 1 psums exact per-seed occupancies, the host applies the
+    reference's boxplot max_occ rule, and pass 2 gathers every hit of
+    every kept seed with no per-seed cap.
+
+    engine: a device.TpuExtEngine — the alignment round's DPs then batch
+    onto the Pallas kernels (sharded gather + device DP + ordered emit in
+    one flow); None runs the host DP engine.
+
+    chunk_elems bounds the pass-2 buffer (NQ_chunk * n_g * a_cap) so one
+    pathological batch cannot OOM a device.
 
     seqs: list of np.uint8 protein arrays.  Returns per-query region
     lists in input order.
@@ -252,6 +298,7 @@ def mesh_map_queries(mesh: Mesh, mi, seqs, opt, *, cap: int,
     from ..mapper import map_query
     from ..sketch import sketch_prot
 
+    n_g = mesh.shape["g"]
     n_q = mesh.shape["q"]
     io = mi.opt
     env = env or DpEnv(opt)
@@ -262,7 +309,7 @@ def mesh_map_queries(mesh: Mesh, mi, seqs, opt, *, cap: int,
         sd = sketch_prot(seq, io.kmer, io.mod_bit)
         native.sort_u64(sd)
         sds.append(sd)
-    K = max((len(s) for s in sds), default=1) or 1
+    K = _pow2_at_least(max((len(s) for s in sds), default=1) or 1, 16)
     NQ = max(len(seqs), 1)
     NQ_pad = -(-NQ // n_q) * n_q
     hashes = np.zeros((NQ_pad, K), np.int64)
@@ -274,28 +321,88 @@ def mesh_map_queries(mesh: Mesh, mi, seqs, opt, *, cap: int,
     ki = np.asarray(mi.ki, np.int64)   # per-bucket start offsets
     kb = np.asarray(mi.kb, np.uint32)
     ki_l, kb_l = shard_index_tables(mesh, ki, kb)
-    step = sharded_anchor_step(mesh, cap)
+    n_bucket = len(ki)
+    per = n_bucket // n_g
+
+    # ---- pass 1: exact per-(query, seed) occupancies (psum over "g")
+    count_step = sharded_seed_count_step(mesh)
     with mesh:
-        h = jax.device_put(hashes, NamedSharding(mesh, P("q", None)))
+        h_dev = jax.device_put(hashes, NamedSharding(mesh, P("q", None)))
         kil = jax.device_put(ki_l, NamedSharding(mesh, P("g", None)))
         kbl = jax.device_put(kb_l, NamedSharding(mesh, P("g", None)))
-        hits, valid, cnt = step(h, kil, kbl)
-        hits = np.asarray(hits)
-        valid = np.asarray(valid)
-        cnt = np.asarray(cnt)
+        cnt = np.asarray(count_step(h_dev, kil, kbl))
 
-    out = []
-    for qi, (seq, sd) in enumerate(zip(seqs, sds)):
+    # host: boxplot max_occ per query -> keep mask; exact per-(q, shard)
+    # totals size the pass-2 buffer
+    keep = np.zeros((NQ_pad, K), np.int8)
+    for qi, sd in enumerate(sds):
         ns = int(nseed[qi])
+        if ns == 0:
+            continue
         occ = cnt[qi, :ns]
-        max_occ = _boxplot_max_occ(occ, opt.max_occ) if ns >= 8 else opt.max_occ
-        assert cap >= max_occ or (occ[occ <= max_occ] <= cap).all(), \
-            "candidate cap below effective max_occ; raise cap"
-        keep = occ <= max_occ
-        v = valid[qi, :ns][keep].astype(bool)
-        hk = hits[qi, :ns][keep]
-        qpos = (sd[keep] & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-        qpos_m = np.broadcast_to(qpos[:, None], hk.shape)
-        a = ((hk[v].astype(np.uint64) << np.uint64(32)) | qpos_m[v])
-        out.append(map_query(mi, seq, opt, env=env, anchors=a))
-    return out
+        max_occ = _boxplot_max_occ(occ, opt.max_occ) if ns >= 8 \
+            else opt.max_occ
+        keep[qi, :ns] = occ <= max_occ
+    g_of = np.minimum(hashes // max(per, 1), n_g - 1)
+    kept_cnt = np.where(keep != 0, cnt, 0)
+    shard_tot = np.zeros((NQ_pad, n_g), np.int64)
+    for g in range(n_g):
+        shard_tot[:, g] = np.where(g_of == g, kept_cnt, 0).sum(axis=1)
+    a_cap = _pow2_at_least(int(shard_tot.max()) or 1)
+
+    # ---- pass 2: compacted variable gather, chunked over queries
+    nq_budget = max(chunk_elems // max(n_g * a_cap, 1), 1)
+    nq_chunk = max(min(nq_budget, NQ_pad) // n_q * n_q, n_q)
+    gather_step = sharded_anchor_gather_step(mesh, a_cap)
+    anchors_per_q: list[np.ndarray] = []
+    with mesh:
+        for q0 in range(0, NQ_pad, nq_chunk):
+            hc = hashes[q0:q0 + nq_chunk]
+            kc = keep[q0:q0 + nq_chunk]
+            if len(hc) < nq_chunk:   # ragged tail still fills the mesh
+                pad = nq_chunk - len(hc)
+                hc = np.pad(hc, ((0, pad), (0, 0)))
+                kc = np.pad(kc, ((0, pad), (0, 0)))
+            h_dev = jax.device_put(hc, NamedSharding(mesh, P("q", None)))
+            k_dev = jax.device_put(kc, NamedSharding(mesh, P("q", None)))
+            blocks, seed_of, tot = gather_step(h_dev, k_dev, kil, kbl)
+            blocks = np.asarray(blocks)
+            seed_of = np.asarray(seed_of)
+            tot = np.asarray(tot)
+            for qc in range(min(nq_chunk, NQ - q0)):
+                qi = q0 + qc
+                assert (tot[qc] <= a_cap).all(), "pass-2 cap undersized"
+                sd = sds[qi]
+                qpos = (sd & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+                parts = []
+                for g in range(n_g):
+                    t = int(tot[qc, g])
+                    if t == 0:
+                        continue
+                    bl = blocks[qc, g, :t].astype(np.uint64)
+                    sl = seed_of[qc, g, :t]
+                    parts.append((bl << np.uint64(32)) | qpos[sl])
+                anchors_per_q.append(
+                    np.concatenate(parts) if parts
+                    else np.empty(0, np.uint64))
+
+    if engine is None:
+        return [map_query(mi, seq, opt, env=env, anchors=a)
+                for seq, a in zip(seqs, anchors_per_q)]
+
+    # device-DP composition: seed/chain/refine on host from the mesh
+    # anchors, then the alignment round batched onto the Pallas kernels
+    from ..align import align_region_steps
+    from ..device import pump_align_generators
+    from ..mapper import finish_align, pre_align
+
+    per_query = []
+    gens = []
+    for seq, a in zip(seqs, anchors_per_q):
+        regs, ext = pre_align(mi, seq, opt, anchors=a)
+        per_query.append((seq, regs))
+        for r, (el, er) in zip(regs, ext):
+            gens.append(align_region_steps(env, opt, mi, len(seq), seq, r,
+                                           el, er))
+    pump_align_generators(gens, engine)
+    return [finish_align(mi, opt, regs) for _, regs in per_query]

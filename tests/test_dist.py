@@ -21,34 +21,66 @@ from miniprot_tpu import native
 idx = Index.build(%(genome)r, IdxOpt())
 mesh = dist.make_mesh(4, 2)
 ki_l, kb_l = dist.shard_index_tables(mesh, idx.ki, idx.kb)
-CAP = 64
 
-# real query seeds from the DPP3 protein
+# real query seeds from the DPP3 protein, PLUS the index's hottest
+# bucket (occupancy beyond any toy per-seed cap: the two-pass gather
+# must fetch every hit of a kept seed, no truncation)
 from miniprot_tpu.bseq import read_fastx
 rec = next(read_fastx(%(query)r))
 sd = sketch_prot(rec.seq, idx.opt.kmer, idx.opt.mod_bit)
 native.sort_u64(sd)
 hashes = (sd >> np.uint64(32)).astype(np.int64)
+ki_ext = np.concatenate([np.asarray(idx.ki, np.int64), [len(idx.kb)]])
+occ_all = ki_ext[1:] - ki_ext[:-1]
+hot = int(np.argmax(occ_all))
+hot_occ = int(occ_all[hot])
+assert hot_occ > 8, "DPP3 index unexpectedly flat"
+
 K = 32
 hq = np.zeros((8, K), np.int64)
 hq[0, :min(K, len(hashes))] = hashes[:K]
+hq[1, 0] = hot
+keep = np.ones((8, K), np.int8)
+keep[2] = 0                    # a fully-masked query gathers nothing
 
-step = dist.sharded_anchor_step(mesh, CAP)
+count_step = dist.sharded_seed_count_step(mesh)
+a_cap = dist._pow2_at_least(hot_occ)
+step = dist.sharded_anchor_gather_step(mesh, a_cap)
 with mesh:
     h = jax.device_put(hq, NamedSharding(mesh, P("q", None)))
+    kp = jax.device_put(keep, NamedSharding(mesh, P("q", None)))
     kil = jax.device_put(ki_l, NamedSharding(mesh, P("g", None)))
     kbl = jax.device_put(kb_l, NamedSharding(mesh, P("g", None)))
-    hits, valid, _cnt = step(h, kil, kbl)
-hits = np.asarray(hits)
-valid = np.asarray(valid)
+    cnt = np.asarray(count_step(h, kil, kbl))
+    blocks, seed_of, tot = step(h, kp, kil, kbl)
+blocks = np.asarray(blocks); seed_of = np.asarray(seed_of)
+tot = np.asarray(tot)
 
-# compare with the host lookup for each seed of query 0
+# pass 1: exact occupancies
 for s in range(min(K, len(hashes))):
-    expect = idx.bucket(int(hashes[s]))
-    got = hits[0, s][valid[0, s] > 0]
-    assert len(got) == min(len(expect), CAP), (s, len(got), len(expect))
-    assert np.array_equal(np.sort(got), np.sort(expect[:CAP])) or \
-        set(got.tolist()) == set(expect[:CAP].tolist())
+    assert cnt[0, s] == occ_all[hashes[s]], (s, cnt[0, s])
+assert cnt[1, 0] == hot_occ
+
+def gathered(qi):
+    per_seed = {}
+    for g in range(blocks.shape[1]):
+        t = int(tot[qi, g])
+        for b, s in zip(blocks[qi, g, :t], seed_of[qi, g, :t]):
+            per_seed.setdefault(int(s), []).append(int(b))
+    return per_seed
+
+# pass 2: every kept seed's hits are complete (multiset vs host bucket)
+ps = gathered(0)
+for s in range(min(K, len(hashes))):
+    expect = sorted(idx.bucket(int(hashes[s])).tolist())
+    got = sorted(ps.get(s, []))
+    assert got == expect, (s, len(got), len(expect))
+# the hot seed gathers ALL its hits — no per-seed cap
+ps1 = gathered(1)
+assert sorted(ps1.get(0, [])) == sorted(idx.bucket(hot).tolist())
+assert len(ps1[0]) == hot_occ
+# masked query gathers nothing
+assert tot[2].sum() == 0
 print("SHARDED-LOOKUP-OK")
 """
 
@@ -95,13 +127,13 @@ fa, faa = %(fa)r, %(faa)r
 make_workload(fa, faa, genome_len=400_000, n_genes=10, seed=17, n_ctg=2,
               max_intron=4000, rev_frac=0.5)
 mi = Index.build(fa, IdxOpt())
-opt = MapOpt()
-opt.max_occ = 64          # candidate cap must cover max_occ
+opt = MapOpt()      # DEFAULT max_occ=20000: no candidate-cap override
 recs = list(read_fastx(faa))
 seqs = [np.frombuffer(r.seq, np.uint8) for r in recs]
 
 mesh = dist.make_mesh(2, 4)
-mesh_regs = dist.mesh_map_queries(mesh, mi, seqs, opt, cap=64)
+# a tiny chunk budget forces the chunked pass-2 path to run >1 chunk
+mesh_regs = dist.mesh_map_queries(mesh, mi, seqs, opt, chunk_elems=1 << 14)
 
 
 def emit(all_regs):
@@ -121,9 +153,10 @@ print("MESH-MAP-OK")
 
 
 def test_mesh_map_queries_matches_local(tmp_path):
-    """Integrated mesh mapping (device seed->anchor gather on a 2x4
-    virtual mesh + host chain/refine/align) is byte-identical to the
-    plain single-device pipeline on a real synthetic workload."""
+    """Integrated mesh mapping (device seed->anchor two-pass gather on a
+    2x4 virtual mesh + host chain/refine/align) is byte-identical to the
+    plain single-device pipeline on a real synthetic workload, at the
+    DEFAULT max_occ and with the chunked pass-2 path engaged."""
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"

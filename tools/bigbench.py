@@ -1,0 +1,148 @@
+"""Big-workload end-to-end benchmark with device-time accounting.
+
+Measures the BASELINE north-star metric (proteins aligned/sec/chip) on a
+whole-genome-scale synthetic workload (default 200Mb x 2000 proteins,
+the same scale as the README's host-path A/B), with the `--tpu` device
+engine, and records everything needed to separate chip time from relay
+time on this relay-attached dev machine:
+
+  - wall-clock proteins/s for the map stage and end-to-end
+  - device_blocked_s: wall time the driver thread spent inside device
+    launches/collects/fetches (includes relay RTTs + on-chip compute)
+  - device_round_trips + an independently measured per-RTT cost
+  - DP cell split (host vs device, ext vs cigar)
+  - co-located projection: map_wall - device_blocked_s + est. kernel
+    compute time (cells / measured kernel GCUPS) — what the same run
+    costs when the chip is attached locally instead of via the relay
+
+Usage: python tools/bigbench.py [--genome-mb 200] [--n-genes 2000]
+       [--no-tpu] [--threads 1] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure_rtt(n: int = 12) -> float:
+    """Median seconds for one minimal device round trip (4-byte put+get)."""
+    import jax
+    import numpy as np
+    x = np.zeros(1, np.int32)
+    d = jax.device_put(x)
+    np.asarray(d)  # warm
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        np.asarray(d)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-mb", type=int, default=200)
+    ap.add_argument("--n-genes", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--no-tpu", action="store_true")
+    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--keep", help="directory to keep workload + output in")
+    ap.add_argument("--out", help="write the JSON record here too")
+    ap.add_argument("--ext-gcups", type=float, default=0.0,
+                    help="measured ext kernel GCUPS for the projection "
+                         "(0 = use bench history fallback 35.7)")
+    ap.add_argument("--cig-gcups", type=float, default=0.0,
+                    help="measured CIGAR kernel GCUPS for the projection "
+                         "(0 = use bench history fallback)")
+    args = ap.parse_args()
+
+    from miniprot_tpu.sysutil import disable_numpy_thp, profiler
+    disable_numpy_thp()
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.pipeline import map_file
+    from miniprot_tpu.testgen import make_workload
+
+    td = args.keep or tempfile.mkdtemp(prefix="bigbench-")
+    os.makedirs(td, exist_ok=True)
+    fa = os.path.join(td, "g.fa")
+    faa = os.path.join(td, "q.faa")
+    rec: dict = {"genome_mb": args.genome_mb, "n_genes_requested": args.n_genes}
+
+    t0 = time.perf_counter()
+    if not (args.keep and os.path.exists(fa) and os.path.exists(faa)):
+        n = make_workload(fa, faa, genome_len=args.genome_mb * 1_000_000,
+                          n_genes=args.n_genes, seed=args.seed, n_ctg=4,
+                          max_intron=20_000, rev_frac=0.5, fs_frac=0.1)
+        rec["n_proteins"] = n
+    else:
+        rec["n_proteins"] = sum(1 for ln in open(faa) if ln.startswith(">"))
+    rec["gen_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    mi = Index.build(fa, IdxOpt())
+    rec["index_build_s"] = round(time.perf_counter() - t0, 2)
+
+    use_tpu = not args.no_tpu
+    rtt = 0.0
+    if use_tpu:
+        from miniprot_tpu.kernels import probe_backend_guarded
+        if not probe_backend_guarded():
+            print("bigbench: no live TPU backend; running host path",
+                  file=sys.stderr)
+            use_tpu = False
+        else:
+            rtt = measure_rtt()
+    rec["use_tpu"] = use_tpu
+    rec["relay_rtt_s"] = round(rtt, 4)
+
+    profiler.enabled = True
+    stats: dict = {}
+    out_path = os.path.join(td, "out.paf")
+    t0 = time.perf_counter()
+    with open(out_path, "w") as out:
+        n_mapped = map_file(mi, faa, MapOpt(), n_threads=args.threads,
+                            out=out, use_tpu=use_tpu, stats=stats)
+    map_wall = time.perf_counter() - t0
+    rec["n_mapped"] = n_mapped
+    rec["map_wall_s"] = round(map_wall, 2)
+    rec["proteins_per_sec_wall"] = round(n_mapped / map_wall, 2)
+    rec["device_blocked_s"] = round(profiler.device_blocked_s, 2)
+    rec["device_round_trips"] = profiler.device_round_trips
+    rec["cells_tpu_ext"] = profiler.cells_tpu_ext
+    rec["cells_tpu_cig"] = profiler.cells_tpu_cig
+    rec["cells_host"] = profiler.cells_host
+    rec["n_dp_tpu"] = profiler.n_dp_tpu
+    rec["n_dp_host"] = profiler.n_dp_host
+    rec.update({k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in stats.items()})
+
+    if use_tpu:
+        ext_g = args.ext_gcups or 35.7   # BENCH_r02 kernel-time rate
+        cig_g = args.cig_gcups or 2.0    # device-time rate (see bench.py)
+        kernel_s = (profiler.cells_tpu_ext / 1e9 / ext_g
+                    + profiler.cells_tpu_cig / 1e9 / cig_g)
+        rec["est_kernel_compute_s"] = round(kernel_s, 2)
+        proj = map_wall - profiler.device_blocked_s + kernel_s
+        rec["colocated_projection_s"] = round(proj, 2)
+        rec["proteins_per_sec_chip_projected"] = round(n_mapped / proj, 2)
+        rec["relay_overhead_s"] = round(
+            profiler.device_blocked_s - kernel_s, 2)
+
+    print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
