@@ -60,13 +60,24 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                   n_genes: int = 100, seed: int = 42, n_ctg: int = 2,
                   max_exons: int = 8, max_intron: int = 20000,
                   mut_rate: float = 0.05, line_len: int = 60,
-                  rev_frac: float = 0.0, fs_frac: float = 0.0):
+                  rev_frac: float = 0.0, fs_frac: float = 0.0,
+                  pseudo_frac: float = 0.0, pseudo_mut: float = 0.01):
     """Write a synthetic genome FASTA + protein FASTA pair.
 
     rev_frac of the genes are implanted on the reverse strand (the gene
     region is reverse-complemented in place after writing).  fs_frac of
     the genes get a 1-2bp indel inside an exon body (a genomic
     frameshift), exercising the F/G CIGAR ops end-to-end.
+
+    pseudo_frac of the multi-exon genes additionally get a PROCESSED
+    PSEUDOGENE: the gene's intronless coding sequence (exons
+    concatenated, pseudo_mut per-base substitutions, random strand)
+    implanted downstream on the same contig.  This is the workload class
+    that exercises the anti-pseudogene machinery — dp_max ranking
+    (intron costs excluded from the ranking score, align.c:102-119) and
+    the multi-exon primary preference (mp_select_multi_exon,
+    hit.c:238-250).  pseudo_mut=0 plants a perfect retrocopy, forcing
+    the near-tie the multi-exon preference exists to break.
 
     Vectorized over uint8 nt codes end-to-end so whole-genome workloads
     (hundreds of Mb) generate in seconds; the bench's 200Mb x 2000
@@ -118,10 +129,26 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                         g[off + k:pos + k] = g[off:pos].copy()
                         g[off:off + k] = rng.integers(0, 4, k, dtype=np.uint8)
                         pos += k
+                cds = None
+                if pseudo_frac > 0 and n_ex > 1 \
+                        and rng.random() < pseudo_frac:
+                    # capture the intronless coding sequence before the
+                    # strand flip (a retrocopy inserts independently)
+                    cds = np.concatenate([g[es:ee] for es, ee in exon_spans])
                 if rng.random() < rev_frac:
                     # flip the whole gene locus to the reverse strand
                     g[cursor:pos] = (3 - g[cursor:pos])[::-1]
                 cursor = pos + int(rng.integers(500, 3000))
+                if cds is not None and cursor + len(cds) + 3000 < per_ctg:
+                    if pseudo_mut > 0:
+                        mp = rng.random(len(cds)) < pseudo_mut
+                        cds = cds.copy()
+                        cds[mp] = rng.integers(0, 4, int(mp.sum()),
+                                               dtype=np.uint8)
+                    if rng.random() < 0.5:
+                        cds = (3 - cds)[::-1]
+                    g[cursor:cursor + len(cds)] = cds
+                    cursor += len(cds) + int(rng.integers(500, 3000))
                 p = prot.copy()
                 mut = rng.integers(0, plen, int(plen * mut_rate))
                 p[mut] = rng.integers(0, 20, len(mut)).astype(np.uint8)
