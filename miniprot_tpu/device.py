@@ -356,10 +356,14 @@ class TpuExtEngine:
             run_ext_host(i)
         pre = self._prefetch(pending)
         for n, (chunk, batch, handles) in enumerate(pending):
-            if pre is not None:
-                handles = pre[n]
             try:
-                results = None if self.broken else self._collect(batch, handles)
+                if pre is not None:
+                    # handles are prefetched numpy: the decode is pure
+                    # host work — no watchdog, no device-blocked credit
+                    results = None if self.broken else batch.collect(pre[n])
+                else:
+                    results = None if self.broken else self._collect(batch,
+                                                                     handles)
             except Exception as e:
                 self._device_failed(e)
                 results = None
@@ -399,10 +403,15 @@ class TpuExtEngine:
             job.result = (sc, c)
             self.n_host += 1
 
-        def collect_one(o_idxs, o_batch, o_handles):
+        def collect_one(o_idxs, o_batch, o_handles, prefetched=False):
             try:
-                results = None if self.broken else self._collect(o_batch,
-                                                                 o_handles)
+                if prefetched:
+                    # numpy-backed handles: pure host decode, no watchdog
+                    results = None if self.broken else o_batch.collect(
+                        o_handles)
+                else:
+                    results = None if self.broken else self._collect(
+                        o_batch, o_handles)
             except Exception as e:
                 self._device_failed(e)
                 results = None
@@ -471,7 +480,9 @@ class TpuExtEngine:
             run_cig_host(i)
         pre = self._prefetch(pending)
         for n, (usable, batch, handles) in enumerate(pending):
-            collect_one(usable, batch, pre[n] if pre is not None else handles)
+            collect_one(usable, batch,
+                        pre[n] if pre is not None else handles,
+                        prefetched=pre is not None)
 
     def flush(self) -> list:
         self._run_ext()

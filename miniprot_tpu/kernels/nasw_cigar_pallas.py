@@ -160,6 +160,9 @@ def _cigar_kernel(slen, n_rows, VL, NEG, sat,
             Srow_s[:] = Srow  # scratch ref: stripe reads need dynamic offsets
 
             def stripe_body(j, _c):
+                # j is a PYTHON int (the stripe loop is unrolled: slen is
+                # static, and static VMEM offsets schedule ~10x better
+                # than pl.ds with a loop-carried index)
                 mj = j < slen_row                 # (1,B) lanes doing stripe j
                 I_prev = Iv_s[:]
                 last_prev = last_s[:]
@@ -242,46 +245,59 @@ def _cigar_kernel(slen, n_rows, VL, NEG, sat,
 
             Iv_s[:] = jnp.full((VL, B), NEG, jnp.int32)
             last_s[:] = jnp.full((VL, B), NEG, jnp.int32)
-            jax.lax.fori_loop(0, slen, stripe_body, 0)
+            for j in range(slen):
+                stripe_body(j, 0)
 
             # lazy-F fixup (nasw-sse.c:521-537): shared (k, j) loop with
             # per-problem (j < slen_p) stripe masks and per-problem break.
             # last_s keeps tracking each problem's last-stripe h so the
             # ring boundary below sees lazy-F updates too.
+            # Structure: pass 1 (the pass the reference ALWAYS runs) is
+            # inlined straight-line — most rows finish there, and a
+            # per-row while_loop entry costs ~1us on TPU — then a
+            # while_loop over the rare passes 2..VL, each an UNROLLED
+            # static-offset sweep of the slen stripes.  Same masked
+            # (k, j) schedule as a flat while_loop: a frozen problem's
+            # act bit stops all its later steps mid-pass.
             goe = go + ge
             Iv_s[:] = jnp.maximum(_ssub(last_s[:], goe), _ssub(Iv_s[:], ge))
             act_s[:] = jnp.ones((1, B), jnp.int32)
 
-            def lf_cond(s):
-                return (s < VL * slen) & jnp.any(act_s[:] != 0)
+            def lf_sweep():
+                active0 = act_s[:] != 0
+                Iv_s[:] = jnp.where(active0,
+                                    _shift_lanes_up(Iv_s[:], NEG, is_row0),
+                                    Iv_s[:])
+                for j in range(slen):
+                    stripe_ok = (act_s[:] != 0) & (j < slen_row)
+                    I = Iv_s[:]
+                    off = (j + 1) * VL
+                    h = Hst[cur, off:off + VL]
+                    z = tb_ref[ii, j * VL:(j + 1) * VL].astype(jnp.int32)
+                    znew = z | jnp.where(I > h, 1 << 9, 0)
+                    hnew = jnp.maximum(h, I)
+                    tb_ref[ii, j * VL:(j + 1) * VL] = jnp.where(
+                        stripe_ok, znew, z).astype(jnp.int16)
+                    Hst[cur, off:off + VL] = jnp.where(stripe_ok, hnew, h)
+                    last_s[:] = jnp.where(stripe_ok & (j == slen_row - 1),
+                                          hnew, last_s[:])
+                    h2 = _ssub(hnew, goe)
+                    Inew = _ssub(I, ge)
+                    allle = jnp.min(jnp.where(Inew <= h2, 1, 0), axis=0,
+                                    keepdims=True) != 0
+                    Iv_s[:] = jnp.where(stripe_ok, Inew, I)
+                    act_s[:] = jnp.where(stripe_ok & allle, 0, act_s[:])
 
-            def lf_body(s):
-                j = jax.lax.rem(s, slen)
-                active = act_s[:] != 0
-                stripe_ok = active & (j < slen_row)
-                I = Iv_s[:]
-                # at the start of each k-pass, shift lanes up
-                I = jnp.where(active & (j == 0),
-                              _shift_lanes_up(I, NEG, is_row0), I)
-                off = (j + 1) * VL
-                h = Hst[cur, pl.ds(off, VL)]
-                z = tb_ref[ii, pl.ds(j * VL, VL)].astype(jnp.int32)
-                znew = z | jnp.where(I > h, 1 << 9, 0)
-                hnew = jnp.maximum(h, I)
-                tb_ref[ii, pl.ds(j * VL, VL)] = jnp.where(
-                    stripe_ok, znew, z).astype(jnp.int16)
-                Hst[cur, pl.ds(off, VL)] = jnp.where(stripe_ok, hnew, h)
-                last_s[:] = jnp.where(stripe_ok & (j == slen_row - 1),
-                                      hnew, last_s[:])
-                h2 = _ssub(hnew, goe)
-                Inew = _ssub(I, ge)
-                allle = jnp.min(jnp.where(Inew <= h2, 1, 0), axis=0,
-                                keepdims=True) != 0
-                Iv_s[:] = jnp.where(stripe_ok, Inew, I)
-                act_s[:] = jnp.where(stripe_ok & allle, 0, act_s[:])
-                return s + 1
+            lf_sweep()                    # pass 1, unconditional
 
-            jax.lax.while_loop(lf_cond, lf_body, 0)
+            def lf_pass_cond(k):
+                return (k < VL) & jnp.any(act_s[:] != 0)
+
+            def lf_pass_body(k):
+                lf_sweep()
+                return k + 1
+
+            jax.lax.while_loop(lf_pass_cond, lf_pass_body, 1)
 
             # one ring store per row: this row's per-problem last-stripe
             # value feeds the [-1] boundary of rows i+1..i+3
@@ -412,14 +428,15 @@ def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps):
     sl = jnp.maximum(slen0, 1)
     di_tab = jnp.asarray(_BT_DI, jnp.int32)
     dj_tab = jnp.asarray(_BT_DJ, jnp.int32)
-    out0 = jnp.full((max_steps, B), 15, jnp.int8)
+    # 4 decode steps per while iteration: a TPU while iteration costs
+    # ~1us of loop overhead, which dominated the walk at 1 step/iter.
+    # Inactive lanes write the pad value (15 = the buffer's init), so
+    # overshooting a lane's path end inside an unrolled group is a no-op.
+    UNROLL = 4
+    steps_pad = -(-max_steps // UNROLL) * UNROLL
+    out0 = jnp.full((steps_pad, B), 15, jnp.int8)
 
-    def cond(c):
-        k, i, j, last, out = c
-        return (k < max_steps) & jnp.any((i >= 2) & (j >= 0))
-
-    def body(c):
-        k, i, j, last, out = c
+    def step(k, i, j, last, out):
         active = (i >= 2) & (j >= 0)
         ii = jnp.clip(i, 0, n_rows - 1)
         col = jnp.clip((j % sl) * VL + j // sl, 0, W - 1)
@@ -440,7 +457,17 @@ def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps):
         j = jnp.where(active, j - dj, j)
         last = jnp.where(active,
                          jnp.where(is_gap & (ext == 1), state, 0), last)
-        return k + 1, i, j, last, out
+        return i, j, last, out
+
+    def cond(c):
+        k, i, j, last, out = c
+        return (k < steps_pad) & jnp.any((i >= 2) & (j >= 0))
+
+    def body(c):
+        k, i, j, last, out = c
+        for u in range(UNROLL):
+            i, j, last, out = step(k + u, i, j, last, out)
+        return k + UNROLL, i, j, last, out
 
     _, fi, fj, _, out = jax.lax.while_loop(
         cond, body, (jnp.int32(0), i0, j0, jnp.zeros(B, jnp.int32), out0))
@@ -475,6 +502,30 @@ def _compiled_cigar_dtb(slen, n_rows, rows_used, interpret):
     return jax.jit(wrapped)
 
 
+def _cigar_raw_dtb_eval(call, sp, codon, n_rows, W, max_steps,
+                        nt8, iov, nlv1, nlv, slens, opts, prof, endsel,
+                        qpad, alv):
+    """Shared body of the raw-upload dtb wrappers."""
+    zero_left = jnp.zeros((1, B), jnp.int8)
+    nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
+                                 nlv1, sp=sp, codon=codon, n_rows=n_rows)
+    z1 = jnp.zeros((1, B), jnp.int32)
+    z2 = jnp.zeros((2, B), jnp.int32)
+    d0 = D[:n_rows]
+    dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+    dp1 = D[1:n_rows + 1]
+    a0 = A[:n_rows]
+    am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+    am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+    tb, score = call(nas, dm1, d0, dp1, a0, am1, am2,
+                     nlv, slens, opts, prof, endsel.astype(jnp.int32),
+                     qpad.astype(jnp.int32))
+    states, fi, fj = _device_backtrack(
+        tb, nlv[0].astype(jnp.int32), alv[0].astype(jnp.int32),
+        slens[0].astype(jnp.int32), n_rows, W, max_steps)
+    return states, fi, fj, score
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_cigar_raw_dtb(slen, n_rows, rows_used, sp_key, trans_code,
                             interpret):
@@ -485,24 +536,28 @@ def _compiled_cigar_raw_dtb(slen, n_rows, rows_used, sp_key, trans_code,
     codon = _tables.get_tables(trans_code).codon
 
     def wrapped(nt8, iov, nlv1, nlv, slens, opts, prof, endsel, qpad, alv):
-        zero_left = jnp.zeros((1, B), jnp.int8)
-        nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
-                                     nlv1, sp=sp, codon=codon, n_rows=n_rows)
-        z1 = jnp.zeros((1, B), jnp.int32)
-        z2 = jnp.zeros((2, B), jnp.int32)
-        d0 = D[:n_rows]
-        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
-        dp1 = D[1:n_rows + 1]
-        a0 = A[:n_rows]
-        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
-        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
-        tb, score = call(nas, dm1, d0, dp1, a0, am1, am2,
-                         nlv, slens, opts, prof, endsel.astype(jnp.int32),
-                         qpad.astype(jnp.int32))
-        states, fi, fj = _device_backtrack(
-            tb, nlv[0].astype(jnp.int32), alv[0].astype(jnp.int32),
-            slens[0].astype(jnp.int32), n_rows, W, max_steps)
-        return states, fi, fj, score
+        return _cigar_raw_dtb_eval(call, sp, codon, n_rows, W, max_steps,
+                                   nt8, iov, nlv1, nlv, slens, opts, prof,
+                                   endsel, qpad, alv)
+
+    return jax.jit(wrapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_cigar_raw_dtb_packed(slen, n_rows, rows_used, sp_key,
+                                   trans_code, spec, interpret):
+    call = _make_cigar_call(slen, n_rows, interpret)
+    W = slen * VL
+    max_steps = rows_used + W + 2
+    sp = np.asarray(sp_key, np.int32)
+    codon = _tables.get_tables(trans_code).codon
+
+    def wrapped(buf):
+        (nt8, iov, nlv1, nlv, slens, opts, prof, endsel, qpad,
+         alv) = _unpack_device(buf, spec)
+        return _cigar_raw_dtb_eval(call, sp, codon, n_rows, W, max_steps,
+                                   nt8, iov, nlv1, nlv, slens, opts, prof,
+                                   endsel, qpad, alv)
 
     return jax.jit(wrapped)
 
@@ -655,7 +710,8 @@ class CigarBatch:
 # single-saturation fold stays bit-exact).
 # ---------------------------------------------------------------------------
 
-from .nasw_pallas import _prep_seq_device  # noqa: E402
+from .nasw_pallas import _pack_arrays, _prep_seq_device, \
+    _unpack_device  # noqa: E402
 from .. import tables as _tables           # noqa: E402
 
 
@@ -726,6 +782,15 @@ class RawCigarBatch(CigarBatch):
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
         if _os.environ.get("MINIPROT_TPU_TB_HOST") != "1":
+            if _os.environ.get("MINIPROT_TPU_PACKED") != "0":
+                buf, spec = _pack_arrays(
+                    (self.nt, self.iov, self.nlv1, self.nlv, self.slens,
+                     opts, self.prof, self.endsel.astype(np.int8),
+                     self.qpad, self.alv))
+                call = _compiled_cigar_raw_dtb_packed(
+                    self.slen, self.nl, rows_used, self.sp_key,
+                    self.trans_code, spec, interpret)
+                return ("dtb",) + tuple(call(jnp.asarray(buf)))
             call = _compiled_cigar_raw_dtb(self.slen, self.nl, rows_used,
                                            self.sp_key, self.trans_code,
                                            interpret)

@@ -779,6 +779,65 @@ def _logpen_thresholds(ie_coef, max_x):
     return tuple(int(v) for v in thr)
 
 
+def _pack_arrays(arrs):
+    """Host side of the one-put upload: concatenate arbitrary-dtype
+    C-contiguous arrays into ONE int32 buffer + a static unpack spec.
+
+    Through a relay-attached device every jnp.asarray is a blocking
+    round trip, so a launch that ships 7-10 arrays pays 7-10 RTTs;
+    packing makes it one.  The spec (dtype, shape, word offset, word
+    length per array) is static per shape bucket, so it keys the
+    compiled-call cache."""
+    parts, spec, off = [], [], 0
+    for a in arrs:
+        raw = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
+        pad = (-raw.size) % 4
+        if pad:
+            raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+        w = raw.view(np.int32)
+        spec.append((str(a.dtype), a.shape, off, w.size))
+        parts.append(w)
+        off += w.size
+    return np.concatenate(parts), tuple(spec)
+
+
+def _unpack_device(buf, spec):
+    """Device side: slice + bitcast each packed array back out (free —
+    XLA fuses the bitcasts into the consumers)."""
+    outs = []
+    for dt, shape, off, wlen in spec:
+        w = buf[off:off + wlen]
+        n = int(np.prod(shape))
+        if dt == "int32":
+            v = w.reshape(shape)
+        elif dt in ("int8", "uint8", "int16", "uint16"):
+            v = jax.lax.bitcast_convert_type(
+                w, jnp.dtype(dt)).reshape(-1)[:n].reshape(shape)
+        else:
+            raise ValueError(f"unsupported packed dtype {dt}")
+        outs.append(v)
+    return outs
+
+
+def _ext_raw_eval(call, sp, codon, thr, n_rows, al,
+                  nt8, leftb, iov, als, nlv1, opts, prof):
+    """Shared body of the raw-upload extension wrappers."""
+    nas, D, A, logpen, nlv, endmask, qpad = _prep_tracks_device(
+        nt8, leftb, iov.astype(jnp.int32), als.astype(jnp.int32),
+        nlv1, sp=sp, codon=codon, thr=thr, n_rows=n_rows, al=al)
+    z1 = jnp.zeros((1, B_LANES), jnp.int32)
+    z2 = jnp.zeros((2, B_LANES), jnp.int32)
+    d0 = D[:n_rows]
+    dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
+    dp1 = D[1:n_rows + 1]
+    a0 = A[:n_rows]
+    am1 = jnp.concatenate([z1, A[:n_rows - 1]])
+    am2 = jnp.concatenate([z2, A[:n_rows - 2]])
+    max_sc, max_i, aal = call(nas, dm1, d0, dp1, a0, am1, am2,
+                              logpen, nlv, opts, prof, endmask, qpad)
+    return jnp.concatenate([max_sc, max_i, aal], axis=0)
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_ext_raw(al, n_rows, sp_key, trans_code, thr, interpret):
     call = _make_ext_call(al, n_rows, interpret)
@@ -786,20 +845,23 @@ def _compiled_ext_raw(al, n_rows, sp_key, trans_code, thr, interpret):
     codon = tables.get_tables(trans_code).codon
 
     def wrapped(nt8, leftb, iov, als, nlv1, opts, prof):
-        nas, D, A, logpen, nlv, endmask, qpad = _prep_tracks_device(
-            nt8, leftb, iov.astype(jnp.int32), als.astype(jnp.int32),
-            nlv1, sp=sp, codon=codon, thr=thr, n_rows=n_rows, al=al)
-        z1 = jnp.zeros((1, B_LANES), jnp.int32)
-        z2 = jnp.zeros((2, B_LANES), jnp.int32)
-        d0 = D[:n_rows]
-        dm1 = jnp.concatenate([z1, D[:n_rows - 1]])
-        dp1 = D[1:n_rows + 1]
-        a0 = A[:n_rows]
-        am1 = jnp.concatenate([z1, A[:n_rows - 1]])
-        am2 = jnp.concatenate([z2, A[:n_rows - 2]])
-        max_sc, max_i, aal = call(nas, dm1, d0, dp1, a0, am1, am2,
-                                  logpen, nlv, opts, prof, endmask, qpad)
-        return jnp.concatenate([max_sc, max_i, aal], axis=0)
+        return _ext_raw_eval(call, sp, codon, thr, n_rows, al,
+                             nt8, leftb, iov, als, nlv1, opts, prof)
+
+    return jax.jit(wrapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_ext_raw_packed(al, n_rows, sp_key, trans_code, thr, spec,
+                             interpret):
+    call = _make_ext_call(al, n_rows, interpret)
+    sp = np.asarray(sp_key, np.int32)
+    codon = tables.get_tables(trans_code).codon
+
+    def wrapped(buf):
+        nt8, leftb, iov, als, nlv1, opts, prof = _unpack_device(buf, spec)
+        return _ext_raw_eval(call, sp, codon, thr, n_rows, al,
+                             nt8, leftb, iov, als, nlv1, opts, prof)
 
     return jax.jit(wrapped)
 
@@ -843,14 +905,22 @@ class RawExtBatch:
         return b
 
     def launch(self, interpret=None):
+        import os as _os
         if interpret is None:
             from . import on_tpu_backend
             interpret = not on_tpu_backend()
         thr = _logpen_thresholds(float(np.float32(self.ie_coef)), self.nl)
-        call = _compiled_ext_raw(self.al, self.nl, self.sp_key,
-                                 self.trans_code, thr, interpret)
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
+        if _os.environ.get("MINIPROT_TPU_PACKED") != "0":
+            buf, spec = _pack_arrays((self.nt, self.leftb, self.iov,
+                                      self.als, self.nlv1, opts, self.prof))
+            call = _compiled_ext_raw_packed(self.al, self.nl, self.sp_key,
+                                            self.trans_code, thr, spec,
+                                            interpret)
+            return call(jnp.asarray(buf))
+        call = _compiled_ext_raw(self.al, self.nl, self.sp_key,
+                                 self.trans_code, thr, interpret)
         return call(jnp.asarray(self.nt), jnp.asarray(self.leftb),
                     jnp.asarray(self.iov), jnp.asarray(self.als),
                     jnp.asarray(self.nlv1), jnp.asarray(opts),

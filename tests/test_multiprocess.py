@@ -37,35 +37,49 @@ ki = np.zeros(n_bucket, np.int64)
 np.cumsum(counts[:-1], out=ki[1:])
 kb = rng.integers(1, 10**6, int(counts.sum())).astype(np.uint32)
 ki_l, kb_l = dist.shard_index_tables(mesh, ki, kb)
-NQ, K, CAP = 8, 16, 8
+NQ, K = 8, 16
 hashes = rng.integers(0, n_bucket, (NQ, K)).astype(np.int64)
+keep = np.ones((NQ, K), np.int8)
 
 def gshard(arr, spec):
     sh = NamedSharding(mesh, spec)
     return jax.make_array_from_callback(arr.shape, sh, lambda i: arr[i])
 
-step = dist.sharded_anchor_step(mesh, CAP)
+ki_ext = np.concatenate([ki, [len(kb)]])
+occ = ki_ext[hashes + 1] - ki_ext[hashes]
+a_cap = dist._pow2_at_least(int(occ.sum(axis=1).max()))
+step = dist.sharded_anchor_gather_step(mesh, a_cap)
 with mesh:
     h = gshard(hashes, P("q", None))
+    kp = gshard(keep, P("q", None))
     kil = gshard(ki_l, P("g", None))
     kbl = gshard(kb_l, P("g", None))
-    hits, valid, _cnt = step(h, kil, kbl)
-    jax.block_until_ready((hits, valid))
+    blocks, seed_of, tot = step(h, kp, kil, kbl)
+    jax.block_until_ready((blocks, seed_of, tot))
 
-# host-side expectation
-ki_ext = np.concatenate([ki, [len(kb)]])
+# host-side expectation: the FULL bucket of every seed (no cap)
 def expect(hash_):
-    return kb[ki_ext[hash_]:ki_ext[hash_ + 1]][:CAP]
+    return kb[ki_ext[hash_]:ki_ext[hash_ + 1]]
 
 # validate every shard this process can address
-for shard in hits.addressable_shards:
+for shard in blocks.addressable_shards:
     q0 = shard.index[0].start or 0
-    data = np.asarray(shard.data)
+    data = np.asarray(shard.data)          # (nq_local, n_g, a_cap)
+    sdata = np.asarray(seed_of.addressable_shards[
+        [s.index for s in seed_of.addressable_shards].index(shard.index)].data)
+    tdata = np.asarray(tot.addressable_shards[
+        [s.index[:2] for s in tot.addressable_shards].index(
+            shard.index[:2])].data)
     for qi in range(data.shape[0]):
+        per_seed = {}
+        for g in range(data.shape[1]):
+            t = int(tdata[qi, g])
+            for b, s in zip(data[qi, g, :t], sdata[qi, g, :t]):
+                per_seed.setdefault(int(s), []).append(int(b))
         for s in range(K):
             e = expect(int(hashes[q0 + qi, s]))
-            got = data[qi, s][data[qi, s] > 0]
-            assert sorted(got.tolist()) == sorted(e.tolist()), (q0 + qi, s)
+            got = per_seed.get(s, [])
+            assert sorted(got) == sorted(e.tolist()), (q0 + qi, s)
 print("MP-OK-" + sys.argv[1], flush=True)
 """
 

@@ -71,3 +71,49 @@ def test_tpu_synthetic_parity_and_coverage(tmp_path):
     assert tpu_out == host_out
     assert stats.get("n_tpu", 0) > 0
     assert stats["device_fraction"] >= 0.90, stats
+
+
+def test_mesh_gather_plus_device_dp(tmp_path):
+    """SURVEY §2.3's full distributed flow in ONE path: index-sharded
+    seed->anchor gather on a multi-device mesh (virtual 8-CPU here; the
+    collectives are the same on ICI), the alignment round's DPs batched
+    on the real TPU chip, ordered emit — byte-identical to the plain
+    host pipeline, at the DEFAULT max_occ."""
+    import jax
+
+    from miniprot_tpu.bseq import read_fastx
+    from miniprot_tpu.device import TpuExtEngine
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.mapper import map_query
+    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.parallel import dist
+    from miniprot_tpu.pipeline import _emit_query
+    from miniprot_tpu.testgen import make_workload
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=600_000, n_genes=8, seed=31,
+                  n_ctg=2, max_intron=8000, rev_frac=0.5)
+    mi = Index.build(fa, IdxOpt())
+    opt = MapOpt()
+    recs = list(read_fastx(faa))
+    seqs = [np.frombuffer(r.seq, np.uint8) for r in recs]
+
+    cpu = jax.devices("cpu")
+    if len(cpu) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (conftest flags)")
+    mesh = dist.make_mesh(2, 4, devices=cpu)
+    engine = TpuExtEngine(opt)
+    mesh_regs = dist.mesh_map_queries(mesh, mi, seqs, opt, engine=engine)
+
+    def emit(all_regs):
+        buf = io.StringIO()
+        idc = [0]
+        for rec, seq, regs in zip(recs, seqs, all_regs):
+            _emit_query(mi, opt, rec.name, seq, regs, idc, buf)
+        return buf.getvalue()
+
+    got = emit(mesh_regs)
+    want = emit([map_query(mi, s, opt) for s in seqs])
+    assert got == want, "mesh+device-DP flow diverged from host pipeline"
+    assert engine.n_tpu > 0, "alignment DPs did not reach the device"
+    assert got.count("\n") >= 8
