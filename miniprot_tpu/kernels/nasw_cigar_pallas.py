@@ -647,7 +647,12 @@ class CigarBatch:
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         # round the row clip to 512 so the compile-key count stays small
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
-        rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
+        rows_used = min(self.nl, (max_nl + 2047) // 2048 * 2048)
+        # 2048-rounding (vs 512) quarters the compile-key count: each
+        # distinct rows_used is a separate jit trace (~0.3s of pure
+        # Python), which dominated cold-start map time; the cost is a
+        # slightly larger state-stream fetch, bounded by the walk's
+        # early exit
         from .nasw_pallas import _opts_array
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
@@ -777,7 +782,12 @@ class RawCigarBatch(CigarBatch):
             interpret = not on_tpu_backend()
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
-        rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
+        rows_used = min(self.nl, (max_nl + 2047) // 2048 * 2048)
+        # 2048-rounding (vs 512) quarters the compile-key count: each
+        # distinct rows_used is a separate jit trace (~0.3s of pure
+        # Python), which dominated cold-start map time; the cost is a
+        # slightly larger state-stream fetch, bounded by the walk's
+        # early exit
         from .nasw_pallas import _opts_array
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
@@ -864,7 +874,12 @@ class Dp32Batch(CigarBatch):
             interpret = not on_tpu_backend()
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
-        rows_used = min(self.nl, (max_nl + 511) // 512 * 512)
+        rows_used = min(self.nl, (max_nl + 2047) // 2048 * 2048)
+        # 2048-rounding (vs 512) quarters the compile-key count: each
+        # distinct rows_used is a separate jit trace (~0.3s of pure
+        # Python), which dominated cold-start map time; the cost is a
+        # slightly larger state-stream fetch, bounded by the walk's
+        # early exit
         call = _compiled_dp32(self.slen, self.nl, n_lanes, rows_used,
                               interpret)
         from .nasw_pallas import _opts_array

@@ -57,6 +57,12 @@ def main() -> None:
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--keep", help="directory to keep workload + output in")
     ap.add_argument("--out", help="write the JSON record here too")
+    ap.add_argument("--cold", action="store_true",
+                    help="skip the warm-up pass (measure cold-start: jit "
+                         "tracing of every shape variant lands in the "
+                         "timed run)")
+    ap.add_argument("--warm-n", type=int, default=40,
+                    help="queries in the warm-up pass")
     ap.add_argument("--ext-gcups", type=float, default=0.0,
                     help="measured ext kernel GCUPS for the projection "
                          "(0 = use bench history fallback 35.7)")
@@ -105,7 +111,30 @@ def main() -> None:
     rec["use_tpu"] = use_tpu
     rec["relay_rtt_s"] = round(rtt, 4)
 
+    if use_tpu and not args.cold:
+        # warm-up: map a small subset first so jit tracing + kernel
+        # compiles of the common shape buckets (one-time per process,
+        # ~0.3s of pure-Python trace per variant plus relay-side
+        # compile fetches) do not land in the timed run — steady-state
+        # is what a serving deployment sees.  Residual cold shapes in
+        # the big run still count against it.
+        import io as _io
+        import itertools
+        warm_faa = os.path.join(td, "warm.faa")
+        with open(faa) as src, open(warm_faa, "w") as dst:
+            take = args.warm_n * 2  # name+seq lines
+            dst.writelines(itertools.islice(src, take))
+        t0 = time.perf_counter()
+        map_file(mi, warm_faa, MapOpt(), n_threads=args.threads,
+                 out=_io.StringIO(), use_tpu=True)
+        rec["warmup_s"] = round(time.perf_counter() - t0, 2)
+
     profiler.enabled = True
+    profiler.device_blocked_s = 0.0
+    profiler.device_round_trips = 0
+    profiler.cells_host = profiler.cells_tpu = 0
+    profiler.cells_tpu_ext = profiler.cells_tpu_cig = 0
+    profiler.n_dp_host = profiler.n_dp_tpu = 0
     stats: dict = {}
     out_path = os.path.join(td, "out.paf")
     t0 = time.perf_counter()
