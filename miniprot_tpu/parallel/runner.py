@@ -7,9 +7,14 @@ is: shard queries round-robin across processes/hosts (data parallel —
 queries are independent), map each shard against the local index
 replica, and restore the global input order at emission on process 0.
 
-Region records (not formatted text) are spooled, because GFF record ids
-(``MP%06d``) are assigned in *output* order (format.c:372), which is
-only known after the cross-host merge.
+For output modes whose per-query text is independent of global state
+(PAF, --aln, --trans — everything except GFF/GTF), each shard FORMATS
+its own queries' text and spools (query_index, text): the process-0
+emit is then a pure ordered byte-stream concatenation, removing the
+serial formatting term that binds the scaling model at high shard
+counts (docs/SCALING.md).  GFF/GTF spool Region records instead,
+because their record ids (``MP%06d``, format.c:372) are assigned in
+*output* order, which is only known after the cross-host merge.
 
 Spools are STREAMS: each shard appends one pickled record per query as
 it maps (so a shard never holds its results in RAM), and the process-0
@@ -36,8 +41,14 @@ from ..align import DpEnv
 from ..bseq import BatchReader
 from ..index import Index
 from ..mapper import map_query
-from ..options import F_GFF, MapOpt
+from ..options import F_GFF, F_GTF, MapOpt
 from ..pipeline import _emit_query
+
+
+def emit_is_parallel(opt: MapOpt) -> bool:
+    """True when per-query output text is independent of global state
+    (no output-order record ids), so shards can format their own text."""
+    return not (opt.flag & (F_GFF | F_GTF))
 
 
 def spool_path(spool_dir: str, process_id: int) -> str:
@@ -98,9 +109,25 @@ def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
         return -1
     env = DpEnv(opt)
     reader = BatchReader(fn)
+    par_emit = emit_is_parallel(opt)
     n = 0
     qi = 0
     tmp = spool_path(spool_dir, process_id) + ".tmp"
+
+    def spool_rec(fp, qi0, rec, regs):
+        if par_emit:
+            # format here: the proc-0 merge then only concatenates
+            import io as _io
+            buf = _io.StringIO()
+            _emit_query(mi, opt, rec.name,
+                        np.frombuffer(rec.seq, dtype=np.uint8), regs,
+                        [0], buf)
+            pickle.dump((qi0, buf.getvalue()), fp,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        else:
+            pickle.dump((qi0, rec.name, rec.seq, regs), fp,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+
     with open(tmp, "wb") as fp:
         while True:
             batch = reader.read_batch(opt.mini_batch_size)
@@ -115,15 +142,13 @@ def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
                 mapped = map_batch_tpu(mi, opt, env, engine,
                                        [rec for _, rec in mine])
                 for (qi0, _), (rec, _, regs) in zip(mine, mapped):
-                    pickle.dump((qi0, rec.name, rec.seq, regs), fp,
-                                protocol=pickle.HIGHEST_PROTOCOL)
+                    spool_rec(fp, qi0, rec, regs)
                     n += 1
             else:
                 for qi0, rec in mine:
                     seq = np.frombuffer(rec.seq, dtype=np.uint8)
                     regs = map_query(mi, seq, opt, env=env)
-                    pickle.dump((qi0, rec.name, rec.seq, regs), fp,
-                                protocol=pickle.HIGHEST_PROTOCOL)
+                    spool_rec(fp, qi0, rec, regs)
                     n += 1
     os.replace(tmp, spool_path(spool_dir, process_id))  # atomic: resumable
     return n
@@ -151,10 +176,13 @@ def emit_merged(mi: Index, opt: MapOpt, num_processes: int, spool_dir: str,
     n = 0
     # each stream is ascending in qi, so heapq.merge restores the global
     # input order without materializing anything
-    for qi, name, seq_bytes, regs in heapq.merge(*streams,
-                                                 key=lambda r: r[0]):
-        seq = np.frombuffer(seq_bytes, dtype=np.uint8)
-        _emit_query(mi, opt, name, seq, regs, id_counter, out)
+    for rec in heapq.merge(*streams, key=lambda r: r[0]):
+        if len(rec) == 2:          # parallel emit: pre-formatted text
+            out.write(rec[1])
+        else:
+            qi, name, seq_bytes, regs = rec
+            seq = np.frombuffer(seq_bytes, dtype=np.uint8)
+            _emit_query(mi, opt, name, seq, regs, id_counter, out)
         n += 1
     return n
 

@@ -128,6 +128,7 @@ from miniprot_tpu.parallel.runner import map_file_multihost
 pid = int(sys.argv[1])
 mi = Index.build(%(fa)r, IdxOpt())
 opt = MapOpt()
+opt.flag |= %(flag)d
 with open(%(out)r, "w") if pid == 0 else open(os.devnull, "w") as out:
     map_file_multihost(mi, %(faa)r, opt, pid, NP, %(spool)r, out)
 print("MAP-OK-" + str(pid), flush=True)
@@ -137,24 +138,30 @@ print("MAP-OK-" + str(pid), flush=True)
 import pytest
 
 
-@pytest.mark.parametrize("n_proc", [2, 4])
-def test_multi_process_mapping_matches_single(tmp_path, n_proc):
+@pytest.mark.parametrize("n_proc,gff", [(2, False), (4, False), (2, True)])
+def test_multi_process_mapping_matches_single(tmp_path, n_proc, gff):
     """Data-parallel mapping across coordinated processes with the
     streaming k-way spool merge on proc 0 must be byte-identical to the
-    single-process pipeline (2- and 4-process variants)."""
+    single-process pipeline.  PAF mode exercises the PARALLEL emit
+    (shards format their own text, proc 0 only concatenates); GFF mode
+    exercises the Region-record spool (output-order MP ids force
+    serial formatting)."""
     from miniprot_tpu.testgen import make_workload
     from miniprot_tpu.index import Index
-    from miniprot_tpu.options import IdxOpt, MapOpt
+    from miniprot_tpu.options import F_GFF, IdxOpt, MapOpt
     from miniprot_tpu.pipeline import map_file
     import io as _io
 
+    flag = F_GFF if gff else 0
     fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
     make_workload(fa, faa, genome_len=600_000, n_genes=12, seed=3, n_ctg=2,
                   max_intron=5000, rev_frac=0.3)
     # single-process golden
     mi = Index.build(fa, IdxOpt())
     buf = _io.StringIO()
-    map_file(mi, faa, MapOpt(), 1, out=buf)
+    opt = MapOpt()
+    opt.flag |= flag
+    map_file(mi, faa, opt, 1, out=buf)
     golden = buf.getvalue()
 
     spool = str(tmp_path / "spool")
@@ -166,7 +173,7 @@ def test_multi_process_mapping_matches_single(tmp_path, n_proc):
     env.pop("XLA_FLAGS", None)
     coord = f"127.0.0.1:{_free_port()}"
     code = MAP_WORKER % {"repo": "/root/repo", "fa": fa, "faa": faa,
-                         "out": out_path, "spool": spool}
+                         "out": out_path, "spool": spool, "flag": flag}
     procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord,
                                str(n_proc)],
                               env=env, stdout=subprocess.PIPE,
@@ -252,18 +259,15 @@ def test_shard_engine_spool_matches_host(tmp_path, monkeypatch):
     monkeypatch.setattr(pl, "_probe_backend_guarded", lambda: None)
 
     def load(pid_dir):
+        # PAF mode spools (qi, formatted_text) — the parallel-emit path;
+        # comparing the final text is the strongest equality
         recs = []
         with open(spool_path(pid_dir, 0), "rb") as f:
             while True:
                 try:
-                    qi, name, seq, regs = pickle.load(f)
+                    recs.append(pickle.load(f))
                 except EOFError:
                     break
-                recs.append((qi, name, seq,
-                             [(r.vid, r.vs, r.ve, r.qs, r.qe,
-                               None if r.p is None else
-                               (r.p.dp_score, r.p.cigar.tobytes()))
-                              for r in regs]))
         return recs
 
     d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")

@@ -147,29 +147,44 @@ def main() -> None:
         print(f"mesh sizes 1/2/4/8: byte-identical output on {nc} queries "
               f"at DEFAULT max_occ ({len(sub_golden.splitlines())} records)")
 
-        # host-engine and device-DP-composed projections
+        # measured proc-0 concat cost for the parallel (PAF) emit: the
+        # shards pre-format their text, proc 0 only writes bytes
+        t0 = time.perf_counter()
+        sink = io.StringIO()
+        sink.write(golden)
+        t_concat = (time.perf_counter() - t0) / len(seqs)
+
+        # host-engine and device-DP-composed projections, x serial
+        # (GFF: output-order ids) vs parallel (PAF: shard-side
+        # formatting, runner.emit_is_parallel) emit
         t_dp_dev = (CELLS_EXT_PER_Q / EXT_GCUPS
                     + CELLS_CIG_PER_Q / CIG_GCUPS) / 1e9
         t_host_dev = t_compute * (1.0 - HOST_DP_SHARE)
         for bw_name, bw in (("ICI 45 GB/s", 45e9), ("DCN 25 GB/s", 25e9)):
             print(f"projected scaling efficiency over {bw_name} "
-                  f"(host-DP | device-DP-composed):")
-            break80_h = break80_d = None
+                  f"(host-DP | device-DP; serial GFF emit / parallel "
+                  f"PAF emit):")
+            brk = {}
             for n in (2, 4, 8, 16, 32, 64):
                 t_comm = (payload1 + payload2) * (n - 1) / n / bw
-                tn_h = t_compute / n + t_comm + t_emit
-                eff_h = (t_compute + t_emit) / (n * tn_h)
-                tn_d = (t_host_dev + t_dp_dev) / n + t_comm + t_emit
-                eff_d = (t_host_dev + t_dp_dev + t_emit) / (n * tn_d)
-                if eff_h < 0.80 and break80_h is None:
-                    break80_h = n
-                if eff_d < 0.80 and break80_d is None:
-                    break80_d = n
-                print(f"  n={n:2d}: {100*eff_h:5.1f}% | {100*eff_d:5.1f}%"
+                effs = {}
+                for dp_name, t_par in (("h", t_compute),
+                                       ("d", t_host_dev + t_dp_dev)):
+                    for em_name, t_ser in (("ser", t_emit),
+                                           ("par", t_emit / n + t_concat)):
+                        tn = t_par / n + t_comm + t_ser
+                        eff = (t_par + t_emit) / (n * tn)
+                        effs[dp_name + em_name] = eff
+                        if eff < 0.80 and (dp_name, em_name) not in brk:
+                            brk[(dp_name, em_name)] = n
+                print(f"  n={n:2d}: {100*effs['hser']:5.1f}/"
+                      f"{100*effs['hpar']:5.1f}% | {100*effs['dser']:5.1f}/"
+                      f"{100*effs['dpar']:5.1f}%"
                       f"  (comm {t_comm*1e6:.1f} us/query)")
-            print(f"  80% efficiency breaks at: host-DP "
-                  f"{break80_h or '>64'} shards, device-DP "
-                  f"{break80_d or '>64'} shards")
+            print(f"  80% breaks at: host-DP {brk.get(('h','ser'),'>64')}"
+                  f" (serial) / {brk.get(('h','par'),'>64')} (parallel); "
+                  f"device-DP {brk.get(('d','ser'),'>64')} (serial) / "
+                  f"{brk.get(('d','par'),'>64')} (parallel)")
 
 
 if __name__ == "__main__":
