@@ -139,25 +139,26 @@ def measure_pallas_gcups(detail: dict | None = None) -> float:
     return rates[len(rates) // 2]
 
 
-def measure_cigar_kernel_gcups() -> float:
+def measure_cigar_kernel_gcups() -> dict:
     """Device-time GCUPS of the full-traceback CIGAR kernel including
     the on-device traceback walk (the dtb path the product uses): queue
     K batches, bound with one small fetch of the LAST batch's outputs —
-    per-batch relay latency excluded, so this is the chip's rate."""
+    per-batch relay latency excluded, so this is the chip's rate.
+    Measured at both production shape classes: the small anchored-gap
+    class (al<=32 x 2048 rows) and the large class (al<=128 x 8192)
+    that carries most CIGAR cells on whole-genome runs."""
     import jax
 
     from miniprot_tpu import tables
     from miniprot_tpu.kernels import nasw_cigar_pallas as ck
 
     on_tpu = jax.default_backend() == "tpu"
-    AL, NL = (32, 2048) if on_tpu else (16, 256)
-    K = 6 if on_tpu else 1
     mat = tables.BLOSUM62.copy()
     tables.set_stop_sc(mat, 23)
     sp = tables.splice_model_scores(1)
     rng = np.random.default_rng(5)
 
-    def mk():
+    def mk(AL, NL):
         batch = ck.RawCigarBatch(AL, NL, mat, (11, 1, 23, 29, 100, 5, 0.5),
                                  sp=sp, trans_code=1)
         for _ in range(ck.B):
@@ -165,15 +166,21 @@ def measure_cigar_kernel_gcups() -> float:
                           rng.integers(0, 20, AL).astype(np.uint8), io=29)
         return batch
 
-    b = mk()
-    h = b.launch(interpret=not on_tpu)
-    jax.device_get(h[1:])            # warm-up / compile
-    batches = [mk() for _ in range(K)]
-    t0 = time.perf_counter()
-    handles = [bt.launch(interpret=not on_tpu) for bt in batches]
-    jax.device_get(handles[-1][1:])
-    dt = time.perf_counter() - t0
-    return NL * AL * ck.B * K / dt / 1e9
+    shapes = (((32, 2048, 6), (128, 8192, 4)) if on_tpu
+              else ((16, 256, 1),))
+    rates = []
+    for AL, NL, K in shapes:
+        b = mk(AL, NL)
+        h = b.launch(interpret=not on_tpu)
+        jax.device_get(h[1:])        # warm-up / compile
+        batches = [mk(AL, NL) for _ in range(K)]
+        t0 = time.perf_counter()
+        handles = [bt.launch(interpret=not on_tpu) for bt in batches]
+        jax.device_get(handles[-1][1:])
+        dt = time.perf_counter() - t0
+        rates.append(round(NL * AL * ck.B * K / dt / 1e9, 2))
+    return {"cigar_gcups_device_small": rates[0],
+            "cigar_gcups_device": rates[-1]}
 
 
 def measure_e2e_big() -> dict:
@@ -244,8 +251,7 @@ def main() -> None:
         print(g)
         return
     if "--cigar-only" in sys.argv:
-        print(json.dumps(
-            {"cigar_gcups_device": round(measure_cigar_kernel_gcups(), 2)}))
+        print(json.dumps(measure_cigar_kernel_gcups()))
         return
     if "--e2e-only" in sys.argv:
         print(json.dumps(measure_e2e_big()))
