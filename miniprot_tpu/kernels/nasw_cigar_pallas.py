@@ -647,12 +647,15 @@ class CigarBatch:
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         # round the row clip to 512 so the compile-key count stays small
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
-        rows_used = min(self.nl, (max_nl + 2047) // 2048 * 2048)
-        # 2048-rounding (vs 512) quarters the compile-key count: each
-        # distinct rows_used is a separate jit trace (~0.3s of pure
-        # Python), which dominated cold-start map time; the cost is a
-        # slightly larger state-stream fetch, bounded by the walk's
-        # early exit
+        rows_used = 2048
+        while rows_used < max_nl:
+            rows_used <<= 1
+        rows_used = min(self.nl, rows_used)
+        # power-of-two rounding: each distinct rows_used is a separate
+        # jit trace (~0.3s of pure Python) + compile, so a multiples
+        # rounding gave up to nl/2048 variants per bucket; pow2 caps it
+        # at log2 few.  Cost: a larger state-stream fetch, bounded by
+        # the walk's early exit
         from .nasw_pallas import _opts_array
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
@@ -782,12 +785,15 @@ class RawCigarBatch(CigarBatch):
             interpret = not on_tpu_backend()
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
-        rows_used = min(self.nl, (max_nl + 2047) // 2048 * 2048)
-        # 2048-rounding (vs 512) quarters the compile-key count: each
-        # distinct rows_used is a separate jit trace (~0.3s of pure
-        # Python), which dominated cold-start map time; the cost is a
-        # slightly larger state-stream fetch, bounded by the walk's
-        # early exit
+        rows_used = 2048
+        while rows_used < max_nl:
+            rows_used <<= 1
+        rows_used = min(self.nl, rows_used)
+        # power-of-two rounding: each distinct rows_used is a separate
+        # jit trace (~0.3s of pure Python) + compile, so a multiples
+        # rounding gave up to nl/2048 variants per bucket; pow2 caps it
+        # at log2 few.  Cost: a larger state-stream fetch, bounded by
+        # the walk's early exit
         from .nasw_pallas import _opts_array
         opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
                            self.end_bonus)
@@ -874,12 +880,15 @@ class Dp32Batch(CigarBatch):
             interpret = not on_tpu_backend()
         n_lanes = next(k for k in self.LANE_BUCKETS if self.n <= k)
         max_nl = max((nl for nl, _ in self.dims), default=self.nl)
-        rows_used = min(self.nl, (max_nl + 2047) // 2048 * 2048)
-        # 2048-rounding (vs 512) quarters the compile-key count: each
-        # distinct rows_used is a separate jit trace (~0.3s of pure
-        # Python), which dominated cold-start map time; the cost is a
-        # slightly larger state-stream fetch, bounded by the walk's
-        # early exit
+        rows_used = 2048
+        while rows_used < max_nl:
+            rows_used <<= 1
+        rows_used = min(self.nl, rows_used)
+        # power-of-two rounding: each distinct rows_used is a separate
+        # jit trace (~0.3s of pure Python) + compile, so a multiples
+        # rounding gave up to nl/2048 variants per bucket; pow2 caps it
+        # at log2 few.  Cost: a larger state-stream fetch, bounded by
+        # the walk's early exit
         call = _compiled_dp32(self.slen, self.nl, n_lanes, rows_used,
                               interpret)
         from .nasw_pallas import _opts_array

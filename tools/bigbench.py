@@ -61,7 +61,7 @@ def main() -> None:
                     help="skip the warm-up pass (measure cold-start: jit "
                          "tracing of every shape variant lands in the "
                          "timed run)")
-    ap.add_argument("--warm-n", type=int, default=40,
+    ap.add_argument("--warm-n", type=int, default=80,
                     help="queries in the warm-up pass")
     ap.add_argument("--ext-gcups", type=float, default=0.0,
                     help="measured ext kernel GCUPS for the projection "
