@@ -476,8 +476,16 @@ class TpuExtEngine:
                     usable.append(i)
                 if usable:
                     launch(usable, batch)
-        for i in host_jobs:
-            run_cig_host(i)
+        if host_jobs:
+            # one batched native call (mx_dp16x4 when it pays) instead
+            # of one ctypes round trip per tiny rectangle — these are
+            # the <CIG_MIN_NL jobs, ~10k+ per whole-genome mini-batch
+            res = self.env.dp_cigars(
+                [(self.cig_jobs[i].nsq, self.cig_jobs[i].asq,
+                  self.cig_jobs[i].ss) for i in host_jobs])
+            for i, r in zip(host_jobs, res):
+                self.cig_jobs[i].result = r
+                self.n_host += 1
         pre = self._prefetch(pending)
         for n, (usable, batch, handles) in enumerate(pending):
             collect_one(usable, batch,
