@@ -114,6 +114,8 @@ class _CigJob:
 class TpuExtEngine:
     """Batches alignment DPs onto the Pallas kernels."""
 
+    client = None   # daemon connection; instance attr when reachable
+
     def __init__(self, opt: MapOpt, interpret: bool | None = None):
         self.opt = opt
         self.env = DpEnv(opt)  # host fallback + sp/io defaults
@@ -132,6 +134,15 @@ class TpuExtEngine:
         # host engine (identical results), so one transient relay or
         # backend failure degrades throughput instead of killing the run
         self.broken = False
+        # a running device daemon (daemon.py) holds warm compiled
+        # kernels across CLI runs; when one is reachable, launches and
+        # collects ship the batch objects there instead of touching the
+        # backend in this process (which would pay a fresh Mosaic
+        # compile per kernel shape).  MINIPROT_TPU_DAEMON=0 disables.
+        self.client = None
+        if not interpret and _os.environ.get("MINIPROT_TPU_DAEMON") != "0":
+            from . import daemon as _daemon
+            self.client = _daemon.DaemonClient.maybe_connect()
 
     def _device_failed(self, e: Exception) -> None:
         global WEDGED
@@ -191,8 +202,32 @@ class TpuExtEngine:
             raise val
         return val
 
+    @staticmethod
+    def _decoded(batch, handles):
+        """Results from prefetched handles: numpy-backed handle tuples
+        decode through batch.collect; daemon waves arrive pre-decoded."""
+        if isinstance(handles, tuple) and handles and handles[0] == "done":
+            return handles[1]
+        return batch.collect(handles)
+
+    @staticmethod
+    def _daemon_timeout() -> float:
+        """Watchdog allowance for daemon RPCs.  A daemon collect may
+        legitimately include the FIRST compile of a kernel shape in the
+        daemon's lifetime (60-230s through a relay), so daemon ops get
+        a higher default than direct transfers; after warm-up they take
+        milliseconds.  A genuinely wedged daemon still trips this and
+        the run degrades to the host engine."""
+        return float(_os.environ.get("MINIPROT_TPU_DAEMON_TIMEOUT", "600"))
+
     def _collect(self, batch, handles):
         """batch.collect under the transfer watchdog."""
+        if isinstance(handles, tuple) and handles and handles[0] == "done":
+            return handles[1]   # daemon already fetched and decoded
+        if isinstance(handles, tuple) and handles and handles[0] == "daemon":
+            return self._guarded(
+                lambda: self.client.collect([handles[1]])[0],
+                timeout=self._daemon_timeout())
         return self._guarded(lambda: batch.collect(handles))
 
     def _prefetch(self, pending):
@@ -207,6 +242,18 @@ class TpuExtEngine:
         the normal per-batch collect path."""
         if self.interpret or self.broken or len(pending) < 2:
             return None
+        if self.client is not None:
+            # one daemon round trip for the whole wave; the daemon does
+            # the one-fetch device_get AND the decode, so the handles
+            # come back as finished result lists
+            bids = [h[1] for _, _, h in pending]
+            try:
+                results = self._guarded(lambda: self.client.collect(bids),
+                                        timeout=self._daemon_timeout())
+            except Exception as e:
+                self._device_failed(e)
+                return None
+            return [("done", r) for r in results]
         import jax
         tags, tails = [], []
         for _, _, h in pending:
@@ -243,8 +290,15 @@ class TpuExtEngine:
         # while still letting a wedged run demote and finish
         lt = float(_os.environ.get("MINIPROT_TPU_LAUNCH_TIMEOUT", "300"))
         try:
-            handles = self._guarded(lambda: batch.launch(self.interpret),
-                                    timeout=lt)
+            if self.client is not None:
+                # ship the batch to the warm daemon: no local backend
+                # init, no per-process kernel compile
+                handles = ("daemon",
+                           self._guarded(lambda: self.client.launch(batch),
+                                         timeout=lt))
+            else:
+                handles = self._guarded(lambda: batch.launch(self.interpret),
+                                        timeout=lt)
             pending.append((idxs, batch, handles))
         except Exception as e:
             self._device_failed(e)
@@ -360,7 +414,8 @@ class TpuExtEngine:
                 if pre is not None:
                     # handles are prefetched numpy: the decode is pure
                     # host work — no watchdog, no device-blocked credit
-                    results = None if self.broken else batch.collect(pre[n])
+                    results = None if self.broken else self._decoded(
+                        batch, pre[n])
                 else:
                     results = None if self.broken else self._collect(batch,
                                                                      handles)
@@ -407,8 +462,8 @@ class TpuExtEngine:
             try:
                 if prefetched:
                     # numpy-backed handles: pure host decode, no watchdog
-                    results = None if self.broken else o_batch.collect(
-                        o_handles)
+                    results = None if self.broken else self._decoded(
+                        o_batch, o_handles)
                 else:
                     results = None if self.broken else self._collect(
                         o_batch, o_handles)

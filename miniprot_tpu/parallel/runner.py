@@ -96,10 +96,11 @@ def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
     engine = None
     if use_tpu:
         try:
-            from ..pipeline import _probe_backend_guarded
-            _probe_backend_guarded()
             from ..device import TpuExtEngine
             engine = TpuExtEngine(opt)
+            if engine.client is None:
+                from ..pipeline import _probe_backend_guarded
+                _probe_backend_guarded()
         except Exception as e:
             import sys
             sys.stderr.write(f"WARNING: TPU engine unavailable ({e}); "

@@ -158,9 +158,12 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     engine = None
     if use_tpu:
         try:
-            _probe_backend_guarded()  # fail fast if no usable backend
             from .device import TpuExtEngine
             engine = TpuExtEngine(opt)
+            if engine.client is None:
+                # no warm daemon: the engine drives the backend itself,
+                # so fail fast here if there is no usable backend
+                _probe_backend_guarded()
         except Exception as e:
             sys.stderr.write(f"WARNING: TPU engine unavailable ({e}); "
                              "mapping on the host engine instead\n")

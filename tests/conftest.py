@@ -27,6 +27,11 @@ import pytest
 # stabilize test timing on THP-defrag-slow hosts (see sysutil helper)
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
+# never auto-attach to a machine-wide device daemon from generic tests:
+# daemon behavior is covered by test_daemon.py, which points the engine
+# at its own private socket
+os.environ.setdefault("MINIPROT_TPU_DAEMON", "0")
+
 REF_DIR = pathlib.Path("/root/reference")
 REF_BIN = pathlib.Path("/tmp/refbuild/miniprot")
 GENOME = REF_DIR / "test" / "DPP3-hs.gen.fa.gz"
