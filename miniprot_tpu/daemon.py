@@ -26,8 +26,11 @@ direct device path or the host engine — output is identical either way
 
 Protocol (8-byte big-endian length prefix + pickle, SOCK_STREAM):
   ("ping",)                -> ("ok", info_dict)
-  ("launch", batch)        -> ("ok", bid)          after device dispatch
-  ("collect", [bid, ...])  -> ("ok", [results...]) one fetch wave
+  ("launch", batch)        -> ("ok", bid)          returns at enqueue:
+                              the daemon's launcher thread does the
+                              device upload off the client's path
+  ("collect", [bid, ...])  -> ("ok", [results...]) one fetch wave;
+                              launch errors surface here
   ("warm", opt_dict|None)  -> ("ok", n_shapes)     precompile hot shapes
   ("shutdown",)            -> ("ok", None), then the daemon exits
 Any failure returns ("err", repr(e)); the client raises and the engine
@@ -174,17 +177,36 @@ class DaemonClient:
 # ---------------------------------------------------------------------------
 
 
+class _Entry:
+    """One launched batch: handles appear when the launcher thread is
+    done with it (device uploads run daemon-side, off the client's
+    critical path)."""
+
+    __slots__ = ("batch", "handles", "err", "ev", "t")
+
+    def __init__(self, batch):
+        self.batch = batch
+        self.handles = None
+        self.err: Exception | None = None
+        self.ev = threading.Event()
+        self.t = time.monotonic()
+
+
 class _Server:
     def __init__(self, sock_path: str, idle_exit: float = 0.0):
         self.sock_path = sock_path
         self.idle_exit = idle_exit
-        self.batches: dict[int, tuple] = {}   # bid -> (batch, handles, t)
+        self.batches: dict[int, _Entry] = {}
         self.next_bid = 1
         self.lock = threading.Lock()
         self.last_op = time.monotonic()
         self.stop = threading.Event()
         self.n_launched = 0
         self.n_collected = 0
+        import queue
+        self.launch_q: queue.Queue = queue.Queue()
+        threading.Thread(target=self._launcher, daemon=True,
+                         name="daemon-launcher").start()
 
     # -- ops --
 
@@ -198,23 +220,46 @@ class _Server:
             "pending": len(self.batches),
         }
 
+    def _launcher(self) -> None:
+        """Single thread doing all device launches, FIFO.  The client's
+        launch RPC returns as soon as the batch crosses the socket, so
+        its host work (fallback DPs, next batch's prep) overlaps the
+        relay uploads here; any launch error surfaces at collect."""
+        while True:
+            e = self.launch_q.get()
+            try:
+                e.handles = e.batch.launch(None)  # daemon backend decides
+            except Exception as ex:
+                e.err = ex
+            e.ev.set()
+
     def op_launch(self, batch) -> int:
-        handles = batch.launch(None)  # daemon's backend decides interpret
+        e = _Entry(batch)
         with self.lock:
             bid = self.next_bid
             self.next_bid += 1
-            self.batches[bid] = (batch, handles, time.monotonic())
+            self.batches[bid] = e
             self.n_launched += 1
+        self.launch_q.put(e)
         return bid
 
     def op_collect(self, bids: list) -> list:
         import jax
         with self.lock:
             entries = [self.batches.pop(b) for b in bids]
+        deadline = time.monotonic() + float(
+            os.environ.get("MINIPROT_TPU_DAEMON_TIMEOUT", "600"))
+        for e in entries:
+            if not e.ev.wait(timeout=max(0.0, deadline - time.monotonic())):
+                raise TimeoutError("daemon launch still running at the "
+                                   "collect deadline")
+            if e.err is not None:
+                raise e.err
         # one device_get across the whole wave (the engine's one-fetch
         # optimization, device.py _prefetch): K batches, ONE round trip
         tags, tails = [], []
-        for _, h, _ in entries:
+        for e in entries:
+            h = e.handles
             if isinstance(h, tuple) and isinstance(h[0], str):
                 tags.append(h[0])
                 tails.append(tuple(h[1:]))
@@ -223,8 +268,8 @@ class _Server:
                 tails.append(h)
         fetched = jax.device_get(tails)
         out = []
-        for (batch, _, _), tag, f in zip(entries, tags, fetched):
-            out.append(batch.collect(f if tag is None else (tag, *f)))
+        for e, tag, f in zip(entries, tags, fetched):
+            out.append(e.batch.collect(f if tag is None else (tag, *f)))
         self.n_collected += len(bids)
         return out
 
@@ -237,8 +282,8 @@ class _Server:
         """Drop launched-but-never-collected batches (client died)."""
         now = time.monotonic()
         with self.lock:
-            dead = [b for b, (_, _, t) in self.batches.items()
-                    if now - t > 900]
+            dead = [b for b, e in self.batches.items()
+                    if now - e.t > 900 and e.ev.is_set()]
             for b in dead:
                 del self.batches[b]
 

@@ -78,9 +78,11 @@ def test_error_propagates_and_daemon_survives(daemon_proc):
     sock, proc = daemon_proc
     c = _client(sock)
     from daemon_fixtures import BoomBatch
+    # launch is async (returns at enqueue); the launch error surfaces
+    # at collect, and the daemon keeps serving afterwards
+    bid = c.launch(BoomBatch())
     with pytest.raises(RuntimeError, match="boom-batch"):
-        c.launch(BoomBatch())
-    # connection and daemon both still serve afterwards
+        c.collect([bid])
     assert c.ping()["pid"] == proc.pid
     c.close()
 

@@ -63,6 +63,11 @@ def main() -> None:
                          "timed run)")
     ap.add_argument("--warm-n", type=int, default=80,
                     help="queries in the warm-up pass")
+    ap.add_argument("--daemon-sock", default=None,
+                    help="route device batches through a running device "
+                         "daemon on this unix socket (see "
+                         "miniprot_tpu/daemon.py); the daemon's async "
+                         "launcher overlaps relay uploads with host work")
     ap.add_argument("--ext-gcups", type=float, default=0.0,
                     help="measured ext kernel GCUPS for the projection "
                          "(0 = use bench history fallback 35.7)")
@@ -98,6 +103,17 @@ def main() -> None:
     mi = Index.build(fa, IdxOpt())
     rec["index_build_s"] = round(time.perf_counter() - t0, 2)
 
+    if args.daemon_sock:
+        os.environ["MINIPROT_TPU_DAEMON_SOCK"] = args.daemon_sock
+        os.environ.pop("MINIPROT_TPU_DAEMON", None)
+        from miniprot_tpu.daemon import DaemonClient
+        probe = DaemonClient.maybe_connect(args.daemon_sock)
+        rec["daemon"] = probe is not None
+        if probe is None:
+            print("bigbench: daemon socket dead; running direct",
+                  file=sys.stderr)
+        else:
+            probe.close()
     use_tpu = not args.no_tpu
     rtt = 0.0
     if use_tpu:

@@ -201,7 +201,28 @@ def main() -> int:
                     help="per-run CLI timeout (relay wedges on --tpu)")
     ap.add_argument("--big", action="store_true",
                     help="5-40Mb genomes (dynamic max_occ, saturation)")
+    ap.add_argument("--daemon", action="store_true",
+                    help="start one warm device daemon and route every "
+                         "--tpu run through it (no per-run kernel compile)")
     a = ap.parse_args()
+    daemon_proc = None
+    if a.daemon and a.tpu:
+        sock = f"/tmp/soak_daemon_{os.getpid()}.sock"
+        daemon_proc = subprocess.Popen(
+            [sys.executable, "-m", "miniprot_tpu.daemon",
+             "--socket", sock, "--warm"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        deadline = time.time() + 600
+        while not os.path.exists(sock):
+            if daemon_proc.poll() is not None or time.time() > deadline:
+                print("soak: daemon failed to start; runs go direct",
+                      flush=True)
+                daemon_proc = None
+                break
+            time.sleep(1)
+        if daemon_proc is not None:
+            os.environ["MINIPROT_TPU_DAEMON_SOCK"] = sock
+            print(f"soak: device daemon warm on {sock}", flush=True)
     t0 = time.time()
     bad = 0
     engaged = 0
@@ -217,6 +238,8 @@ def main() -> int:
                   f"{time.time() - t0:.0f}s", flush=True)
     extra = f", {engaged} device-engaged" if a.tpu else ""
     print(f"done: {a.runs} runs, {bad} divergence(s){extra}")
+    if daemon_proc is not None:
+        daemon_proc.terminate()
     return 1 if bad else 0
 
 
