@@ -203,6 +203,12 @@ class _Server:
         self.stop = threading.Event()
         self.n_launched = 0
         self.n_collected = 0
+        # device busy accounting: seconds this daemon spent inside
+        # launches (uploads+dispatch) and collects (device_get+decode);
+        # uptime-normalized by the client for a chip duty-cycle figure
+        self.launch_busy_s = 0.0
+        self.collect_busy_s = 0.0
+        self.t_start = time.monotonic()
         import queue
         self.launch_q: queue.Queue = queue.Queue()
         threading.Thread(target=self._launcher, daemon=True,
@@ -218,6 +224,9 @@ class _Server:
             "launched": self.n_launched,
             "collected": self.n_collected,
             "pending": len(self.batches),
+            "launch_busy_s": round(self.launch_busy_s, 3),
+            "collect_busy_s": round(self.collect_busy_s, 3),
+            "uptime_s": round(time.monotonic() - self.t_start, 3),
         }
 
     def _launcher(self) -> None:
@@ -227,10 +236,12 @@ class _Server:
         relay uploads here; any launch error surfaces at collect."""
         while True:
             e = self.launch_q.get()
+            t0 = time.monotonic()
             try:
                 e.handles = e.batch.launch(None)  # daemon backend decides
             except Exception as ex:
                 e.err = ex
+            self.launch_busy_s += time.monotonic() - t0
             e.ev.set()
 
     def op_launch(self, batch) -> int:
@@ -245,6 +256,7 @@ class _Server:
 
     def op_collect(self, bids: list) -> list:
         import jax
+        t_op = time.monotonic()
         with self.lock:
             entries = [self.batches.pop(b) for b in bids]
         deadline = time.monotonic() + float(
@@ -271,6 +283,7 @@ class _Server:
         for e, tag, f in zip(entries, tags, fetched):
             out.append(e.batch.collect(f if tag is None else (tag, *f)))
         self.n_collected += len(bids)
+        self.collect_busy_s += time.monotonic() - t_op
         return out
 
     def op_warm(self, opt_dict) -> int:

@@ -103,17 +103,16 @@ def main() -> None:
     mi = Index.build(fa, IdxOpt())
     rec["index_build_s"] = round(time.perf_counter() - t0, 2)
 
+    daemon_probe = None
     if args.daemon_sock:
         os.environ["MINIPROT_TPU_DAEMON_SOCK"] = args.daemon_sock
         os.environ.pop("MINIPROT_TPU_DAEMON", None)
         from miniprot_tpu.daemon import DaemonClient
-        probe = DaemonClient.maybe_connect(args.daemon_sock)
-        rec["daemon"] = probe is not None
-        if probe is None:
+        daemon_probe = DaemonClient.maybe_connect(args.daemon_sock)
+        rec["daemon"] = daemon_probe is not None
+        if daemon_probe is None:
             print("bigbench: daemon socket dead; running direct",
                   file=sys.stderr)
-        else:
-            probe.close()
     use_tpu = not args.no_tpu
     rtt = 0.0
     if use_tpu:
@@ -153,11 +152,25 @@ def main() -> None:
     profiler.n_dp_host = profiler.n_dp_tpu = 0
     stats: dict = {}
     out_path = os.path.join(td, "out.paf")
+    d0 = daemon_probe.ping() if daemon_probe is not None else None
     t0 = time.perf_counter()
     with open(out_path, "w") as out:
         n_mapped = map_file(mi, faa, MapOpt(), n_threads=args.threads,
                             out=out, use_tpu=use_tpu, stats=stats)
     map_wall = time.perf_counter() - t0
+    if daemon_probe is not None:
+        # daemon-side device duty cycle over the timed run: how much of
+        # the wall the chip path (uploads+dispatch / fetch+decode) was
+        # actually busy — the number VERDICT r02 said nobody had
+        d1 = daemon_probe.ping()
+        rec["daemon_launch_busy_s"] = round(
+            d1["launch_busy_s"] - d0["launch_busy_s"], 2)
+        rec["daemon_collect_busy_s"] = round(
+            d1["collect_busy_s"] - d0["collect_busy_s"], 2)
+        rec["daemon_duty_cycle"] = round(
+            (rec["daemon_launch_busy_s"] + rec["daemon_collect_busy_s"])
+            / max(map_wall, 1e-9), 3)
+        daemon_probe.close()
     rec["n_mapped"] = n_mapped
     rec["map_wall_s"] = round(map_wall, 2)
     rec["proteins_per_sec_wall"] = round(n_mapped / map_wall, 2)
