@@ -203,6 +203,7 @@ class _Server:
         self.stop = threading.Event()
         self.n_launched = 0
         self.n_collected = 0
+        self.n_collect_ops = 0   # RPCs, not batches: waves count once
         # device busy accounting: seconds this daemon spent inside
         # launches (uploads+dispatch) and collects (device_get+decode);
         # uptime-normalized by the client for a chip duty-cycle figure
@@ -223,6 +224,7 @@ class _Server:
             "platform": jax.default_backend(),
             "launched": self.n_launched,
             "collected": self.n_collected,
+            "collect_ops": self.n_collect_ops,
             "pending": len(self.batches),
             "launch_busy_s": round(self.launch_busy_s, 3),
             "collect_busy_s": round(self.collect_busy_s, 3),
@@ -283,6 +285,7 @@ class _Server:
         for e, tag, f in zip(entries, tags, fetched):
             out.append(e.batch.collect(f if tag is None else (tag, *f)))
         self.n_collected += len(bids)
+        self.n_collect_ops += 1
         self.collect_busy_s += time.monotonic() - t_op
         return out
 

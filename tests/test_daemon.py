@@ -160,6 +160,40 @@ def test_engine_uses_daemon_for_cigar_jobs(daemon_proc, monkeypatch):
         np.testing.assert_array_equal(cig, hcig)
 
 
+def test_engine_wave_collects_in_one_rpc(daemon_proc, monkeypatch):
+    """Two pending batches (different shape buckets) must come back in
+    ONE daemon collect RPC — the wave-fetch optimization through the
+    daemon path."""
+    sock, _ = daemon_proc
+    monkeypatch.setenv("MINIPROT_TPU_DAEMON", "1")
+    monkeypatch.setenv("MINIPROT_TPU_DAEMON_SOCK", sock)
+    from miniprot_tpu.device import TpuExtEngine
+    from miniprot_tpu.native import DPF_CIGAR
+    from miniprot_tpu.options import MapOpt
+
+    engine = TpuExtEngine(MapOpt())
+    assert engine.client is not None
+    rng = np.random.default_rng(33)
+    nt = np.frombuffer(b"ACGT", np.uint8)
+    aa_pool = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    # one job in the nl<=2048 bucket, one in the 4096 bucket -> two
+    # batches pending at flush
+    jobs = [(nt[rng.integers(0, 4, 1000)],
+             rng.choice(aa_pool, 20).astype(np.uint8)),
+            (nt[rng.integers(0, 4, 3000)],
+             rng.choice(aa_pool, 21).astype(np.uint8))]
+    ops0 = engine.client.ping()["collect_ops"]
+    engine.submit(("cigars", [(ns, aa, None) for ns, aa in jobs]))
+    (results,) = engine.flush()
+    assert engine.n_tpu == 2 and not engine.broken
+    assert engine.client.ping()["collect_ops"] == ops0 + 1, \
+        "two pending batches should collect in one wave RPC"
+    for (ns, aa), (sc, cig) in zip(jobs, results):
+        hsc, _, _, hcig = engine.env.dp(ns, aa, DPF_CIGAR)
+        assert sc == hsc
+        np.testing.assert_array_equal(cig, hcig)
+
+
 def test_engine_falls_back_without_daemon(monkeypatch, tmp_path):
     """Dead socket: maybe_connect yields None and the engine behaves
     exactly as before (direct path)."""
