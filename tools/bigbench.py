@@ -163,13 +163,14 @@ def main() -> None:
         # the wall the chip path (uploads+dispatch / fetch+decode) was
         # actually busy — the number VERDICT r02 said nobody had
         d1 = daemon_probe.ping()
-        rec["daemon_launch_busy_s"] = round(
-            d1["launch_busy_s"] - d0["launch_busy_s"], 2)
-        rec["daemon_collect_busy_s"] = round(
-            d1["collect_busy_s"] - d0["collect_busy_s"], 2)
-        rec["daemon_duty_cycle"] = round(
-            (rec["daemon_launch_busy_s"] + rec["daemon_collect_busy_s"])
-            / max(map_wall, 1e-9), 3)
+        if "launch_busy_s" in d1 and "launch_busy_s" in d0:
+            rec["daemon_launch_busy_s"] = round(
+                d1["launch_busy_s"] - d0["launch_busy_s"], 2)
+            rec["daemon_collect_busy_s"] = round(
+                d1["collect_busy_s"] - d0["collect_busy_s"], 2)
+            rec["daemon_duty_cycle"] = round(
+                (rec["daemon_launch_busy_s"] + rec["daemon_collect_busy_s"])
+                / max(map_wall, 1e-9), 3)
         daemon_probe.close()
     rec["n_mapped"] = n_mapped
     rec["map_wall_s"] = round(map_wall, 2)
