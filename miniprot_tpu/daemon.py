@@ -416,16 +416,24 @@ def warm_kernels(opt_dict: dict | None = None,
         n += 1
         sys.stderr.write(f"[daemon] warm ext {al_b}x{nl_b}\n")
     for sc, nl_b in cig_shapes:
-        b = ck.RawCigarBatch(sc * 8, nl_b, opt.mat, scalars, sp=env.sp,
-                             trans_code=tables._default_code)
-        # nl close to the bucket top so rows_used rounds to the bucket's
-        # real power-of-two variant (the compile key includes rows_used)
-        b.add_raw(rng.integers(0, 4, size=nl_b - 8).astype(np.int8),
-                  rng.integers(0, 20, size=min(sc * 8, 64)).astype(np.int8),
-                  io=opt.io)
-        b.collect(b.launch(None))
-        n += 1
-        sys.stderr.write(f"[daemon] warm cig {sc * 8}x{nl_b}\n")
+        # each power-of-two rows_used <= the bucket is its own compile
+        # key (a job's rows_used rounds up to the pow2 covering its real
+        # nl); "hot" warms only the bucket-top variant, "all" every one
+        rows_variants = [nl_b]
+        if shapes == "all":
+            rows_variants = [r for r in (2048, 4096, 8192, 16384,
+                                         32768, 65536) if r <= nl_b]
+        for rv in rows_variants:
+            b = ck.RawCigarBatch(sc * 8, nl_b, opt.mat, scalars, sp=env.sp,
+                                 trans_code=tables._default_code)
+            b.add_raw(rng.integers(0, 4, size=rv - 8).astype(np.int8),
+                      rng.integers(0, 20,
+                                   size=min(sc * 8, 64)).astype(np.int8),
+                      io=opt.io)
+            b.collect(b.launch(None))
+            n += 1
+            sys.stderr.write(f"[daemon] warm cig {sc * 8}x{nl_b}"
+                             f" rows<={rv}\n")
     return n
 
 
