@@ -212,8 +212,14 @@ class _Server:
         self.t_start = time.monotonic()
         import queue
         self.launch_q: queue.Queue = queue.Queue()
-        threading.Thread(target=self._launcher, daemon=True,
-                         name="daemon-launcher").start()
+        # >1 launcher overlaps relay uploads of independent batches;
+        # correctness is unaffected (entries are independent, collect
+        # waits on each entry's event)
+        n_launchers = max(1, int(os.environ.get(
+            "MINIPROT_TPU_DAEMON_LAUNCHERS", "1")))
+        for k in range(n_launchers):
+            threading.Thread(target=self._launcher, daemon=True,
+                             name=f"daemon-launcher-{k}").start()
 
     # -- ops --
 
@@ -243,7 +249,8 @@ class _Server:
                 e.handles = e.batch.launch(None)  # daemon backend decides
             except Exception as ex:
                 e.err = ex
-            self.launch_busy_s += time.monotonic() - t0
+            with self.lock:   # thread-seconds across all launchers
+                self.launch_busy_s += time.monotonic() - t0
             e.ev.set()
 
     def op_launch(self, batch) -> int:
