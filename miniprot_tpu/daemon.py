@@ -86,7 +86,10 @@ def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
     while len(buf) < n:
         chunk = conn.recv(min(n - len(buf), 1 << 20))
         if not chunk:
-            return None if not buf else None
+            if buf:  # peer died mid-message: an error, not a clean close
+                raise ConnectionError(
+                    f"peer closed after {len(buf)}/{n} bytes")
+            return None
         buf.extend(chunk)
     return bytes(buf)
 

@@ -62,6 +62,12 @@ OPTION_MIXES = [
     ["-e", "2000"],
     ["-G", "5k"],
     ["--aln", "--trans", "--gff"],
+    # non-standard genetic code end-to-end (tables.py implements 1-33;
+    # this pins the -T path through index build + DP + output)
+    ["-T", "4"],
+    ["-T", "11", "--gff"],
+    # qname-based GFF ids (format.c:372-374) instead of MP%06d
+    ["--gff", "--gff-delim", ":"],
 ]
 
 
