@@ -1,7 +1,11 @@
 """Benchmark: sustained GCUPS of the Pallas splice/frameshift DP kernel
 plus the end-to-end north-star metric with device-time accounting.
 
-Prints one JSON line:
+Prints a cumulative JSON record line after EVERY completed stage (the
+last line is the fullest record — a kill mid-run loses only the stages
+that had not finished, never the ones already measured), and mirrors
+the same record to BENCH_partial.json at the repo root.  Final record:
+
   {"metric": "nasw_dp_gcups", "value": N, "unit": "GCUPS",
    "vs_baseline": R,
    "ext_gcups_reps": [...], "ext_gcups_spread": S,   # run-to-run drift
@@ -10,6 +14,18 @@ Prints one JSON line:
    "proteins_per_sec_chip": W,    # wall-clock through the dev relay
    "proteins_per_sec_chip_projected": P,  # co-located projection
    "e2e_device_blocked_s"/"e2e_relay_overhead_s"/...: accounting}
+
+Budget: the whole run fits MINIPROT_TPU_BENCH_BUDGET seconds (default
+1500); stages that no longer fit are skipped with a note in the record
+("stages_skipped") — a partial record beats an empty one.
+
+Cold-start strategy: relay-side Mosaic kernel compiles cost minutes per
+shape per process, so the kernel stages first try a live device daemon
+(miniprot_tpu.daemon, which holds warm compiled kernels across runs)
+over its "bench" RPC; the e2e stage routes mapping through the same
+daemon and persists its 200Mb workload + index across runs.  Only when
+no daemon is reachable does the run pay the cold path, under the
+budget's timeouts.
 
 vs_baseline is the ratio against one CPU core of the reference
 implementation running its SSE nasw kernel on the same machine
@@ -26,11 +42,90 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+import sys
 import time
 
-import numpy as np
-
+T0 = time.monotonic()
+BUDGET = float(os.environ.get("MINIPROT_TPU_BENCH_BUDGET", "1500"))
 REF_CORE_GCUPS_FALLBACK = 0.50  # measured: /tmp/refbench 10000 500 50 1
+_REPO = os.path.dirname(os.path.abspath(__file__))
+PARTIAL_PATH = os.path.join(_REPO, "BENCH_partial.json")
+
+
+def remaining() -> float:
+    return BUDGET - (time.monotonic() - T0)
+
+
+class Record:
+    """The cumulative benchmark record: printed to stdout and mirrored
+    to BENCH_partial.json after every stage, so the permanent record
+    survives a kill at any point past the first stage."""
+
+    def __init__(self) -> None:
+        self.data: dict = {"metric": "nasw_dp_gcups", "unit": "GCUPS"}
+        self.skipped: list[str] = []
+
+    def set(self, **kw) -> None:
+        """Update fields without emitting (pre-primary-metric fields)."""
+        self.data.update(kw)
+
+    def update(self, **kw) -> None:
+        self.data.update(kw)
+        self.emit()
+
+    def skip(self, stage: str, why: str) -> None:
+        self.skipped.append(f"{stage}: {why}")
+        self.data["stages_skipped"] = self.skipped
+        print(f"bench: skipping {stage} ({why})", file=sys.stderr)
+        if "value" in self.data:
+            self.emit()
+
+    def emit(self) -> None:
+        line = json.dumps(self.data)
+        print(line, flush=True)
+        try:
+            tmp = PARTIAL_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(line + "\n")
+            os.replace(tmp, PARTIAL_PATH)
+        except OSError:
+            pass
+
+
+def _watchdog(fn, timeout: float, name: str):
+    """Run fn on a daemon thread with a deadline: on relay-attached
+    backends a call can wedge (block forever, no exception), which must
+    surface as TimeoutError so the stage fails instead of the run."""
+    import queue as _q
+    import threading as _t
+    box: _q.Queue = _q.Queue(1)
+
+    def run() -> None:
+        try:
+            box.put((True, fn()))
+        except BaseException as e:
+            box.put((False, e))
+
+    _t.Thread(target=run, daemon=True, name=name).start()
+    try:
+        ok, val = box.get(timeout=timeout)
+    except _q.Empty:
+        raise TimeoutError(f"{name} exceeded {timeout:.0f}s")
+    if not ok:
+        raise val
+    return val
+
+
+def _daemon_client():
+    """Connect to a live device daemon, or None (respects the engine's
+    MINIPROT_TPU_DAEMON=0 opt-out)."""
+    if os.environ.get("MINIPROT_TPU_DAEMON") == "0":
+        return None
+    try:
+        from miniprot_tpu.daemon import DaemonClient
+        return DaemonClient.maybe_connect()
+    except Exception:
+        return None
 
 
 def measure_ref_core() -> float:
@@ -87,138 +182,64 @@ int main() {
         return REF_CORE_GCUPS_FALLBACK
 
 
-def measure_pallas_gcups(detail: dict | None = None) -> float:
-    """Device-time GCUPS of the extension kernel: queue `iters` kernels
-    back-to-back, bound them with ONE small fetch (the device executes
-    queued kernels serially, so per-kernel relay latency is excluded).
-    Runs 3 repetitions and reports the median + spread via `detail` so
-    run-to-run relay drift is visible in the round record."""
-    import jax
-
-    from miniprot_tpu.kernels import nasw_pallas as nk
-
-    on_tpu = jax.default_backend() == "tpu"
-    AL, B = 512, nk.B_LANES
-    # interpret mode (no TPU present) runs ~10^4x slower: shrink the
-    # problem so the benchmark still completes and reports a rate
-    NL = ((10240 if on_tpu else 264) + nk.ROW_CHUNK - 1) // nk.ROW_CHUNK * nk.ROW_CHUNK
-    if not on_tpu:
-        AL = 64
-    # xdrop disabled so every genome row is genuinely computed (random
-    # inputs must not be allowed to trip the early exit)
-    call = nk._compiled_ext(AL, NL, not on_tpu)
-    rng = np.random.default_rng(1)
-    opts = nk._opts_array(11, 1, 23, 1 << 28, 5)
-    nas = rng.integers(0, 20, (NL, B)).astype(np.int8)
-    D = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)
-    A = rng.integers(0, 31, (NL + 8, B)).astype(np.int16)
-    logpen = np.zeros((NL, B), np.int8)
-    nlv = np.full((8, B), NL, np.int32)
-    prof = rng.integers(0, 2**31 - 1, (6, AL, B)).astype(np.int32)
-    em = np.zeros((AL, B), np.int8)
-    em[AL - 1] = 1
-    qpad = np.zeros((AL, B), np.int8)
-    args = [jax.device_put(x) for x in
-            (nas, D, A, logpen, nlv, opts, prof, em, qpad)]
-    r = call(*args)
-    np.asarray(r[0])  # force full execution + transfer (warm-up)
-    iters = 20 if on_tpu else 2
-    reps = 3 if on_tpu else 1
-    rates = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = call(*args)
-        np.asarray(r[0])
-        dt = (time.perf_counter() - t0) / iters
-        rates.append(NL * AL * B / dt / 1e9)
-    rates.sort()
-    if detail is not None:
-        detail["ext_gcups_reps"] = [round(x, 2) for x in rates]
-        detail["ext_gcups_spread"] = round(rates[-1] - rates[0], 2)
-    return rates[len(rates) // 2]
-
-
-def measure_cigar_kernel_gcups() -> dict:
-    """Device-time GCUPS of the full-traceback CIGAR kernel including
-    the on-device traceback walk (the dtb path the product uses): queue
-    K batches, bound with one small fetch of the LAST batch's outputs —
-    per-batch relay latency excluded, so this is the chip's rate.
-    Measured at both production shape classes: the small anchored-gap
-    class (al<=32 x 2048 rows) and the large class (al<=128 x 8192)
-    that carries most CIGAR cells on whole-genome runs."""
-    import jax
-
-    from miniprot_tpu import tables
-    from miniprot_tpu.kernels import nasw_cigar_pallas as ck
-
-    on_tpu = jax.default_backend() == "tpu"
-    mat = tables.BLOSUM62.copy()
-    tables.set_stop_sc(mat, 23)
-    sp = tables.splice_model_scores(1)
-    rng = np.random.default_rng(5)
-
-    def mk(AL, NL):
-        batch = ck.RawCigarBatch(AL, NL, mat, (11, 1, 23, 29, 100, 5, 0.5),
-                                 sp=sp, trans_code=1)
-        for _ in range(ck.B):
-            batch.add_raw(rng.integers(0, 4, NL).astype(np.uint8),
-                          rng.integers(0, 20, AL).astype(np.uint8), io=29)
-        return batch
-
-    shapes = (((32, 2048, 6), (128, 8192, 4)) if on_tpu
-              else ((16, 256, 1),))
-    rates = []
-    for AL, NL, K in shapes:
-        b = mk(AL, NL)
-        h = b.launch(interpret=not on_tpu)
-        jax.device_get(h[1:])        # warm-up / compile
-        batches = [mk(AL, NL) for _ in range(K)]
-        t0 = time.perf_counter()
-        handles = [bt.launch(interpret=not on_tpu) for bt in batches]
-        jax.device_get(handles[-1][1:])
-        dt = time.perf_counter() - t0
-        rates.append(round(NL * AL * ck.B * K / dt / 1e9, 2))
-    return {"cigar_gcups_device_small": rates[0],
-            "cigar_gcups_device": rates[-1]}
-
-
-def measure_e2e_big() -> dict:
+def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
+                    cig_gcups: float = 0.0) -> dict:
     """End-to-end mapping throughput on the whole-genome-scale workload
     (200Mb x 2000 proteins) via tools/bigbench.py in a subprocess, with
     full device-time accounting: wall proteins/s, device-blocked
     seconds, round trips, relay RTT, DP cell split, and the co-located
-    projection.  The workload matches the README's host-path A/B so the
-    host (23.0s map, 86.9/s) and reference-binary numbers are directly
-    comparable.
+    projection (computed from THIS run's measured kernel rates, not
+    fallbacks).  The workload matches the README's host-path A/B so the
+    host and reference-binary numbers are directly comparable.
 
     Runs through a warm device daemon (the production deployment shape:
     kernels compiled once, async launcher overlapping relay uploads
-    with host work — measured 2.7x the direct wall rate); if the daemon
-    fails to come up the run goes direct, exactly as before."""
-    import sys
-    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "bigbench.py")
-    sock = f"/tmp/bench_daemon_{os.getpid()}.sock"
-    daemon = subprocess.Popen(
-        [sys.executable, "-m", "miniprot_tpu.daemon",
-         "--socket", sock, "--warm"],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    deadline = time.time() + 600
-    while not os.path.exists(sock):
-        if daemon.poll() is not None or time.time() > deadline:
-            print("bench: daemon failed to start; e2e runs direct",
-                  file=sys.stderr)
-            daemon = None
-            break
-        time.sleep(1)
-    args = [sys.executable, tool, "--genome-mb", "200",
-            "--n-genes", "2000"]
-    if daemon is not None:
+    with host work).  Attaches to an already-running daemon when one is
+    live (a round-long daemon makes a cold bench run warm); otherwise
+    spawns + warms a private one if the budget allows; with neither,
+    the run goes direct.  The workload FASTA + built index persist in
+    ~/.cache/miniprot_tpu/bigbench across runs."""
+    tool = os.path.join(_REPO, "tools", "bigbench.py")
+    keep = os.environ.get(
+        "MINIPROT_TPU_BENCH_KEEP",
+        os.path.expanduser("~/.cache/miniprot_tpu/bigbench"))
+    t_end = time.monotonic() + budget_s
+    sock = None
+    daemon = None
+    if os.environ.get("MINIPROT_TPU_DAEMON") != "0":
+        from miniprot_tpu.daemon import DaemonClient
+        existing = DaemonClient.maybe_connect()
+        if existing is not None:
+            sock = existing.path
+            existing.close()
+        elif budget_s > 900:
+            sock = f"/tmp/bench_daemon_{os.getpid()}.sock"
+            daemon = subprocess.Popen(
+                [sys.executable, "-m", "miniprot_tpu.daemon",
+                 "--socket", sock, "--warm"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            deadline = time.monotonic() + min(600.0, budget_s * 0.4)
+            while not os.path.exists(sock):
+                if daemon.poll() is not None or time.monotonic() > deadline:
+                    print("bench: daemon failed to start; e2e runs direct",
+                          file=sys.stderr)
+                    daemon.terminate()
+                    daemon = None
+                    sock = None
+                    break
+                time.sleep(1)
+    args = [sys.executable, tool, "--genome-mb", "200", "--n-genes", "2000",
+            "--keep", keep, "--keep-index"]
+    if sock is not None:
         args += ["--daemon-sock", sock]
+    if ext_gcups:
+        args += ["--ext-gcups", str(ext_gcups)]
+    if cig_gcups:
+        args += ["--cig-gcups", str(cig_gcups)]
     try:
-        out = subprocess.run(args, capture_output=True, text=True,
-                             timeout=1800)
+        out = subprocess.run(
+            args, capture_output=True, text=True,
+            timeout=max(60.0, t_end - time.monotonic()))
     finally:
         if daemon is not None:
             daemon.terminate()
@@ -241,14 +262,13 @@ def measure_e2e_big() -> dict:
     }
 
 
-def _measure_in_subprocess() -> float:
+def _measure_in_subprocess(timeout: float) -> float:
     """Fresh-interpreter measurement: a failed relay claim at process
     start is fatal for the whole process (the backend never registers),
     so in-process retries cannot recover from it."""
-    import sys
     out = subprocess.run([sys.executable, os.path.abspath(__file__),
                           "--measure-only"],
-                         capture_output=True, text=True, timeout=1200)
+                         capture_output=True, text=True, timeout=timeout)
     if out.returncode != 0:
         raise RuntimeError(f"subprocess bench failed: {out.stderr[-500:]}")
     return float(out.stdout.strip().splitlines()[-1])
@@ -258,96 +278,130 @@ def main() -> None:
     from miniprot_tpu.sysutil import disable_numpy_thp, \
         ensure_responsive_backend
     disable_numpy_thp()
-    import sys
-    # the benchmark is the round's permanent record: if the device relay
-    # is wedged right now, ride it out for up to ~30 min before failing
-    # (wedges observed here are transient).  A "wedged" verdict demotes
-    # this process to CPU jax — reporting an interpret-mode rate as the
-    # chip's GCUPS would be wrong, so fail loudly instead.
-    if "--measure-only" not in sys.argv:
-        status = ensure_responsive_backend(retries=10, retry_wait=90)
+    # subprocess / manual entry points (cold paths)
+    if "--measure-only" in sys.argv:
+        from miniprot_tpu.benchmarks import measure_ext_gcups
+        detail: dict = {}
+        g = measure_ext_gcups(detail)
+        print(json.dumps(detail), file=sys.stderr)
+        print(g)
+        return
+    if "--cigar-only" in sys.argv:
+        from miniprot_tpu.benchmarks import measure_cigar_gcups
+        print(json.dumps(measure_cigar_gcups()))
+        return
+    if "--e2e-only" in sys.argv:
+        print(json.dumps(measure_e2e_big(remaining())))
+        return
+
+    rec = Record()
+    rec.set(bench_budget_s=BUDGET)
+    client = _daemon_client()
+    rec.set(bench_via_daemon=client is not None)
+    if client is None:
+        # no warm daemon: this process must drive the backend itself.
+        # If the relay is wedged right now, ride it out for a bounded
+        # slice of the budget before failing.  A "wedged" verdict
+        # demotes this process to CPU jax — reporting an interpret-mode
+        # rate as the chip's GCUPS would be wrong, so fail loudly.
+        rides = max(1, min(10, int(remaining() * 0.3 // 90)))
+        status = ensure_responsive_backend(retries=rides, retry_wait=90)
         if status == "wedged":
             raise SystemExit(
                 "bench: TPU relay wedged (backend init hangs); no honest "
                 "device measurement is possible — see BENCH history for "
                 "the last live numbers")
-    if "--measure-only" in sys.argv:
-        detail: dict = {}
-        g = measure_pallas_gcups(detail)
-        print(json.dumps(detail), file=sys.stderr)
-        print(g)
-        return
-    if "--cigar-only" in sys.argv:
-        print(json.dumps(measure_cigar_kernel_gcups()))
-        return
-    if "--e2e-only" in sys.argv:
-        print(json.dumps(measure_e2e_big()))
-        return
-    # retry ladder: the TPU is attached through a relay whose claim can
-    # transiently fail or WEDGE (backend init blocks forever, no
-    # exception); a lost benchmark would cost the whole round's record.
-    # First in-process under a watchdog thread — a wedge must surface as
-    # a timeout, not a hang — then fresh subprocesses with hard
-    # timeouts, spaced out to give a degraded relay time to recover.
+
+    # ---- stage 1: primary metric (ext kernel GCUPS) ----
     gcups = None
     detail: dict = {}
-    watchdog_s = float(os.environ.get("MINIPROT_TPU_BENCH_TIMEOUT", "420"))
-    try:
-        import queue as _q
-        import threading as _t
-        box: _q.Queue = _q.Queue(1)
-
-        def run() -> None:
-            try:
-                box.put((True, measure_pallas_gcups(detail)))
-            except BaseException as e:
-                box.put((False, e))
-
-        _t.Thread(target=run, daemon=True, name="bench-watchdog").start()
-        ok, val = box.get(timeout=watchdog_s)
-        if not ok:
-            raise val
-        gcups = val
-    except Exception as ex:
-        print(f"bench: first attempt failed ({ex!r}); retrying in a "
-              "fresh process", file=sys.stderr)
-    if gcups is None:
-        for attempt in range(3):
-            time.sleep(60)
-            try:
-                gcups = _measure_in_subprocess()
-                break
-            except Exception as ex:
-                print(f"bench: subprocess attempt {attempt + 1} failed "
-                      f"({ex!r})", file=sys.stderr)
-        else:
-            raise SystemExit("bench: all measurement attempts failed")
-    ref = measure_ref_core()
-    # the secondary metrics each run in their own subprocess with a hard
-    # timeout: a wedged device relay during the (transfer-heavy) CIGAR
-    # or e2e measurements must not lose the primary metric
-    extra = {}
-    # e2e budget: up to 600s daemon warm-up + 1800s bigbench
-    for flag, timeout_s in (("--cigar-only", 900), ("--e2e-only", 2700)):
+    if client is not None:
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), flag],
-                capture_output=True, text=True, timeout=timeout_s)
-            if out.returncode == 0:
-                extra.update(json.loads(out.stdout.strip().splitlines()[-1]))
-            else:
-                print(f"bench: {flag} failed: {out.stderr[-300:]}",
-                      file=sys.stderr)
+            d = _watchdog(lambda: client.bench("ext"),
+                          min(900.0, remaining()), "daemon-bench-ext")
+            gcups = d.pop("value")
+            detail = d
         except Exception as ex:
-            print(f"bench: {flag} failed ({ex!r})", file=sys.stderr)
-    print(json.dumps({
-        "metric": "nasw_dp_gcups",
-        "value": round(gcups, 2),
-        "unit": "GCUPS",
-        "vs_baseline": round(gcups / ref, 2),
-        **detail,
-        **extra,
-    }))
+            print(f"bench: daemon ext bench failed ({ex!r}); "
+                  "falling back to local measurement", file=sys.stderr)
+            client = None
+            rec.set(bench_via_daemon=False)
+    if gcups is None:
+        watchdog_s = float(os.environ.get("MINIPROT_TPU_BENCH_TIMEOUT",
+                                          "420"))
+        try:
+            from miniprot_tpu.benchmarks import measure_ext_gcups
+            gcups = _watchdog(
+                lambda: measure_ext_gcups(detail),
+                min(watchdog_s, max(120.0, remaining() * 0.5)), "bench-ext")
+        except Exception as ex:
+            print(f"bench: first attempt failed ({ex!r}); retrying in a "
+                  "fresh process", file=sys.stderr)
+        while gcups is None and remaining() > 240:
+            time.sleep(30)
+            try:
+                gcups = _measure_in_subprocess(min(1200.0, remaining() - 60))
+            except Exception as ex:
+                print(f"bench: subprocess attempt failed ({ex!r})",
+                      file=sys.stderr)
+        if gcups is None:
+            raise SystemExit("bench: all measurement attempts failed")
+    rec.update(value=round(gcups, 2),
+               vs_baseline=round(gcups / REF_CORE_GCUPS_FALLBACK, 2),
+               ref_core_gcups=None, ref_core_source="fallback", **detail)
+
+    # ---- stage 2: reference-core baseline (CPU only, ~3 min cold) ----
+    if remaining() > 240:
+        ref = measure_ref_core()
+        src = ("measured" if ref != REF_CORE_GCUPS_FALLBACK else "fallback")
+        rec.update(vs_baseline=round(gcups / ref, 2),
+                   ref_core_gcups=round(ref, 3), ref_core_source=src)
+    else:
+        rec.skip("ref_core", f"{remaining():.0f}s left")
+
+    # ---- stage 3: CIGAR kernel ----
+    cig = None
+    if client is not None and remaining() > 60:
+        try:
+            cig = _watchdog(lambda: client.bench("cigar"),
+                            min(900.0, remaining()), "daemon-bench-cigar")
+        except Exception as ex:
+            print(f"bench: daemon cigar bench failed ({ex!r}); "
+                  "falling back to subprocess", file=sys.stderr)
+            client = None
+    if cig is None:
+        if remaining() > 180:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--cigar-only"],
+                    capture_output=True, text=True,
+                    timeout=min(900.0, remaining() - 30))
+                if out.returncode == 0:
+                    cig = json.loads(out.stdout.strip().splitlines()[-1])
+                else:
+                    print(f"bench: --cigar-only failed: {out.stderr[-300:]}",
+                          file=sys.stderr)
+            except Exception as ex:
+                print(f"bench: --cigar-only failed ({ex!r})", file=sys.stderr)
+        else:
+            rec.skip("cigar", f"{remaining():.0f}s left")
+    if cig:
+        rec.update(**cig)
+
+    # ---- stage 4: end-to-end north star ----
+    if remaining() > 300:
+        try:
+            e2e = measure_e2e_big(
+                remaining() - 20, ext_gcups=round(gcups, 2),
+                cig_gcups=(cig or {}).get("cigar_gcups_device") or 0.0)
+            rec.update(**e2e)
+        except Exception as ex:
+            print(f"bench: e2e failed ({ex!r})", file=sys.stderr)
+            rec.skip("e2e", repr(ex))
+    else:
+        rec.skip("e2e", f"{remaining():.0f}s left")
+    rec.update(bench_elapsed_s=round(time.monotonic() - T0, 1))
 
 
 if __name__ == "__main__":

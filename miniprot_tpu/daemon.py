@@ -32,6 +32,11 @@ Protocol (8-byte big-endian length prefix + pickle, SOCK_STREAM):
   ("collect", [bid, ...])  -> ("ok", [results...]) one fetch wave;
                               launch errors surface here
   ("warm", opt_dict|None)  -> ("ok", n_shapes)     precompile hot shapes
+  ("bench", kind)          -> ("ok", dict)         run a kernel GCUPS
+                              measurement (benchmarks.py) daemon-side,
+                              where the compiled kernels are warm —
+                              bench.py attaches here so the round
+                              record does not pay cold relay compiles
   ("shutdown",)            -> ("ok", None), then the daemon exits
 Any failure returns ("err", repr(e)); the client raises and the engine
 treats it like a direct device failure (host fallback, run completes).
@@ -164,6 +169,9 @@ class DaemonClient:
 
     def ping(self) -> dict:
         return self._rpc(("ping",))
+
+    def bench(self, kind: str) -> dict:
+        return self._rpc(("bench", kind))
 
     def shutdown(self) -> None:
         self._rpc(("shutdown",))
@@ -302,6 +310,10 @@ class _Server:
     def op_warm(self, opt_dict) -> int:
         return warm_kernels(opt_dict)
 
+    def op_bench(self, kind: str) -> dict:
+        from . import benchmarks
+        return benchmarks.run_bench_op(kind)
+
     # -- plumbing --
 
     def _gc(self) -> None:
@@ -334,6 +346,8 @@ class _Server:
                     elif op == "warm":
                         _send(conn, ("ok", self.op_warm(
                             args[0] if args else None)))
+                    elif op == "bench":
+                        _send(conn, ("ok", self.op_bench(*args)))
                     elif op == "shutdown":
                         _send(conn, ("ok", None))
                         self.stop.set()
@@ -416,15 +430,32 @@ def warm_kernels(opt_dict: dict | None = None,
         ext_shapes = [(128, n) for n in (2112, 4224, 8448)]
         cig_shapes = [(16, n) for n in (2048, 4096, 8192)]
     n = 0
+
+    def _try(fn, label: str, retries: int = 2) -> bool:
+        # a transient relay failure (remote_compile connection drop,
+        # observed live) must cost one shape's retry, not the daemon:
+        # a partially-warm daemon still beats no daemon
+        for attempt in range(retries + 1):
+            try:
+                fn()
+                sys.stderr.write(f"[daemon] warm {label}\n")
+                return True
+            except Exception as e:
+                sys.stderr.write(f"[daemon] warm {label} failed "
+                                 f"(attempt {attempt + 1}): {e!r}\n")
+                time.sleep(5 * (attempt + 1))
+        return False
+
     for al_b, nl_b in ext_shapes:
-        b = nk.RawExtBatch(al_b, nl_b, opt.mat, scalars, sp=env.sp,
-                           trans_code=tables._default_code)
-        b.add_raw(rng.integers(0, 4, size=nl_b).astype(np.int8),
-                  rng.integers(0, 20, size=min(al_b, 100)).astype(np.int8),
-                  io=opt.io)
-        b.collect(b.launch(None))
-        n += 1
-        sys.stderr.write(f"[daemon] warm ext {al_b}x{nl_b}\n")
+        def warm_ext(al_b=al_b, nl_b=nl_b):
+            b = nk.RawExtBatch(al_b, nl_b, opt.mat, scalars, sp=env.sp,
+                               trans_code=tables._default_code)
+            b.add_raw(rng.integers(0, 4, size=nl_b).astype(np.int8),
+                      rng.integers(0, 20,
+                                   size=min(al_b, 100)).astype(np.int8),
+                      io=opt.io)
+            b.collect(b.launch(None))
+        n += _try(warm_ext, f"ext {al_b}x{nl_b}")
     for sc, nl_b in cig_shapes:
         # each power-of-two rows_used <= the bucket is its own compile
         # key (a job's rows_used rounds up to the pow2 covering its real
@@ -434,16 +465,16 @@ def warm_kernels(opt_dict: dict | None = None,
             rows_variants = [r for r in (2048, 4096, 8192, 16384,
                                          32768, 65536) if r <= nl_b]
         for rv in rows_variants:
-            b = ck.RawCigarBatch(sc * 8, nl_b, opt.mat, scalars, sp=env.sp,
-                                 trans_code=tables._default_code)
-            b.add_raw(rng.integers(0, 4, size=rv - 8).astype(np.int8),
-                      rng.integers(0, 20,
-                                   size=min(sc * 8, 64)).astype(np.int8),
-                      io=opt.io)
-            b.collect(b.launch(None))
-            n += 1
-            sys.stderr.write(f"[daemon] warm cig {sc * 8}x{nl_b}"
-                             f" rows<={rv}\n")
+            def warm_cig(sc=sc, nl_b=nl_b, rv=rv):
+                b = ck.RawCigarBatch(sc * 8, nl_b, opt.mat, scalars,
+                                     sp=env.sp,
+                                     trans_code=tables._default_code)
+                b.add_raw(rng.integers(0, 4, size=rv - 8).astype(np.int8),
+                          rng.integers(0, 20,
+                                       size=min(sc * 8, 64)).astype(np.int8),
+                          io=opt.io)
+                b.collect(b.launch(None))
+            n += _try(warm_cig, f"cig {sc * 8}x{nl_b} rows<={rv}")
     return n
 
 
@@ -478,7 +509,11 @@ def main(argv=None) -> int:
     srv = _Server(path, idle_exit=args.idle_exit)
     if args.warm:
         t0 = time.monotonic()
-        n = warm_kernels(shapes=args.warm)
+        try:
+            n = warm_kernels(shapes=args.warm)
+        except Exception as e:   # serve anyway: cold > dead
+            sys.stderr.write(f"[daemon] warm aborted: {e!r}\n")
+            n = 0
         sys.stderr.write(f"[daemon] warmed {n} shapes in "
                          f"{time.monotonic() - t0:.0f}s\n")
     srv.serve()

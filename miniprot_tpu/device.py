@@ -158,13 +158,19 @@ class TpuExtEngine:
             # it is killed mid-exception (the CLI hard-exits instead)
             WEDGED = True
 
-    def _guarded(self, fn, timeout=None):
+    def _guarded(self, fn, timeout=None, overlapped=False):
         """Run fn under a watchdog: on relay-attached devices a transfer
         can block for minutes; past MINIPROT_TPU_BATCH_TIMEOUT seconds
         (default 180, 0 disables) the engine gives up on the device and
         recomputes on the host (identical results).  The blocked worker
         thread is abandoned — once that happens the engine is marked
-        broken and never touches the device again."""
+        broken and never touches the device again.
+
+        overlapped=True marks ops running on the wave-prefetch thread
+        concurrently with host work: their wall goes into the profiler's
+        device_blocked_s (wave seconds) but not device_exposed_s (wall
+        the driver actually stalled); the join side credits its real
+        wait to exposed instead."""
         import os as _os
         import time as _time
         from .sysutil import profiler
@@ -176,7 +182,9 @@ class TpuExtEngine:
             try:
                 return fn()
             finally:
-                profiler.add_device_block(_time.monotonic() - t0)
+                profiler.add_device_block(
+                    _time.monotonic() - t0,
+                    exposed=0.0 if overlapped else None)
         # daemon thread, NOT ThreadPoolExecutor: the executor's workers
         # are joined at interpreter exit, so one transfer wedged in the
         # relay would hang process shutdown long after the run fell back
@@ -197,7 +205,9 @@ class TpuExtEngine:
         except _q.Empty:
             raise TimeoutError(f"device collect exceeded {timeout:.0f}s")
         finally:
-            profiler.add_device_block(_time.monotonic() - t0)
+            profiler.add_device_block(
+                _time.monotonic() - t0,
+                exposed=0.0 if overlapped else None)
         if not ok:
             raise val
         return val
@@ -230,6 +240,39 @@ class TpuExtEngine:
                 timeout=self._daemon_timeout())
         return self._guarded(lambda: batch.collect(handles))
 
+    def _begin_prefetch(self, pending):
+        """Start the wave prefetch on a background thread and return a
+        join() callable producing its result.
+
+        The collect wave is mostly network wait (relay RTT + fetch) and,
+        through a daemon, daemon-side work — all GIL-free from this
+        thread's perspective — so the caller runs its host-fallback DPs
+        CONCURRENTLY with the wave instead of before it, hiding the
+        wave's latency behind host work (the reverse also holds: the
+        wave hides the fallbacks).  join() must be called exactly once."""
+        if self.interpret or self.broken or len(pending) < 2:
+            # same conditions under which _prefetch declines; the caller
+            # falls back to per-batch collects after its host work
+            return lambda: None
+        import queue as _q
+        import threading as _t
+        import time as _time
+        from .sysutil import profiler
+        box: _q.Queue = _q.Queue(1)
+        _t.Thread(target=lambda: box.put(self._prefetch(pending)),
+                  daemon=True, name="tpu-wave-prefetch").start()
+
+        def join():
+            t0 = _time.monotonic()
+            r = box.get()
+            # only the wait that remained after the caller's host work
+            # is wall the driver actually lost to the device
+            profiler.add_device_block(0.0, trips=0,
+                                      exposed=_time.monotonic() - t0)
+            return r
+
+        return join
+
     def _prefetch(self, pending):
         """One device_get covering every pending batch's outputs.
 
@@ -249,7 +292,8 @@ class TpuExtEngine:
             bids = [h[1] for _, _, h in pending]
             try:
                 results = self._guarded(lambda: self.client.collect(bids),
-                                        timeout=self._daemon_timeout())
+                                        timeout=self._daemon_timeout(),
+                                        overlapped=True)
             except Exception as e:
                 self._device_failed(e)
                 return None
@@ -264,7 +308,8 @@ class TpuExtEngine:
                 tags.append(None)
                 tails.append(h)
         try:
-            fetched = self._guarded(lambda: jax.device_get(tails))
+            fetched = self._guarded(lambda: jax.device_get(tails),
+                                    overlapped=True)
         except Exception as e:
             self._device_failed(e)
             return None
@@ -406,9 +451,12 @@ class TpuExtEngine:
             job.result = (sc, ntl, aal)
             self.n_host += 1
 
+        # the collect wave (network wait + daemon-side fetch/decode) and
+        # the host-fallback DPs (GIL-free native calls) run concurrently
+        join = self._begin_prefetch(pending)
         for i in host_jobs:
             run_ext_host(i)
-        pre = self._prefetch(pending)
+        pre = join()
         for n, (chunk, batch, handles) in enumerate(pending):
             try:
                 if pre is not None:
@@ -531,6 +579,9 @@ class TpuExtEngine:
                     usable.append(i)
                 if usable:
                     launch(usable, batch)
+        # start the collect wave first so the (large) host CIGAR tail
+        # below overlaps the wave's relay wait instead of preceding it
+        join = self._begin_prefetch(pending)
         if host_jobs:
             # one batched native call (mx_dp16x4 when it pays) instead
             # of one ctypes round trip per tiny rectangle — these are
@@ -541,7 +592,7 @@ class TpuExtEngine:
             for i, r in zip(host_jobs, res):
                 self.cig_jobs[i].result = r
                 self.n_host += 1
-        pre = self._prefetch(pending)
+        pre = join()
         for n, (usable, batch, handles) in enumerate(pending):
             collect_one(usable, batch,
                         pre[n] if pre is not None else handles,

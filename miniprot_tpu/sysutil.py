@@ -76,6 +76,11 @@ class Profiler:
         # relay-attached machines (bench.py)
         self.device_blocked_s = 0.0
         self.device_round_trips = 0
+        # wall the driver thread ACTUALLY stalled on the device: collect
+        # waves run on a background thread overlapped with host work, so
+        # only the residual join wait counts here (device_blocked_s keeps
+        # the full wave seconds for the chip-time split)
+        self.device_exposed_s = 0.0
         self._open: dict[str, float] = {}
 
     def start(self, stage: str) -> None:
@@ -104,9 +109,15 @@ class Profiler:
         else:
             self.cells_tpu_ext += cells
 
-    def add_device_block(self, dt: float, trips: int = 1) -> None:
+    def add_device_block(self, dt: float, trips: int = 1,
+                         exposed: float | None = None) -> None:
+        """dt: seconds inside the device op (wave seconds).  exposed:
+        seconds the driving thread actually stalled — defaults to dt
+        for synchronous ops; overlapped waves pass 0.0 at issue time
+        and the join side adds its residual wait separately."""
         self.device_blocked_s += dt
         self.device_round_trips += trips
+        self.device_exposed_s += dt if exposed is None else exposed
 
     def device_fraction(self) -> float:
         """Fraction of DP cells evaluated on the device (padded batch
