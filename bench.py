@@ -228,38 +228,67 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
                     sock = None
                     break
                 time.sleep(1)
-    args = [sys.executable, tool, "--genome-mb", "200", "--n-genes", "2000",
+    base = [sys.executable, tool, "--genome-mb", "200", "--n-genes", "2000",
             "--keep", keep, "--keep-index"]
-    if sock is not None:
-        args += ["--daemon-sock", sock]
     if ext_gcups:
-        args += ["--ext-gcups", str(ext_gcups)]
+        base += ["--ext-gcups", str(ext_gcups)]
     if cig_gcups:
-        args += ["--cig-gcups", str(cig_gcups)]
-    try:
+        base += ["--cig-gcups", str(cig_gcups)]
+    dev_args = list(base)
+    if sock is not None:
+        dev_args += ["--daemon-sock", sock]
+
+    def run_bb(args):
         out = subprocess.run(
             args, capture_output=True, text=True,
             timeout=max(60.0, t_end - time.monotonic()))
+        if out.returncode != 0:
+            raise RuntimeError(f"bigbench failed: {out.stderr[-400:]}")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    try:
+        rec = run_bb(dev_args)
+        result = {
+            "e2e_n_proteins": rec.get("n_proteins"),
+            "e2e_map_wall_s": rec.get("map_wall_s"),
+            "e2e_daemon": rec.get("daemon", False),
+            "proteins_per_sec_chip": rec.get("proteins_per_sec_wall"),
+            "proteins_per_sec_chip_projected":
+                rec.get("proteins_per_sec_chip_projected"),
+            "proteins_per_sec_chip_projected_max":
+                rec.get("proteins_per_sec_chip_projected_max"),
+            "e2e_device_blocked_s": rec.get("device_blocked_s"),
+            "e2e_device_exposed_s": rec.get("device_exposed_s"),
+            "e2e_device_round_trips": rec.get("device_round_trips"),
+            "e2e_relay_rtt_s": rec.get("relay_rtt_s"),
+            "e2e_relay_overhead_s": rec.get("relay_overhead_s"),
+            "e2e_daemon_duty_cycle": rec.get("daemon_duty_cycle"),
+            "dp_cells_device_fraction": rec.get("device_fraction"),
+        }
+        # same-session host A/B + the default (auto-routed) path — the
+        # two numbers VERDICT r03 asked BENCH to carry alongside the
+        # device wall.  Cheap now: workload + index are cached on disk.
+        if t_end - time.monotonic() > 120:
+            try:
+                hrec = run_bb(base + ["--route", "host"])
+                result["proteins_per_sec_host"] = \
+                    hrec.get("proteins_per_sec_wall")
+                result["e2e_host_map_wall_s"] = hrec.get("map_wall_s")
+            except Exception as ex:
+                print(f"bench: host e2e failed ({ex!r})", file=sys.stderr)
+        if t_end - time.monotonic() > 120:
+            try:
+                arec = run_bb(dev_args + ["--route", "auto"])
+                result["proteins_per_sec_default"] = \
+                    arec.get("proteins_per_sec_wall")
+                result["e2e_route_choice"] = arec.get("route_choice")
+            except Exception as ex:
+                print(f"bench: auto-route e2e failed ({ex!r})",
+                      file=sys.stderr)
     finally:
         if daemon is not None:
             daemon.terminate()
-    if out.returncode != 0:
-        raise RuntimeError(f"bigbench failed: {out.stderr[-400:]}")
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
-    return {
-        "e2e_n_proteins": rec.get("n_proteins"),
-        "e2e_map_wall_s": rec.get("map_wall_s"),
-        "e2e_daemon": rec.get("daemon", False),
-        "proteins_per_sec_chip": rec.get("proteins_per_sec_wall"),
-        "proteins_per_sec_chip_projected":
-            rec.get("proteins_per_sec_chip_projected"),
-        "e2e_device_blocked_s": rec.get("device_blocked_s"),
-        "e2e_device_round_trips": rec.get("device_round_trips"),
-        "e2e_relay_rtt_s": rec.get("relay_rtt_s"),
-        "e2e_relay_overhead_s": rec.get("relay_overhead_s"),
-        "e2e_daemon_duty_cycle": rec.get("daemon_duty_cycle"),
-        "dp_cells_device_fraction": rec.get("device_fraction"),
-    }
+    return result
 
 
 def _measure_in_subprocess(timeout: float) -> float:

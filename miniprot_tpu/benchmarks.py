@@ -109,8 +109,39 @@ def measure_cigar_gcups() -> dict:
         jax.device_get(handles[-1][1:])
         dt = time.perf_counter() - t0
         rates.append(round(NL * AL * ck.B * K / dt / 1e9, 2))
-    return {"cigar_gcups_device_small": rates[0],
-            "cigar_gcups_device": rates[-1]}
+    out = {"cigar_gcups_device_small": rates[0],
+           "cigar_gcups_device": rates[-1]}
+    out.update(measure_cigar_host_gcups())
+    return out
+
+
+def measure_cigar_host_gcups() -> dict:
+    """One-core host-engine rate at the SAME two CIGAR shape classes,
+    the other half of the per-class device-vs-host routing data
+    (device.CIG_DEVICE_MIN_AL).  Uses the production host path
+    (DpEnv.dp -> native striped C kernel, traceback mode)."""
+    import time as _time
+
+    from .align import DpEnv
+    from .native import DPF_CIGAR
+    from .options import MapOpt
+
+    env = DpEnv(MapOpt())
+    rng = np.random.default_rng(9)
+    nt = np.frombuffer(b"ACGT", np.uint8)
+    aa = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    out = {}
+    for key, al, nl, n in (("cigar_gcups_host_small", 32, 2048, 24),
+                           ("cigar_gcups_host", 128, 8192, 12)):
+        probs = [(nt[rng.integers(0, 4, nl)], aa[rng.integers(0, 20, al)])
+                 for _ in range(n)]
+        env.dp(*probs[0], DPF_CIGAR)   # warm (tables, scratch slots)
+        t0 = _time.perf_counter()
+        for nsq, asq in probs:
+            env.dp(nsq, asq, DPF_CIGAR)
+        dt = _time.perf_counter() - t0
+        out[key] = round(nl * al * n / dt / 1e9, 2)
+    return out
 
 
 def run_bench_op(kind: str):

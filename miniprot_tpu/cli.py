@@ -76,7 +76,9 @@ Options:
     -K NUM       query batch size [2M]
   TPU-build extensions:
     --tpu            force the TPU alignment engine (default: auto —
-                     used whenever a TPU backend is live)
+                     engaged when a TPU backend is live, then a measured
+                     routing probe keeps whichever engine is faster; set
+                     MINIPROT_TPU_ROUTE_PROBE=0 to skip the probe)
     --no-tpu         host engine only (also: MINIPROT_TPU_DISABLE=1)
     --tpu-sketch     index-build sketching on the accelerator
     --profile        per-stage timers + DP cell/GCUPS counters to stderr
@@ -165,10 +167,13 @@ def _run(argv: list[str], server_parse: bool, owns_process: bool = False):
             sys.stderr.write("WARNING: TPU backend unavailable; "
                              "--tpu will fall back to the host engine\n")
         if want_tpu is None:
-            want_tpu = live
+            # auto: engage the device engine, but let map_file's
+            # measured routing probe demote to the host engine when the
+            # host is actually faster here (pipeline._route_probe)
+            want_tpu = "auto" if live else False
     io = IdxOpt()
     mo = MapOpt()
-    dbg0_use_tpu = bool(want_tpu)
+    dbg0_use_tpu = want_tpu
     n_threads = 4
     fn_idx = None
     fn_spsc = None
@@ -448,7 +453,7 @@ def _run(argv: list[str], server_parse: bool, owns_process: bool = False):
     try:
         for fn in pos[1:]:
             map_file(mi, fn, mo, n_threads, out=out,
-                     use_tpu=bool(dbg.get("use_tpu")), dbg=dbg, ckpt=ckpt)
+                     use_tpu=dbg.get("use_tpu") or False, dbg=dbg, ckpt=ckpt)
     finally:
         if out is not sys.stdout:
             out.close()

@@ -115,18 +115,41 @@ def slim_for_wire(batch) -> None:
 
 
 class DaemonClient:
-    """Client half: one persistent connection, sequential RPCs.
+    """Client half: TWO persistent connections, sequential RPCs on each.
 
-    The engine serializes its device ops (each runs under its own
-    watchdog thread), and after any timeout it marks itself broken and
-    never issues another op — so a reply abandoned mid-read can never
-    interleave with a later request."""
+    Collects ride their own connection: a collect wave blocks daemon-
+    side until its batches finish on the device, and the pipelined pump
+    (device.pump_align_generators) launches the NEXT cohort's batches
+    while the previous cohort's wave is still in the air — on a single
+    connection those launches would serialize behind the collect's
+    blocking read.  Within each connection the engine's ops stay
+    sequential (each runs under its own watchdog thread, and after any
+    timeout the engine marks itself broken and never issues another
+    op), so a reply abandoned mid-read can never interleave with a
+    later request on that connection."""
 
-    def __init__(self, path: str, conn: socket.socket, info: dict):
+    def __init__(self, path: str, conn: socket.socket, info: dict,
+                 conn_collect: socket.socket | None = None):
         self.path = path
         self.conn = conn
+        self.conn_collect = conn_collect or conn
         self.info = info
         self._lock = threading.Lock()
+        self._lock_collect = (threading.Lock() if conn_collect is not None
+                              else self._lock)
+
+    @staticmethod
+    def _open(path: str, timeout: float):
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.settimeout(timeout)
+        conn.connect(path)
+        _send(conn, ("ping",))
+        status, _info = _recv(conn)
+        if status != "ok":
+            conn.close()
+            raise ConnectionError("daemon ping failed")
+        conn.settimeout(None)  # per-op deadlines come from the
+        return conn, _info     # engine's watchdog threads
 
     @classmethod
     def maybe_connect(cls, path: str | None = None,
@@ -136,23 +159,21 @@ class DaemonClient:
         if not os.path.exists(path):
             return None
         try:
-            conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            conn.settimeout(timeout)
-            conn.connect(path)
-            _send(conn, ("ping",))
-            status, info = _recv(conn)
-            if status != "ok":
-                conn.close()
-                return None
-            conn.settimeout(None)  # per-op deadlines come from the
-            return cls(path, conn, info)  # engine's watchdog threads
+            conn, info = cls._open(path, timeout)
         except Exception:
             return None
+        try:
+            conn2, _ = cls._open(path, timeout)
+        except Exception:
+            conn2 = None   # old daemon or races: degrade to one conn
+        return cls(path, conn, info, conn_collect=conn2)
 
-    def _rpc(self, msg):
-        with self._lock:
-            _send(self.conn, msg)
-            reply = _recv(self.conn)
+    def _rpc(self, msg, collect_chan: bool = False):
+        conn = self.conn_collect if collect_chan else self.conn
+        lock = self._lock_collect if collect_chan else self._lock
+        with lock:
+            _send(conn, msg)
+            reply = _recv(conn)
         if reply is None:
             raise ConnectionError("daemon closed the connection")
         status, val = reply
@@ -165,7 +186,7 @@ class DaemonClient:
         return self._rpc(("launch", batch))
 
     def collect(self, bids: list) -> list:
-        return self._rpc(("collect", list(bids)))
+        return self._rpc(("collect", list(bids)), collect_chan=True)
 
     def ping(self) -> dict:
         return self._rpc(("ping",))
@@ -177,10 +198,11 @@ class DaemonClient:
         self._rpc(("shutdown",))
 
     def close(self) -> None:
-        try:
-            self.conn.close()
-        except Exception:
-            pass
+        for c in (self.conn, self.conn_collect):
+            try:
+                c.close()
+            except Exception:
+                pass
 
 
 # ---------------------------------------------------------------------------

@@ -373,10 +373,14 @@ class TpuExtEngine:
                                sp_null_bonus=self.opt.sp_null_bonus, io=io,
                                ext_left=ext_left, ss=job.ss)
 
-    def _run_ext(self) -> None:
+    def _launch_ext(self, ext_jobs) -> tuple:
+        """Bucket + launch the ext batches; returns (pending, host_jobs).
+        Jobs without an external splice track ship only raw nt4 windows
+        (device-side prep, ~4.5x less transfer); --spsc jobs keep host
+        prep."""
         buckets: dict[tuple, list[int]] = {}
         host_jobs: list[int] = []
-        for i, job in enumerate(self.ext_jobs):
+        for i, job in enumerate(ext_jobs):
             if job.result is not None:
                 continue
             nl, al = len(job.nsq), len(job.asq)
@@ -385,7 +389,7 @@ class TpuExtEngine:
                     or not ext_fits_int16(al, self.mat_max,
                                           self.opt.end_bonus)
                     or self.opt.ie_coef > 8.0):  # raw-path thr table growth
-                host_jobs.append(i)   # runs after launch, overlapped
+                host_jobs.append(i)   # runs overlapped with the wave
                 continue
             al_b = next(b for b in AL_BUCKETS if al <= b)
             nl_b = next(b for b in NL_BUCKETS if nl <= b)
@@ -397,26 +401,21 @@ class TpuExtEngine:
                 host_jobs.append(i)
                 continue
             buckets.setdefault((al_b, nl_b), []).append(i)
-        # two-phase dispatch: launch every batch (async device queue +
-        # pipelined transfers), then collect — the device works on batch
-        # k while the host preps/ships batch k+1.  Jobs without an
-        # external splice track ship only raw nt4 windows (device-side
-        # prep, ~4.5x less transfer); --spsc jobs keep host prep.
         from . import tables
         from .sysutil import profiler
         T = tables.get_tables()
-        pending = []
+        pending: list = []
         for (al_b, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), nk.B_LANES):
                 chunk = idxs[c0:c0 + nk.B_LANES]
-                raw_idx = [i for i in chunk if self.ext_jobs[i].ss is None]
-                old_idx = [i for i in chunk if self.ext_jobs[i].ss is not None]
+                raw_idx = [i for i in chunk if ext_jobs[i].ss is None]
+                old_idx = [i for i in chunk if ext_jobs[i].ss is not None]
                 if raw_idx:
                     batch = nk.RawExtBatch(
                         al_b, nl_b, self.mat, self.scalars, sp=self.sp,
                         trans_code=tables._default_code)
                     for i in raw_idx:
-                        job = self.ext_jobs[i]
+                        job = ext_jobs[i]
                         nt4 = T.nt4[job.nsq]
                         aas = T.aa20[job.asq]
                         if job.ext_left:
@@ -432,7 +431,7 @@ class TpuExtEngine:
                 if old_idx:
                     batch = nk.ExtBatch(al_b, nl_b, self.mat, self.scalars)
                     for i in old_idx:
-                        job = self.ext_jobs[i]
+                        job = ext_jobs[i]
                         nas, aas, d, a = self._prep(job, job.ext_left, job.io)
                         batch.add(nas, aas, d, a, io=job.io)
                     if self._launch(pending, old_idx, batch):
@@ -440,23 +439,19 @@ class TpuExtEngine:
                                             batch.n)
                     else:
                         host_jobs.extend(old_idx)
-        # host-engine fallbacks run between launch and collect so they
-        # overlap the device's work on the queued batches
-        def run_ext_host(i):
-            job = self.ext_jobs[i]
-            sc, ntl, aal, _ = self.env.dp(
-                job.nsq, job.asq,
-                DPF_EXT_LEFT if job.ext_left else DPF_EXT_RIGHT,
-                ss=job.ss, io=job.io)
-            job.result = (sc, ntl, aal)
-            self.n_host += 1
+        return pending, host_jobs
 
-        # the collect wave (network wait + daemon-side fetch/decode) and
-        # the host-fallback DPs (GIL-free native calls) run concurrently
-        join = self._begin_prefetch(pending)
-        for i in host_jobs:
-            run_ext_host(i)
-        pre = join()
+    def _ext_host(self, ext_jobs, i) -> None:
+        job = ext_jobs[i]
+        sc, ntl, aal, _ = self.env.dp(
+            job.nsq, job.asq,
+            DPF_EXT_LEFT if job.ext_left else DPF_EXT_RIGHT,
+            ss=job.ss, io=job.io)
+        job.result = (sc, ntl, aal)
+        self.n_host += 1
+
+    def _decode_ext(self, ext_jobs, pending, pre) -> None:
+        from .sysutil import profiler
         for n, (chunk, batch, handles) in enumerate(pending):
             try:
                 if pre is not None:
@@ -477,21 +472,57 @@ class TpuExtEngine:
                                     -batch.n)
                 for i in chunk:
                     self.n_tpu -= 1
-                    run_ext_host(i)
+                    self._ext_host(ext_jobs, i)
             else:
                 for i, r in zip(chunk, results):
-                    self.ext_jobs[i].result = r
+                    ext_jobs[i].result = r
 
-    def _run_cig(self) -> None:
+    def _cig_host(self, cig_jobs, i) -> None:
+        job = cig_jobs[i]
+        sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR, ss=job.ss)
+        job.result = (sc, c)
+        self.n_host += 1
+
+    def _decode_cig_one(self, cig_jobs, o_idxs, o_batch, o_handles,
+                        prefetched=False) -> None:
+        from .sysutil import profiler
+        try:
+            if prefetched:
+                # numpy-backed handles: pure host decode, no watchdog
+                results = None if self.broken else self._decoded(
+                    o_batch, o_handles)
+            else:
+                results = None if self.broken else self._collect(
+                    o_batch, o_handles)
+        except Exception as e:
+            self._device_failed(e)
+            results = None
+        if results is None:
+            profiler.add_tpu_dp(-o_batch.nl * o_batch.al * o_batch.n,
+                                -o_batch.n,
+                                kind="cig_small" if o_batch.al <= 32
+                                else "cig")
+            for k in o_idxs:
+                self.n_tpu -= 1
+                self._cig_host(cig_jobs, k)
+        else:
+            for k, r in zip(o_idxs, results):
+                cig_jobs[k].result = r
+
+    def _launch_cig(self, cig_jobs) -> tuple:
+        """Bucket + launch the CIGAR batches; returns (pending,
+        host_jobs).  Launched-but-uncollected traceback buffers are
+        drained once they pass PENDING_TB_CAP (one flight in the air:
+        the pump collects each flush before launching the next)."""
         buckets: dict[tuple, list[int]] = {}
         host_jobs: list[int] = []
-        for i, job in enumerate(self.cig_jobs):
+        for i, job in enumerate(cig_jobs):
             if job.result is not None:
                 continue
             shape = None if self.broken else cig_shape(len(job.nsq),
                                                        len(job.asq))
             if shape is None:
-                host_jobs.append(i)   # runs after launch, overlapped
+                host_jobs.append(i)   # runs overlapped with the wave
                 continue
             buckets.setdefault(shape, []).append(i)
         from . import tables
@@ -500,55 +531,28 @@ class TpuExtEngine:
         pending: list = []
         outstanding = 0
 
-        def run_cig_host(i):
-            job = self.cig_jobs[i]
-            sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR, ss=job.ss)
-            job.result = (sc, c)
-            self.n_host += 1
-
-        def collect_one(o_idxs, o_batch, o_handles, prefetched=False):
-            try:
-                if prefetched:
-                    # numpy-backed handles: pure host decode, no watchdog
-                    results = None if self.broken else self._decoded(
-                        o_batch, o_handles)
-                else:
-                    results = None if self.broken else self._collect(
-                        o_batch, o_handles)
-            except Exception as e:
-                self._device_failed(e)
-                results = None
-            if results is None:
-                profiler.add_tpu_dp(-o_batch.nl * o_batch.al * o_batch.n,
-                                    -o_batch.n, kind="cig")
-                for k in o_idxs:
-                    self.n_tpu -= 1
-                    run_cig_host(k)
-            else:
-                for k, r in zip(o_idxs, results):
-                    self.cig_jobs[k].result = r
-
         def launch(idxs, batch):
             nonlocal outstanding
             if not self._launch(pending, idxs, batch):
                 for k in idxs:
-                    run_cig_host(k)
+                    self._cig_host(cig_jobs, k)
                 return
             outstanding += batch.tb_bytes()
             profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n,
-                                kind="cig")
+                                kind="cig_small" if batch.al <= 32
+                                else "cig")
             # drain the oldest launches once the uncollected traceback
             # buffers would crowd HBM
             while outstanding > PENDING_TB_CAP and len(pending) > 1:
                 o_idxs, o_batch, o_handles = pending.pop(0)
-                collect_one(o_idxs, o_batch, o_handles)
+                self._decode_cig_one(cig_jobs, o_idxs, o_batch, o_handles)
                 outstanding -= o_batch.tb_bytes()
 
         for (slen, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), ck.B):
                 chunk = idxs[c0:c0 + ck.B]
-                raw_idx = [i for i in chunk if self.cig_jobs[i].ss is None]
-                old_idx = [i for i in chunk if self.cig_jobs[i].ss is not None]
+                raw_idx = [i for i in chunk if cig_jobs[i].ss is None]
+                old_idx = [i for i in chunk if cig_jobs[i].ss is not None]
                 if raw_idx:
                     # no --spsc track: donor >= 0 by construction, so the
                     # folded donor stream cannot go negative and the raw
@@ -557,66 +561,105 @@ class TpuExtEngine:
                         slen * 8, nl_b, self.mat, self.scalars, sp=self.sp,
                         trans_code=tables._default_code)
                     for i in raw_idx:
-                        job = self.cig_jobs[i]
+                        job = cig_jobs[i]
                         batch.add_raw(T.nt4[job.nsq], T.aa20[job.asq],
                                       io=self.opt.io)
                     launch(raw_idx, batch)
                 usable = []
                 batch = ck.CigarBatch(slen * 8, nl_b, self.mat, self.scalars)
                 for i in old_idx:
-                    job = self.cig_jobs[i]
+                    job = cig_jobs[i]
                     nas, aas, d, a = self._prep(job, False, self.opt.io)
                     if int(d.min()) + self.opt.io < 0:
                         # folded donor stream would go negative: the
                         # single-saturation fold no longer matches the
                         # reference's double-saturating subs; host it
-                        sc, _, _, c = self.env.dp(job.nsq, job.asq,
-                                                  DPF_CIGAR, ss=job.ss)
-                        job.result = (sc, c)
-                        self.n_host += 1
+                        self._cig_host(cig_jobs, i)
                         continue
                     batch.add(nas, aas, d, a, io=self.opt.io)
                     usable.append(i)
                 if usable:
                     launch(usable, batch)
-        # start the collect wave first so the (large) host CIGAR tail
-        # below overlaps the wave's relay wait instead of preceding it
-        join = self._begin_prefetch(pending)
-        if host_jobs:
+        return pending, host_jobs
+
+    def flush_begin(self) -> "_Flight":
+        """Launch every batch of the CURRENT request set and start ONE
+        combined ext+cig collect wave; host fallbacks for both kinds run
+        here, overlapped with the wave.  Returns the in-flight state —
+        call flush_end(flight) (exactly once) for the results.  The
+        request/job lists reset, so a second flight can be prepared
+        while this one is in the air (pump_align_generators pipelines
+        two generator cohorts this way)."""
+        fl = _Flight()
+        fl.requests, self.requests = self.requests, []
+        fl.ext_jobs, self.ext_jobs = self.ext_jobs, []
+        fl.cig_jobs, self.cig_jobs = self.cig_jobs, []
+        fl.ext_pending, ext_host = self._launch_ext(fl.ext_jobs)
+        fl.cig_pending, cig_host = self._launch_cig(fl.cig_jobs)
+        # one combined collect wave: half the round trips of separate
+        # ext/cig waves, and every host fallback below overlaps it
+        fl.join = self._begin_prefetch(fl.ext_pending + fl.cig_pending)
+        for i in ext_host:
+            self._ext_host(fl.ext_jobs, i)
+        if cig_host:
             # one batched native call (mx_dp16x4 when it pays) instead
             # of one ctypes round trip per tiny rectangle — these are
             # the <CIG_MIN_NL jobs, ~10k+ per whole-genome mini-batch
             res = self.env.dp_cigars(
-                [(self.cig_jobs[i].nsq, self.cig_jobs[i].asq,
-                  self.cig_jobs[i].ss) for i in host_jobs])
-            for i, r in zip(host_jobs, res):
-                self.cig_jobs[i].result = r
+                [(fl.cig_jobs[i].nsq, fl.cig_jobs[i].asq,
+                  fl.cig_jobs[i].ss) for i in cig_host])
+            for i, r in zip(cig_host, res):
+                fl.cig_jobs[i].result = r
                 self.n_host += 1
-        pre = join()
-        for n, (usable, batch, handles) in enumerate(pending):
-            collect_one(usable, batch,
-                        pre[n] if pre is not None else handles,
-                        prefetched=pre is not None)
+        return fl
+
+    def flush_end(self, fl: "_Flight") -> list:
+        """Join the flight's collect wave, decode, and return results
+        aligned with its submit order."""
+        pre = fl.join()
+        ne = len(fl.ext_pending)
+        self._decode_ext(fl.ext_jobs, fl.ext_pending,
+                         None if pre is None else pre[:ne])
+        for n, (usable, batch, handles) in enumerate(fl.cig_pending):
+            self._decode_cig_one(
+                fl.cig_jobs, usable, batch,
+                pre[ne + n] if pre is not None else handles,
+                prefetched=pre is not None)
+        out = []
+        for kind, ref in fl.requests:
+            if kind == "ext":
+                out.append(fl.ext_jobs[ref].result)
+            else:
+                out.append([fl.cig_jobs[i].result for i in ref])
+        return out
 
     def flush(self) -> list:
-        self._run_ext()
-        self._run_cig()
-        out = []
-        for kind, ref in self.requests:
-            if kind == "ext":
-                out.append(self.ext_jobs[ref].result)
-            else:
-                out.append([self.cig_jobs[i].result for i in ref])
-        self.ext_jobs = []
-        self.cig_jobs = []
-        self.requests = []
-        return out
+        return self.flush_end(self.flush_begin())
+
+
+class _Flight:
+    """One in-flight flush: its requests/jobs snapshot, the launched
+    batches, and the joined ext+cig collect wave."""
+
+    __slots__ = ("requests", "ext_jobs", "cig_jobs",
+                 "ext_pending", "cig_pending", "join")
 
 
 def pump_align_generators(gens: list, engine: TpuExtEngine) -> None:
     """Advance align_region_steps generators in lockstep, batching their
     DP requests through the engine.  Each generator yields a LIST of
-    requests per round and receives the matching list of results."""
+    requests per round and receives the matching list of results.
+
+    Each round's ext+cig batches launch together and are collected in
+    ONE combined wave (engine.flush_begin/flush_end), with both kinds'
+    host-fallback DPs running concurrently with the wave.  A two-cohort
+    pipelined variant (alternating generator halves so one cohort's
+    host work hides the other's wave) was measured and REJECTED on the
+    200Mb workload: splitting the generators halves the per-bucket job
+    counts, so ext/cig batches go out with half-empty lane dimensions —
+    the padded-lane device time and extra round trips (135 -> 180) cost
+    more than the hidden wave latency saved (20.8s -> 23.1s wall).
+    Full-lane batches beat latency hiding on this fabric."""
     waiting = {}
     for gi, g in enumerate(gens):
         try:

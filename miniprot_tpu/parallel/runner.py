@@ -7,14 +7,19 @@ is: shard queries round-robin across processes/hosts (data parallel —
 queries are independent), map each shard against the local index
 replica, and restore the global input order at emission on process 0.
 
-For output modes whose per-query text is independent of global state
-(PAF, --aln, --trans — everything except GFF/GTF), each shard FORMATS
-its own queries' text and spools (query_index, text): the process-0
-emit is then a pure ordered byte-stream concatenation, removing the
-serial formatting term that binds the scaling model at high shard
-counts (docs/SCALING.md).  GFF/GTF spool Region records instead,
-because their record ids (``MP%06d``, format.c:372) are assigned in
-*output* order, which is only known after the cross-host merge.
+Every output mode emits in parallel: each shard FORMATS its own
+queries' text and spools it, so the process-0 emit never re-formats —
+this removes the serial formatting term that binds the scaling model
+at high shard counts (docs/SCALING.md).  For id-free modes (PAF,
+--aln, --trans — the default) a spooled record is (query_index, text)
+and the merge is pure ordered concatenation.  GFF/GTF record ids
+(``MP%06d``, format.c:372) are assigned in *output* order, which is
+only known after the cross-host merge, so they use a TWO-PHASE id
+assignment: shards format with a NUL-sentinel standing in for the id
+digits (_DeferredId) and spool (query_index, text, n_records); the
+merge keeps a running global id base per record stream and rewrites
+each sentinel to ``base + local`` — a cheap string splice, not a
+re-format, so GFF scales like PAF.
 
 Spools are STREAMS: each shard appends one pickled record per query as
 it maps (so a shard never holds its results in RAM), and the process-0
@@ -47,8 +52,44 @@ from ..pipeline import _emit_query
 
 def emit_is_parallel(opt: MapOpt) -> bool:
     """True when per-query output text is independent of global state
-    (no output-order record ids), so shards can format their own text."""
+    (no output-order record ids), so a spooled record is final text.
+    GFF/GTF also format shard-side, but through the deferred-id
+    two-phase scheme (see module docstring / _DeferredId)."""
     return not (opt.flag & (F_GFF | F_GTF))
+
+
+class _DeferredId:
+    """Stands in for the global GFF/GTF record id during shard-side
+    formatting.  Supports the id-counter arithmetic the emit path does
+    (``id_counter[0] += 1`` per emitted record) and formats — via the
+    writers' existing ``{gid:06d}`` f-strings, unchanged — as a
+    NUL-delimited sentinel carrying the shard-local ordinal.  The
+    process-0 merge rewrites each sentinel to the true global id once
+    output order is known (``_rewrite_ids``)."""
+
+    __slots__ = ("local",)
+
+    def __init__(self, local: int) -> None:
+        self.local = local
+
+    def __add__(self, k: int) -> "_DeferredId":
+        return _DeferredId(self.local + k)
+
+    def __format__(self, spec: str) -> str:
+        return f"\x00{self.local}\x00"
+
+
+def _rewrite_ids(text: str, base: int) -> str:
+    """Splice global ids into shard-formatted GFF/GTF text: sentinel
+    segments (odd positions after a NUL split) hold the local ordinal;
+    the true id is ``base + local`` zero-padded exactly as the writers'
+    ``{gid:06d}`` would have printed it."""
+    if "\x00" not in text:
+        return text
+    parts = text.split("\x00")
+    for i in range(1, len(parts), 2):
+        parts[i] = format(base + int(parts[i]), "06d")
+    return "".join(parts)
 
 
 def spool_path(spool_dir: str, process_id: int) -> str:
@@ -116,17 +157,23 @@ def map_shard(mi: Index, fn: str, opt: MapOpt, process_id: int,
     tmp = spool_path(spool_dir, process_id) + ".tmp"
 
     def spool_rec(fp, qi0, rec, regs):
+        import io as _io
+        buf = _io.StringIO()
         if par_emit:
             # format here: the proc-0 merge then only concatenates
-            import io as _io
-            buf = _io.StringIO()
             _emit_query(mi, opt, rec.name,
                         np.frombuffer(rec.seq, dtype=np.uint8), regs,
                         [0], buf)
             pickle.dump((qi0, buf.getvalue()), fp,
                         protocol=pickle.HIGHEST_PROTOCOL)
         else:
-            pickle.dump((qi0, rec.name, rec.seq, regs), fp,
+            # GFF/GTF: format here too, with deferred ids; the merge
+            # splices in the global id base (two-phase id assignment)
+            idc = [_DeferredId(0)]
+            _emit_query(mi, opt, rec.name,
+                        np.frombuffer(rec.seq, dtype=np.uint8), regs,
+                        idc, buf)
+            pickle.dump((qi0, buf.getvalue(), idc[0].local), fp,
                         protocol=pickle.HIGHEST_PROTOCOL)
 
     with open(tmp, "wb") as fp:
@@ -180,7 +227,10 @@ def emit_merged(mi: Index, opt: MapOpt, num_processes: int, spool_dir: str,
     for rec in heapq.merge(*streams, key=lambda r: r[0]):
         if len(rec) == 2:          # parallel emit: pre-formatted text
             out.write(rec[1])
-        else:
+        elif len(rec) == 3:        # GFF/GTF: splice in the global ids
+            out.write(_rewrite_ids(rec[1], id_counter[0]))
+            id_counter[0] += rec[2]
+        else:                      # legacy spool: Region records
             qi, name, seq_bytes, regs = rec
             seq = np.frombuffer(seq_bytes, dtype=np.uint8)
             _emit_query(mi, opt, name, seq, regs, id_counter, out)

@@ -118,10 +118,96 @@ def _probe_backend_guarded() -> None:
         raise TimeoutError("no usable TPU backend (probe failed or timed out)")
 
 
+ROUTE_PROBE_N = int(os.environ.get("MINIPROT_TPU_ROUTE_PROBE", "64"))
+ROUTE_MIN_BATCH = 512
+# a DECISIVE probe outcome (>= this rate ratio) is cached on disk and
+# reused for this long, so repeat runs on the same machine skip the
+# probe entirely — the steady-state default then matches the faster
+# engine's wall exactly.  Near-ties are re-probed every run (relay
+# weather shifts minute to minute on relay-attached chips).
+ROUTE_CACHE_MARGIN = 1.3
+ROUTE_CACHE_TTL_S = 6 * 3600.0
+
+
+def _route_cache_path() -> str:
+    return os.path.join(os.path.expanduser("~/.cache/miniprot_tpu"),
+                        "route.json")
+
+
+def _route_cache_load():
+    """Cached routing decision, or None (absent, stale, or indecisive)."""
+    import json
+    import time as _time
+    try:
+        with open(_route_cache_path()) as f:
+            c = json.load(f)
+        if _time.time() - c["ts"] > ROUTE_CACHE_TTL_S:
+            return None
+        slow, fast = max(c["t_dev"], c["t_host"]), min(c["t_dev"], c["t_host"])
+        if slow < fast * ROUTE_CACHE_MARGIN:
+            return None
+        return c["choice"]
+    except Exception:
+        return None
+
+
+def _route_cache_store(t_dev: float, t_host: float, choice: str) -> None:
+    import json
+    import time as _time
+    try:
+        path = _route_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"ts": _time.time(), "t_dev": t_dev,
+                       "t_host": t_host, "choice": choice}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _route_probe(mi, opt, env, engine, probe, pool, id_counter, out):
+    """Measured-cost engine routing: map the probe queries on BOTH
+    engines, emit once (outputs are byte-identical by construction —
+    the device engine runs the same DPs bit-exactly), and return True
+    to keep the device engine only if it was actually faster here.
+
+    On a relay-attached chip the device path's per-wave latency can
+    exceed its kernel advantage for host-cheap workloads; the default
+    must be the fastest correct path on the machine the run lands on,
+    so the decision is measured, not assumed.  Cost: the slower
+    engine's pass over ROUTE_PROBE_N queries (~3% of a 2k-query run)."""
+    import time as _time
+    t0 = _time.monotonic()
+    dev_results = map_batch_tpu(mi, opt, env, engine, probe, pool)
+    t_dev = _time.monotonic() - t0
+    t0 = _time.monotonic()
+    if pool is not None:
+        pool.map(_worker_map, [r.seq for r in probe],
+                 chunksize=max(1, len(probe) // 32))
+    else:
+        for rec in probe:
+            map_query(mi, np.frombuffer(rec.seq, np.uint8), opt, env=env)
+    t_host = _time.monotonic() - t0
+    for rec, seq, regs in dev_results:
+        _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
+    keep = (not engine.broken) and t_dev <= t_host
+    sys.stderr.write(
+        f"[route] probe over {len(probe)} queries: device "
+        f"{t_dev:.2f}s vs host {t_host:.2f}s -> "
+        f"{'device' if keep else 'host'} engine for this run\n")
+    return keep, t_dev, t_host
+
+
 def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
-             out=None, use_tpu: bool = False, dbg: dict | None = None,
+             out=None, use_tpu=False, dbg: dict | None = None,
              ckpt: str | None = None, stats: dict | None = None) -> int:
     """Map all queries in a FASTA/FASTQ file (mp_map_file, map.c:330-343).
+
+    use_tpu: False = host engine; True = device engine (forced);
+    "auto" = device engine, but the first mini-batch (when big enough)
+    starts with a measured routing probe — ROUTE_PROBE_N queries mapped
+    on both engines, the faster one keeps the run (_route_probe).
 
     ckpt: path of a mini-batch checkpoint journal (requires a seekable
     `out`).  Mini-batches are idempotent work units (the reference's
@@ -181,6 +267,35 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
             if batch_idx <= done_batches:
                 n_mapped += len(batch)  # already emitted by a prior run
                 continue
+            if (engine is not None and use_tpu == "auto"
+                    and batch_idx == done_batches + 1
+                    and len(batch) >= ROUTE_MIN_BATCH
+                    and ROUTE_PROBE_N > 0):
+                cached = _route_cache_load()
+                if cached is not None:
+                    sys.stderr.write(f"[route] cached decision: {cached} "
+                                     f"engine (re-probed when older than "
+                                     f"{ROUTE_CACHE_TTL_S/3600:.0f}h)\n")
+                    if stats is not None:
+                        stats.update(route_choice=cached,
+                                     route_cached=True)
+                    if cached == "host":
+                        engine = None
+                else:
+                    probe, batch = (batch[:ROUTE_PROBE_N],
+                                    batch[ROUTE_PROBE_N:])
+                    keep, t_dev, t_host = _route_probe(
+                        mi, opt, env, engine, probe, pool, id_counter, out)
+                    _route_cache_store(t_dev, t_host,
+                                       "device" if keep else "host")
+                    if stats is not None:
+                        stats.update(route_probe_device_s=round(t_dev, 3),
+                                     route_probe_host_s=round(t_host, 3),
+                                     route_choice="device" if keep
+                                     else "host")
+                    n_mapped += len(probe)
+                    if not keep:
+                        engine = None
             if engine is not None:
                 _map_batch_tpu(mi, opt, env, engine, batch, id_counter, out, pool)
             elif pool is not None:

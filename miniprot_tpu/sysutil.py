@@ -67,6 +67,7 @@ class Profiler:
         self.cells_tpu = 0        # DP cells evaluated by the Pallas kernels
         self.cells_tpu_ext = 0    # split: extension kernel cells
         self.cells_tpu_cig = 0    # split: CIGAR kernel cells
+        self.cells_tpu_cig_small = 0  # of those: small class (al<=32)
         self.n_dp_host = 0
         self.n_dp_tpu = 0
         # device-interaction accounting (always on, two adds per batch):
@@ -104,8 +105,10 @@ class Profiler:
     def add_tpu_dp(self, cells: int, n: int, kind: str = "ext") -> None:
         self.cells_tpu += cells
         self.n_dp_tpu += n
-        if kind == "cig":
+        if kind.startswith("cig"):
             self.cells_tpu_cig += cells
+            if kind == "cig_small":
+                self.cells_tpu_cig_small += cells
         else:
             self.cells_tpu_ext += cells
 

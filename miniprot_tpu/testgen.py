@@ -61,7 +61,11 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                   max_exons: int = 8, max_intron: int = 20000,
                   mut_rate: float = 0.05, line_len: int = 60,
                   rev_frac: float = 0.0, fs_frac: float = 0.0,
-                  pseudo_frac: float = 0.0, pseudo_mut: float = 0.01):
+                  pseudo_frac: float = 0.0, pseudo_mut: float = 0.01,
+                  tandem_frac: float = 0.0, tandem_copies: tuple = (3, 9),
+                  satellites_per_ctg: int = 0,
+                  satellite_monomer_aa: tuple = (5, 30),
+                  satellite_copies: tuple = (50, 400)):
     """Write a synthetic genome FASTA + protein FASTA pair.
 
     rev_frac of the genes are implanted on the reverse strand (the gene
@@ -78,6 +82,25 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
     the multi-exon primary preference (mp_select_multi_exon,
     hit.c:238-250).  pseudo_mut=0 plants a perfect retrocopy, forcing
     the near-tie the multi-exon preference exists to break.
+
+    tandem_frac of the genes are replicated into a TANDEM GENE ARRAY:
+    the gene's whole genomic span (exons + introns) copied
+    tandem_copies[0]..[1]-1 times with short spacers.  A query protein
+    then seeds every copy, multiplying its per-k-mer occupancy and
+    chain candidates — the regime the dynamic per-query max_occ boxplot
+    cap (map.c:126-141) and the refine round's max_ava cross-product
+    truncation (map.c:53-79) exist for.
+
+    satellites_per_ctg implants that many SATELLITE ARRAYS per contig:
+    a random stop-free coding monomer (satellite_monomer_aa aa long)
+    repeated satellite_copies[0]..[1]-1 times.  Stop-free means the
+    whole array is one giant ORF per strand, so every 6-mer in the
+    monomer indexes at array-copy occupancy — driving mean occupancy
+    >> the occ caps.  One query protein per satellite carries the
+    repeated peptide so lookups actually hit the saturated buckets.
+
+    All extra knobs default off and consume NO rng draws when off, so
+    preexisting (path, seed) workloads regenerate byte-identically.
 
     Vectorized over uint8 nt codes end-to-end so whole-genome workloads
     (hundreds of Mb) generate in seconds; the bench's 200Mb x 2000
@@ -138,6 +161,17 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                 if rng.random() < rev_frac:
                     # flip the whole gene locus to the reverse strand
                     g[cursor:pos] = (3 - g[cursor:pos])[::-1]
+                if tandem_frac > 0 and rng.random() < tandem_frac:
+                    # tandem gene array: the finished locus (post-rev,
+                    # post-frameshift) copied k-1 more times downstream
+                    span = g[cursor:pos].copy()
+                    k = int(rng.integers(tandem_copies[0], tandem_copies[1]))
+                    for _ in range(k - 1):
+                        nxt = pos + int(rng.integers(100, 800))
+                        if nxt + len(span) + 2000 >= per_ctg:
+                            break
+                        g[nxt:nxt + len(span)] = span
+                        pos = nxt + len(span)
                 cursor = pos + int(rng.integers(500, 3000))
                 if cds is not None and cursor + len(cds) + 3000 < per_ctg:
                     if pseudo_mut > 0:
@@ -159,8 +193,117 @@ def make_workload(path_fa: str, path_faa: str, *, genome_len: int = 2_000_000,
                     else:
                         p = np.insert(p, k, rng.integers(0, 20))
                 prots.append((f"prot_c{ci}_{gi}", p))
+            for si in range(satellites_per_ctg):
+                # stop-free coding monomer repeated: one giant ORF whose
+                # every 6-mer indexes at array-copy occupancy
+                m = int(rng.integers(satellite_monomer_aa[0],
+                                     satellite_monomer_aa[1]))
+                mono_aa = rng.integers(0, 20, m).astype(np.uint8)
+                syn = (rng.random(m) * cod_cnt[mono_aa]).astype(np.int64)
+                mono = cod_tab[mono_aa, syn].reshape(-1)
+                k = int(rng.integers(satellite_copies[0],
+                                     satellite_copies[1]))
+                arr = np.tile(mono, k)
+                if cursor + len(arr) + 2000 >= per_ctg:
+                    break
+                g[cursor:cursor + len(arr)] = arr
+                cursor += len(arr) + int(rng.integers(500, 3000))
+                # a query carrying the repeated peptide, so its lookups
+                # hit the saturated buckets (boxplot cap + max_ava)
+                reps = max(2, min(8, 600 // max(1, m)))
+                prots.append((f"sat_c{ci}_{si}", np.tile(mono_aa, reps)))
             f.write(f">ctg{ci}\n".encode())
             _write_fasta_seq(f, _NT[g], line_len)
+    with open(path_faa, "wb") as f:
+        for name, p in prots:
+            f.write(f">{name}\n".encode() + _AA[p].tobytes() + b"\n")
+    return len(prots)
+
+
+def make_sparse_big_workload(path_fa: str, path_faa: str, *,
+                             total_len: int = 2_300_000_000,
+                             island_starts: tuple = (1_000_000,
+                                                     2_200_000_000),
+                             island_len: int = 600_000,
+                             genes_per_island: int = 4,
+                             max_intron: int = 20_000,
+                             seed: int = 7, line_len: int = 60) -> int:
+    """One contig LONGER THAN 2^31 bp: 'N' runs with small gene-bearing
+    islands of real sequence, at least one past the 2,147,483,647 mark.
+
+    This is the cheap probe of the >2Gbp coordinate regime the
+    reference's 32-bit block-binned positions exist for
+    (tex/miniprot.tex:172-177, NEWS.md:57).  Ambiguous bases emit no
+    k-mers, so indexing and mapping stay fast, while every coordinate
+    of the far island — block ids, region vs/ve, extension windows, the
+    ctg.len - ve strand conversion at output — exercises int32-overflow
+    territory in a numpy/C port.  Byte-vs-reference parity on this
+    workload is the acceptance gate (tests/test_fuzz_vs_ref.py).
+
+    The N runs stream to disk in bounded chunks; peak memory is one
+    island plus the write buffer, not the 2.3 GB contig."""
+    rng = np.random.default_rng(seed)
+    cod_tab, cod_cnt = _codon_tables()
+    prots = []
+    # pre-rendered chunk of N lines for fast bulk writing
+    n_chunk_lines = 1 << 16
+    n_line = np.full(line_len + 1, ord("N"), np.uint8)
+    n_line[line_len] = 0x0A
+    n_chunk = np.tile(n_line, n_chunk_lines).tobytes()
+
+    with open(path_fa, "wb") as f:
+        f.write(b">big1\n")
+        pos = 0  # contig coordinate; kept a multiple of line_len
+
+        def write_n_until(target: int) -> int:
+            nonlocal pos
+            target = target // line_len * line_len
+            while pos < target:
+                take = min(target - pos, n_chunk_lines * line_len)
+                lines = take // line_len
+                f.write(n_chunk[: lines * (line_len + 1)])
+                pos += lines * line_len
+            return pos
+
+        for isl, start in enumerate(island_starts):
+            write_n_until(start)
+            g = rng.integers(0, 4, island_len, dtype=np.uint8)
+            cursor = 1000
+            for gi in range(genes_per_island):
+                plen = int(rng.integers(120, 500))
+                prot = rng.integers(0, 20, plen).astype(np.uint8)
+                n_ex = int(rng.integers(1, 6))
+                cuts = sorted(rng.choice(np.arange(1, plen), n_ex - 1,
+                                         replace=False).tolist()) \
+                    if n_ex > 1 else []
+                bounds = [0] + cuts + [plen]
+                if cursor + plen * 3 + n_ex * max_intron + 2000 >= island_len:
+                    break
+                p0 = cursor
+                for e in range(n_ex):
+                    codes = prot[bounds[e]:bounds[e + 1]]
+                    syn = (rng.random(len(codes))
+                           * cod_cnt[codes]).astype(np.int64)
+                    g[p0:p0 + 3 * len(codes)] = \
+                        cod_tab[codes, syn].reshape(-1)
+                    p0 += 3 * len(codes)
+                    if e < n_ex - 1:
+                        ilen = int(rng.integers(80, max_intron))
+                        g[p0], g[p0 + 1] = 2, 3                    # GT
+                        g[p0 + ilen - 2], g[p0 + ilen - 1] = 0, 2  # AG
+                        p0 += ilen
+                if rng.random() < 0.5:   # half the genes on the - strand
+                    g[cursor:p0] = (3 - g[cursor:p0])[::-1]
+                cursor = p0 + int(rng.integers(500, 3000))
+                p = prot.copy()
+                mut = rng.integers(0, plen, int(plen * 0.05))
+                p[mut] = rng.integers(0, 20, len(mut)).astype(np.uint8)
+                prots.append((f"prot_i{isl}_{gi}", p))
+            _write_fasta_seq(f, _NT[g], line_len)
+            pos += island_len
+        write_n_until(total_len)
+        if total_len > pos:   # sub-line tail
+            f.write(b"N" * (total_len - pos) + b"\n")
     with open(path_faa, "wb") as f:
         for name, p in prots:
             f.write(f">{name}\n".encode() + _AA[p].tobytes() + b"\n")

@@ -200,3 +200,40 @@ def test_pseudogene_parity_and_ranking(ref_binary, tmp_path, seed, pmut,
     assert fired >= 3, (
         f"anti-pseudogene ranking never demonstrably fired "
         f"({fired} queries with spliced-primary + intronless-secondary)")
+
+
+@pytest.mark.parametrize("seed,copt", [
+    (301, []),            # defaults: satellite cross-products bind max_ava
+    (302, ["-c", "50"]),  # low k-mer occ cap: boxplot + hard cap bind
+    (303, ["-c", "10"]),  # cap so tight it demonstrably changes output
+    (304, []),            # heavier satellites (see body): max_ava regime
+])
+def test_repeat_dense_parity(ref_binary, tmp_path, seed, copt):
+    """Tandem gene arrays + stop-free satellite repeats: per-k-mer
+    occupancy far above normal, so the dynamic per-query boxplot
+    max_occ rule (map.c:126-141) and the refine round's max_ava
+    cross-product truncation (map.c:53-79) decide which seeds survive.
+    Byte-parity proves both truncation heuristics replicate exactly in
+    the saturated regime; the -c 10 case additionally asserts the cap
+    CHANGED the output vs a default run (the test is not vacuous)."""
+    import contextlib
+    import io as _io
+    from miniprot_tpu import cli
+    from miniprot_tpu.testgen import make_workload
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    sat_copies = (400, 900) if seed == 304 else (100, 500)
+    make_workload(fa, faa, genome_len=2_000_000, n_genes=24, seed=seed,
+                  n_ctg=2, max_intron=3000, rev_frac=0.4,
+                  tandem_frac=0.5, tandem_copies=(3, 9),
+                  satellites_per_ctg=2, satellite_copies=sat_copies)
+    ref = subprocess.run([ref_binary, "-t1", *copt, fa, faa],
+                         capture_output=True, text=True).stdout
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main(["--no-tpu", *copt, fa, faa]) == 0
+    assert buf.getvalue() == ref
+    if copt == ["-c", "10"]:
+        base = subprocess.run([ref_binary, "-t1", fa, faa],
+                              capture_output=True, text=True).stdout
+        assert base != ref, "-c 10 did not change output: the occ cap " \
+                            "never decided anything on this workload"

@@ -138,21 +138,25 @@ print("MAP-OK-" + str(pid), flush=True)
 import pytest
 
 
-@pytest.mark.parametrize("n_proc,gff", [(2, False), (4, False), (2, True)])
-def test_multi_process_mapping_matches_single(tmp_path, n_proc, gff):
+@pytest.mark.parametrize("n_proc,mode", [(2, "paf"), (4, "paf"),
+                                         (2, "gff"), (4, "gff"),
+                                         (4, "gtf")])
+def test_multi_process_mapping_matches_single(tmp_path, n_proc, mode):
     """Data-parallel mapping across coordinated processes with the
     streaming k-way spool merge on proc 0 must be byte-identical to the
     single-process pipeline.  PAF mode exercises the PARALLEL emit
-    (shards format their own text, proc 0 only concatenates); GFF mode
-    exercises the Region-record spool (output-order MP ids force
-    serial formatting)."""
+    (shards format their own text, proc 0 only concatenates); GFF/GTF
+    exercise the two-phase deferred-id emit (shards format with
+    sentinel ids, proc 0 splices in the global id base — the output-
+    order MP%06d ids must come out exactly as a serial run assigns
+    them)."""
     from miniprot_tpu.testgen import make_workload
     from miniprot_tpu.index import Index
-    from miniprot_tpu.options import F_GFF, IdxOpt, MapOpt
+    from miniprot_tpu.options import F_GFF, F_GTF, IdxOpt, MapOpt
     from miniprot_tpu.pipeline import map_file
     import io as _io
 
-    flag = F_GFF if gff else 0
+    flag = {"paf": 0, "gff": F_GFF, "gtf": F_GTF}[mode]
     fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
     make_workload(fa, faa, genome_len=600_000, n_genes=12, seed=3, n_ctg=2,
                   max_intron=5000, rev_frac=0.3)

@@ -54,6 +54,12 @@ def main() -> None:
     ap.add_argument("--n-genes", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--no-tpu", action="store_true")
+    ap.add_argument("--route", choices=("tpu", "host", "auto"),
+                    default=None,
+                    help="engine selection: tpu = device engine forced "
+                         "(default), host = host engine (same as "
+                         "--no-tpu), auto = the CLI's default measured "
+                         "routing probe decides (pipeline._route_probe)")
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--keep", help="directory to keep workload + output in")
     ap.add_argument("--keep-index", action="store_true",
@@ -139,7 +145,8 @@ def main() -> None:
         if daemon_probe is None:
             print("bigbench: daemon socket dead; running direct",
                   file=sys.stderr)
-    use_tpu = not args.no_tpu
+    route = args.route or ("host" if args.no_tpu else "tpu")
+    use_tpu = route != "host"
     rtt = 0.0
     if use_tpu:
         from miniprot_tpu.kernels import probe_backend_guarded
@@ -150,6 +157,7 @@ def main() -> None:
         else:
             rtt = measure_rtt()
     rec["use_tpu"] = use_tpu
+    rec["route"] = route
     rec["relay_rtt_s"] = round(rtt, 4)
 
     if use_tpu and not args.cold:
@@ -176,6 +184,7 @@ def main() -> None:
     profiler.device_round_trips = 0
     profiler.cells_host = profiler.cells_tpu = 0
     profiler.cells_tpu_ext = profiler.cells_tpu_cig = 0
+    profiler.cells_tpu_cig_small = 0
     profiler.n_dp_host = profiler.n_dp_tpu = 0
     stats: dict = {}
     out_path = os.path.join(td, "out.paf")
@@ -183,7 +192,9 @@ def main() -> None:
     t0 = time.perf_counter()
     with open(out_path, "w") as out:
         n_mapped = map_file(mi, faa, MapOpt(), n_threads=args.threads,
-                            out=out, use_tpu=use_tpu, stats=stats)
+                            out=out,
+                            use_tpu="auto" if (use_tpu and route == "auto")
+                            else use_tpu, stats=stats)
     map_wall = time.perf_counter() - t0
     if daemon_probe is not None:
         # daemon-side device duty cycle over the timed run: how much of
@@ -207,6 +218,7 @@ def main() -> None:
     rec["device_round_trips"] = profiler.device_round_trips
     rec["cells_tpu_ext"] = profiler.cells_tpu_ext
     rec["cells_tpu_cig"] = profiler.cells_tpu_cig
+    rec["cells_tpu_cig_small"] = profiler.cells_tpu_cig_small
     rec["cells_host"] = profiler.cells_host
     rec["n_dp_tpu"] = profiler.n_dp_tpu
     rec["n_dp_host"] = profiler.n_dp_host

@@ -154,6 +154,31 @@ def main() -> None:
         sink.write(golden)
         t_concat = (time.perf_counter() - t0) / len(seqs)
 
+        # GFF two-phase emit (runner._DeferredId): shards format with
+        # sentinel ids (cost scales 1/n), proc 0 splices the global id
+        # base into each record — measure both halves on real output
+        from miniprot_tpu.options import F_GFF
+        from miniprot_tpu.parallel.runner import _DeferredId, _rewrite_ids
+        opt_gff = MapOpt()
+        opt_gff.flag |= F_GFF
+        texts = []
+        t0 = time.perf_counter()
+        for rec, seq, regs in zip(recs, seqs, local):
+            b = io.StringIO()
+            idc = [_DeferredId(0)]
+            _emit_query(mi, opt_gff, rec.name, seq, regs, idc, b)
+            texts.append((b.getvalue(), idc[0].local))
+        t_emit_gff = (time.perf_counter() - t0) / len(seqs)
+        t0 = time.perf_counter()
+        base = 0
+        for tx, ne in texts:
+            sink.write(_rewrite_ids(tx, base))
+            base += ne
+        t_splice = (time.perf_counter() - t0) / len(seqs)
+        print(f"GFF two-phase emit: format {t_emit_gff*1e3:.3f} ms/query "
+              f"(shard-side), id-splice {t_splice*1e3:.4f} ms/query "
+              f"(proc 0)")
+
         # host-engine and device-DP-composed projections, x serial
         # (GFF: output-order ids) vs parallel (PAF: shard-side
         # formatting, runner.emit_is_parallel) emit
@@ -162,29 +187,36 @@ def main() -> None:
         t_host_dev = t_compute * (1.0 - HOST_DP_SHARE)
         for bw_name, bw in (("ICI 45 GB/s", 45e9), ("DCN 25 GB/s", 25e9)):
             print(f"projected scaling efficiency over {bw_name} "
-                  f"(host-DP | device-DP; serial GFF emit / parallel "
-                  f"PAF emit):")
+                  f"(host-DP | device-DP; legacy-serial GFF / parallel "
+                  f"PAF / two-phase GFF emit):")
             brk = {}
             for n in (2, 4, 8, 16, 32, 64):
                 t_comm = (payload1 + payload2) * (n - 1) / n / bw
                 effs = {}
                 for dp_name, t_par in (("h", t_compute),
                                        ("d", t_host_dev + t_dp_dev)):
-                    for em_name, t_ser in (("ser", t_emit),
-                                           ("par", t_emit / n + t_concat)):
+                    # (emit variant, T1 emit term, Tn proc-0 emit term)
+                    for em_name, t1_em, t_ser in (
+                            ("ser", t_emit_gff, t_emit_gff),
+                            ("par", t_emit, t_emit / n + t_concat),
+                            ("gff", t_emit_gff,
+                             t_emit_gff / n + t_splice)):
                         tn = t_par / n + t_comm + t_ser
-                        eff = (t_par + t_emit) / (n * tn)
+                        eff = (t_par + t1_em) / (n * tn)
                         effs[dp_name + em_name] = eff
                         if eff < 0.80 and (dp_name, em_name) not in brk:
                             brk[(dp_name, em_name)] = n
                 print(f"  n={n:2d}: {100*effs['hser']:5.1f}/"
-                      f"{100*effs['hpar']:5.1f}% | {100*effs['dser']:5.1f}/"
-                      f"{100*effs['dpar']:5.1f}%"
+                      f"{100*effs['hpar']:5.1f}/{100*effs['hgff']:5.1f}% | "
+                      f"{100*effs['dser']:5.1f}/{100*effs['dpar']:5.1f}/"
+                      f"{100*effs['dgff']:5.1f}%"
                       f"  (comm {t_comm*1e6:.1f} us/query)")
             print(f"  80% breaks at: host-DP {brk.get(('h','ser'),'>64')}"
-                  f" (serial) / {brk.get(('h','par'),'>64')} (parallel); "
-                  f"device-DP {brk.get(('d','ser'),'>64')} (serial) / "
-                  f"{brk.get(('d','par'),'>64')} (parallel)")
+                  f" (legacy-serial) / {brk.get(('h','par'),'>64')} (PAF) / "
+                  f"{brk.get(('h','gff'),'>64')} (two-phase GFF); "
+                  f"device-DP {brk.get(('d','ser'),'>64')} (legacy-serial) / "
+                  f"{brk.get(('d','par'),'>64')} (PAF) / "
+                  f"{brk.get(('d','gff'),'>64')} (two-phase GFF)")
 
 
 if __name__ == "__main__":
