@@ -237,3 +237,29 @@ def test_repeat_dense_parity(ref_binary, tmp_path, seed, copt):
                               capture_output=True, text=True).stdout
         assert base != ref, "-c 10 did not change output: the occ cap " \
                             "never decided anything on this workload"
+
+
+def test_big_contig_past_2gb_parity(ref_binary, tmp_path):
+    """A 2.3 Gbp single contig with a gene island past 2^31 bp: the
+    coordinate regime the reference's 32-bit block-binned positions
+    exist for (tex/miniprot.tex:172-177, NEWS.md:57) and where int32
+    overflow bugs in a numpy/C port would live — block ids, region
+    vs/ve, extension windows, the ctg.len - ve strand flip at output.
+    The contig is mostly 'N' (no k-mers), so the run is IO-bound, not
+    compute-bound (~3 min for both mappers).  Byte-parity required."""
+    import contextlib
+    import io as _io
+    from miniprot_tpu import cli
+    from miniprot_tpu.testgen import make_sparse_big_workload
+    fa, faa = str(tmp_path / "big.fa"), str(tmp_path / "big.faa")
+    n = make_sparse_big_workload(fa, faa)
+    assert n >= 6
+    ref = subprocess.run([ref_binary, "-t1", fa, faa],
+                         capture_output=True, text=True).stdout
+    # the far island's hits must actually carry >2^31 coordinates
+    assert any(int(ln.split("\t")[7]) > 2**31
+               for ln in ref.splitlines() if ln.count("\t") >= 11)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main(["--no-tpu", "-t1", fa, faa]) == 0
+    assert buf.getvalue() == ref
