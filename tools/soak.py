@@ -138,6 +138,25 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
                     return n > 0
             return False
 
+        def _demotion_reason(stderr: bytes) -> str:
+            """Why a --tpu run did NOT engage the chip (VERDICT r03 #6:
+            demotions must be a logged, counted metric, not a mystery).
+            Returns the first diagnostic line the engine emitted, or a
+            structural classification."""
+            markers = (b"WARNING: TPU batch failed",
+                       b"WARNING: TPU engine unavailable",
+                       b"TPU backend unavailable",
+                       b"device collect exceeded",
+                       b"daemon error")
+            for line in stderr.splitlines():
+                if any(m in line for m in markers):
+                    return line.decode(errors="replace")[:200]
+            for line in stderr.splitlines():
+                if b"DP split:" in line:
+                    return ("0 device batches, no engine warning "
+                            "(all jobs below device thresholds?)")
+            return "no DP-split line (engine never constructed)"
+
         ref = subprocess.run([ref_bin, "-t1", *mix, fa, faa],
                              capture_output=True, timeout=600)
         env = dict(os.environ)
@@ -174,7 +193,11 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
                         f"host path TIMEOUT after {timeout}s\n")
             return False, False
         if ref.stdout == mine.stdout and mine.returncode == 0:
-            return True, use_tpu and _device_engaged(mine.stderr)
+            dev = use_tpu and _device_engaged(mine.stderr)
+            if use_tpu and not dev:
+                print(f"DEMOTED at seed {seed} (mix={mix}): "
+                      f"{_demotion_reason(mine.stderr)}", flush=True)
+            return True, dev
         os.makedirs(keep_dir, exist_ok=True)
         dst = os.path.join(keep_dir, f"seed{seed}")
         shutil.copytree(tmp, dst, dirs_exist_ok=True)
