@@ -69,6 +69,10 @@ def synth(rng, path_fa, path_faa, n_genes=2):
     (101, []), (102, ["--gff"]), (103, ["-j", "2"]), (104, ["--gtf"]),
     (105, ["--aln"]), (106, ["-u"]), (107, ["--trans"]),
     (108, ["--gff-only"]), (109, ["--aln", "--trans"]),
+    # non-standard genetic codes end-to-end: -T changes the translation
+    # table through index build + DP + output (nasw-tab.c:16-55); the
+    # soak mixes these randomly, these two pin them deterministically
+    (110, ["-T", "4"]), (111, ["-T", "11", "--gff"]),
 ])
 def test_fuzz_parity(ref_binary, tmp_path, seed, mode):
     rng = np.random.default_rng(seed)
