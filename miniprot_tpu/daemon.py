@@ -194,6 +194,10 @@ class DaemonClient:
     def bench(self, kind: str) -> dict:
         return self._rpc(("bench", kind))
 
+    def set_launchers(self, n: int) -> int:
+        """Grow the daemon's launcher pool (upload concurrency)."""
+        return self._rpc(("launchers", int(n)))
+
     def shutdown(self) -> None:
         self._rpc(("shutdown",))
 
@@ -248,11 +252,23 @@ class _Server:
         # >1 launcher overlaps relay uploads of independent batches;
         # correctness is unaffected (entries are independent, collect
         # waits on each entry's event)
-        n_launchers = max(1, int(os.environ.get(
-            "MINIPROT_TPU_DAEMON_LAUNCHERS", "1")))
-        for k in range(n_launchers):
+        self.n_launchers = 0
+        self._add_launchers(max(1, int(os.environ.get(
+            "MINIPROT_TPU_DAEMON_LAUNCHERS", "1"))))
+
+    def _add_launchers(self, target: int) -> int:
+        """Grow the launcher pool to `target` threads (never shrinks —
+        launchers block on the queue and cost nothing idle).  >1
+        launcher overlaps relay uploads of independent batches;
+        correctness is unaffected (entries are independent, collect
+        waits on each entry's event).  Runtime-adjustable over the
+        "launchers" RPC so an A/B sweep can reuse one warm daemon."""
+        while self.n_launchers < target:
             threading.Thread(target=self._launcher, daemon=True,
-                             name=f"daemon-launcher-{k}").start()
+                             name=f"daemon-launcher-{self.n_launchers}"
+                             ).start()
+            self.n_launchers += 1
+        return self.n_launchers
 
     # -- ops --
 
@@ -336,6 +352,10 @@ class _Server:
         from . import benchmarks
         return benchmarks.run_bench_op(kind)
 
+    def op_launchers(self, n: int) -> int:
+        with self.lock:
+            return self._add_launchers(int(n))
+
     # -- plumbing --
 
     def _gc(self) -> None:
@@ -370,6 +390,8 @@ class _Server:
                             args[0] if args else None)))
                     elif op == "bench":
                         _send(conn, ("ok", self.op_bench(*args)))
+                    elif op == "launchers":
+                        _send(conn, ("ok", self.op_launchers(*args)))
                     elif op == "shutdown":
                         _send(conn, ("ok", None))
                         self.stop.set()
