@@ -118,11 +118,11 @@ class DaemonClient:
     """Client half: TWO persistent connections, sequential RPCs on each.
 
     Collects ride their own connection: a collect wave blocks daemon-
-    side until its batches finish on the device, and the pipelined pump
-    (device.pump_align_generators) launches the NEXT cohort's batches
-    while the previous cohort's wave is still in the air — on a single
-    connection those launches would serialize behind the collect's
-    blocking read.  Within each connection the engine's ops stay
+    side until its batches finish on the device; launches issued while
+    a wave is in the air (engine.flush_begin starts its combined wave
+    before the host fallbacks run, and callers may overlap further
+    work) must not serialize behind the collect's blocking read on a
+    shared connection.  Within each connection the engine's ops stay
     sequential (each runs under its own watchdog thread, and after any
     timeout the engine marks itself broken and never issues another
     op), so a reply abandoned mid-read can never interleave with a

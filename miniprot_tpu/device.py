@@ -587,9 +587,10 @@ class TpuExtEngine:
         combined ext+cig collect wave; host fallbacks for both kinds run
         here, overlapped with the wave.  Returns the in-flight state —
         call flush_end(flight) (exactly once) for the results.  The
-        request/job lists reset, so a second flight can be prepared
-        while this one is in the air (pump_align_generators pipelines
-        two generator cohorts this way)."""
+        request/job lists reset, so a second flight could be prepared
+        while this one is in the air (the two-cohort pump that used
+        this was measured and rejected — see pump_align_generators —
+        but the split API remains the engine's structure)."""
         fl = _Flight()
         fl.requests, self.requests = self.requests, []
         fl.ext_jobs, self.ext_jobs = self.ext_jobs, []

@@ -339,32 +339,104 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
     return n_mapped
 
 
+# pre_align streaming: chunk size fed to the align pump (0 = whole
+# batch at once), and the minimum number of active generators to
+# bundle before a flush round (small early rounds would fragment the
+# device batches).  Default 0: on THIS relay-attached fabric streaming
+# measured neutral-to-negative (200Mb x 2000: 93/s at 164 round trips
+# streamed vs 96-102/s at 134 trips whole-batch — the extra rounds'
+# relay latency eats the pre_align overlap).  On a co-located chip the
+# extra rounds are ~free and the overlap is pure win; enable with
+# MINIPROT_TPU_PRE_CHUNK=256 there.
+PRE_CHUNK = int(os.environ.get("MINIPROT_TPU_PRE_CHUNK", "0"))
+MIN_ACTIVE_GENS = 512
+
+
 def map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
                   pool=None) -> list:
     """Map one mini-batch with TPU-batched extension DPs; returns
     [(rec, seq, final_regs), ...] in batch order.
 
-    Seed/chain/refine run on the worker pool when available; the
-    alignment round's extension DPs batch onto the Pallas kernel."""
+    Seed/chain/refine (pre_align) run on a producer thread, optionally
+    STREAMING in PRE_CHUNK-query chunks while the align pump runs
+    device waves for the chunks already produced: pre_align is
+    dominated by GIL-free native calls, so it executes during the
+    waves' network wait.  Whether that overlap pays depends on the
+    fabric — see the PRE_CHUNK constant note.  Generator results are
+    identical regardless of which flush round a generator joins (batch
+    composition never affects the bit-exact per-lane DP), so output is
+    byte-identical at every chunking; ordering is preserved because
+    chunks arrive in input order from the single producer."""
+    import queue as _q
+    import threading
+
     from .align import align_region_steps
-    from .device import pump_align_generators
     from .mapper import finish_align, pre_align
 
-    if pool is not None:
-        pre = pool.map(_worker_pre_align, [r.seq for r in batch],
-                       chunksize=max(1, len(batch) // 32))
-    else:
-        pre = [pre_align(mi, np.frombuffer(r.seq, np.uint8), opt)
-               for r in batch]
-    per_query = []
-    gens = []
-    for rec, (regs, ext) in zip(batch, pre):
-        seq = np.frombuffer(rec.seq, dtype=np.uint8)
-        per_query.append((rec, seq, regs))
-        for r, (el, er) in zip(regs, ext):
-            gens.append(align_region_steps(env, opt, mi, len(seq), seq, r,
-                                           el, er))
-    pump_align_generators(gens, engine)
+    ready: _q.Queue = _q.Queue(maxsize=4)
+
+    chunk = PRE_CHUNK if PRE_CHUNK > 0 else max(1, len(batch))
+
+    def producer() -> None:
+        for c0 in range(0, len(batch), chunk):
+            ch = batch[c0:c0 + chunk]
+            if pool is not None:
+                pre = pool.map(_worker_pre_align, [r.seq for r in ch],
+                               chunksize=max(1, len(ch) // 32))
+            else:
+                pre = [pre_align(mi, np.frombuffer(r.seq, np.uint8), opt)
+                       for r in ch]
+            ready.put((ch, pre))
+        ready.put(None)
+
+    threading.Thread(target=producer, daemon=True,
+                     name="pre-align-producer").start()
+    per_query: list = []
+    gens: list = []
+    active: dict[int, list] = {}
+    done_producing = False
+
+    def prime(ch, pre) -> None:
+        for rec, (regs, ext) in zip(ch, pre):
+            seq = np.frombuffer(rec.seq, dtype=np.uint8)
+            per_query.append((rec, seq, regs))
+            for r, (el, er) in zip(regs, ext):
+                gi = len(gens)
+                g = align_region_steps(env, opt, mi, len(seq), seq, r,
+                                       el, er)
+                gens.append(g)
+                try:
+                    active[gi] = next(g)
+                except StopIteration:
+                    pass
+
+    while True:
+        # absorb chunks: block while idle or under the bundling floor,
+        # drain opportunistically otherwise
+        while not done_producing:
+            block = len(active) < MIN_ACTIVE_GENS
+            try:
+                item = ready.get(block=block)
+            except _q.Empty:
+                break
+            if item is None:
+                done_producing = True
+                break
+            prime(*item)
+        if not active:
+            if done_producing:
+                break
+            continue
+        handles = {gi: [engine.submit(req) for req in reqs]
+                   for gi, reqs in active.items()}
+        results = engine.flush()
+        nxt: dict[int, list] = {}
+        for gi, hs in handles.items():
+            try:
+                nxt[gi] = gens[gi].send([results[h] for h in hs])
+            except StopIteration:
+                pass
+        active = nxt
     return [(rec, seq, finish_align(mi, opt, regs))
             for rec, seq, regs in per_query]
 
