@@ -238,44 +238,59 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
     if sock is not None:
         dev_args += ["--daemon-sock", sock]
 
-    def run_bb(args):
-        out = subprocess.run(
-            args, capture_output=True, text=True,
-            timeout=max(60.0, t_end - time.monotonic()))
+    def run_bb(args, cap=None):
+        t = max(60.0, t_end - time.monotonic())
+        if cap is not None:
+            t = min(t, cap)
+        out = subprocess.run(args, capture_output=True, text=True,
+                             timeout=t)
         if out.returncode != 0:
             raise RuntimeError(f"bigbench failed: {out.stderr[-400:]}")
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    result: dict = {}
     try:
-        rec = run_bb(dev_args)
-        result = {
-            "e2e_n_proteins": rec.get("n_proteins"),
-            "e2e_map_wall_s": rec.get("map_wall_s"),
-            "e2e_daemon": rec.get("daemon", False),
-            "proteins_per_sec_chip": rec.get("proteins_per_sec_wall"),
-            "proteins_per_sec_chip_projected":
-                rec.get("proteins_per_sec_chip_projected"),
-            "proteins_per_sec_chip_projected_max":
-                rec.get("proteins_per_sec_chip_projected_max"),
-            "e2e_device_blocked_s": rec.get("device_blocked_s"),
-            "e2e_device_exposed_s": rec.get("device_exposed_s"),
-            "e2e_device_round_trips": rec.get("device_round_trips"),
-            "e2e_relay_rtt_s": rec.get("relay_rtt_s"),
-            "e2e_relay_overhead_s": rec.get("relay_overhead_s"),
-            "e2e_daemon_duty_cycle": rec.get("daemon_duty_cycle"),
-            "dp_cells_device_fraction": rec.get("device_fraction"),
-        }
-        # same-session host A/B + the default (auto-routed) path — the
-        # two numbers VERDICT r03 asked BENCH to carry alongside the
-        # device wall.  Cheap now: workload + index are cached on disk.
+        # host A/B FIRST: relay-independent, so a relay brownout during
+        # the device runs can never starve the record of its baseline.
+        # (First run also pays the one-time workload gen + index build.)
+        try:
+            hrec = run_bb(base + ["--route", "host"])
+            result["e2e_n_proteins"] = hrec.get("n_proteins")
+            result["proteins_per_sec_host"] = \
+                hrec.get("proteins_per_sec_wall")
+            result["e2e_host_map_wall_s"] = hrec.get("map_wall_s")
+        except Exception as ex:
+            print(f"bench: host e2e failed ({ex!r})", file=sys.stderr)
+        # device-forced run: capped so a wedged relay leaves room for
+        # the auto-routed run below
         if t_end - time.monotonic() > 120:
             try:
-                hrec = run_bb(base + ["--route", "host"])
-                result["proteins_per_sec_host"] = \
-                    hrec.get("proteins_per_sec_wall")
-                result["e2e_host_map_wall_s"] = hrec.get("map_wall_s")
+                rec = run_bb(dev_args, cap=max(
+                    120.0, t_end - time.monotonic() - 180.0))
+                result.update({
+                    "e2e_n_proteins": rec.get("n_proteins"),
+                    "e2e_map_wall_s": rec.get("map_wall_s"),
+                    "e2e_daemon": rec.get("daemon", False),
+                    "proteins_per_sec_chip":
+                        rec.get("proteins_per_sec_wall"),
+                    "proteins_per_sec_chip_projected":
+                        rec.get("proteins_per_sec_chip_projected"),
+                    "proteins_per_sec_chip_projected_max":
+                        rec.get("proteins_per_sec_chip_projected_max"),
+                    "e2e_device_blocked_s": rec.get("device_blocked_s"),
+                    "e2e_device_exposed_s": rec.get("device_exposed_s"),
+                    "e2e_device_round_trips":
+                        rec.get("device_round_trips"),
+                    "e2e_relay_rtt_s": rec.get("relay_rtt_s"),
+                    "e2e_relay_overhead_s": rec.get("relay_overhead_s"),
+                    "e2e_daemon_duty_cycle": rec.get("daemon_duty_cycle"),
+                    "dp_cells_device_fraction": rec.get("device_fraction"),
+                })
             except Exception as ex:
-                print(f"bench: host e2e failed ({ex!r})", file=sys.stderr)
+                print(f"bench: device e2e failed ({ex!r})",
+                      file=sys.stderr)
+        # the default (auto-routed) path — with a cached host decision
+        # this run is relay-light
         if t_end - time.monotonic() > 120:
             try:
                 arec = run_bb(dev_args + ["--route", "auto"])
