@@ -211,7 +211,21 @@ class Index:
             fp.write(self.kb.astype("<u4").tobytes())
 
     @classmethod
-    def restore(cls, fn: str) -> "Index":
+    def restore(cls, fn: str, mmap: bool | None = None) -> "Index":
+        """Load a .mpi index.
+
+        mmap=True (the default; MINIPROT_TPU_MMAP_INDEX=0 disables)
+        maps the two big tables — ki (67MB at default k) and kb (4B per
+        kmer-block pair, ~400MB per 200Mb of genome) — read-only from
+        the file instead of reading them up front: the load returns in
+        milliseconds and pages fault in lazily as buckets are touched,
+        which is what a serving process restarting against a warm page
+        cache wants.  Both tables are read-only for the whole mapping
+        path (lookups + dump's astype copies), so a shared mapping is
+        safe."""
+        import os as _os
+        if mmap is None:
+            mmap = _os.environ.get("MINIPROT_TPU_MMAP_INDEX", "1") != "0"
         with open(fn, "rb") as fp:
             magic = fp.read(4)
             if magic != IDX_MAGIC:
@@ -222,11 +236,19 @@ class Index:
             tables.set_default_code(trans_code)
             (n_kb,) = struct.unpack("<q", fp.read(8))
             nt = NtDB.restore(fp)
-            # np.fromfile reads straight into one fresh array (the
-            # fp.read + frombuffer + copy chain costs two extra
-            # full-size passes on 500MB-class tables)
-            ki = np.fromfile(fp, dtype="<i8", count=opt.n_bucket)
-            kb = np.fromfile(fp, dtype="<u4", count=n_kb)
+            if mmap:
+                off = fp.tell()
+                ki = np.memmap(fn, dtype="<i8", mode="r", offset=off,
+                               shape=(opt.n_bucket,))
+                kb = np.memmap(fn, dtype="<u4", mode="r",
+                               offset=off + opt.n_bucket * 8,
+                               shape=(n_kb,))
+            else:
+                # np.fromfile reads straight into one fresh array (the
+                # fp.read + frombuffer + copy chain costs two extra
+                # full-size passes on 500MB-class tables)
+                ki = np.fromfile(fp, dtype="<i8", count=opt.n_bucket)
+                kb = np.fromfile(fp, dtype="<u4", count=n_kb)
         bo = cls._block_offsets(nt, opt.bbit)
         from . import sysutil
         sysutil.log("Index.restore", "loaded the index")
