@@ -212,7 +212,7 @@ class NtDB:
         fp.write(names)
 
     @classmethod
-    def restore(cls, fp) -> "NtDB":
+    def restore(cls, fp, mmap: bool = False) -> "NtDB":
         db = cls()
         n_ctg, l_name = struct.unpack("<2i", fp.read(8))
         (db.l_seq,) = struct.unpack("<q", fp.read(8))
@@ -221,7 +221,16 @@ class NtDB:
         for _ in range(n_ctg):
             (ln,) = struct.unpack("<q", fp.read(8))
             lens.append(ln)
-        db.seq = np.fromfile(fp, dtype=np.uint8, count=(db.l_seq + 1) >> 1)
+        n_pack = (db.l_seq + 1) >> 1
+        if mmap and getattr(fp, "name", None):
+            # read-only lazy mapping of the packed genome (the unpack
+            # path only reads it); the caller's fp advances past it
+            pos = fp.tell()
+            db.seq = np.memmap(fp.name, dtype=np.uint8, mode="r",
+                               offset=pos, shape=(n_pack,))
+            fp.seek(pos + n_pack)
+        else:
+            db.seq = np.fromfile(fp, dtype=np.uint8, count=n_pack)
         names = fp.read(l_name).split(b"\0")
         for i in range(n_ctg):
             db.ctg.append(Contig(names[i].decode(), off, lens[i]))

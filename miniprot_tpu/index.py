@@ -235,7 +235,7 @@ class Index:
                          mod_bit=mod_bit, trans_code=trans_code)
             tables.set_default_code(trans_code)
             (n_kb,) = struct.unpack("<q", fp.read(8))
-            nt = NtDB.restore(fp)
+            nt = NtDB.restore(fp, mmap=mmap)
             if mmap:
                 off = fp.tell()
                 ki = np.memmap(fn, dtype="<i8", mode="r", offset=off,
