@@ -251,3 +251,33 @@ def test_engine_daemon_death_degrades_to_host(daemon_proc, monkeypatch,
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_launchers_rpc_grows_pool(daemon_proc):
+    """The runtime launcher-pool RPC: grows to the requested size,
+    never shrinks, and the daemon keeps serving afterwards."""
+    sock, _ = daemon_proc
+    c = _client(sock)
+    try:
+        assert c.set_launchers(3) == 3
+        assert c.set_launchers(2) == 3      # never shrinks
+        assert c.set_launchers(4) == 4
+        from daemon_fixtures import FakeBatch
+        bid = c.launch(FakeBatch([5]))
+        assert c.collect([bid]) == [[11]]   # still serving
+    finally:
+        c.close()
+
+
+def test_bench_rpc_bad_kind_is_an_error(daemon_proc):
+    """An unknown bench kind surfaces as a daemon error, and the
+    connection + daemon survive it."""
+    import pytest as _pytest
+    sock, _ = daemon_proc
+    c = _client(sock)
+    try:
+        with _pytest.raises(RuntimeError, match="unknown bench kind"):
+            c.bench("nonsense")
+        assert c.ping()["platform"]         # connection still usable
+    finally:
+        c.close()
