@@ -342,6 +342,11 @@ def main() -> None:
     rec.set(bench_budget_s=BUDGET)
     client = _daemon_client()
     rec.set(bench_via_daemon=client is not None)
+    if client is not None:
+        # provenance: which daemon served the kernel stages
+        rec.set(bench_daemon_pid=client.info.get("pid"),
+                bench_daemon_uptime_s=client.info.get("uptime_s"),
+                bench_daemon_platform=client.info.get("platform"))
     if client is None:
         # no warm daemon: this process must drive the backend itself.
         # If the relay is wedged right now, ride it out for a bounded
