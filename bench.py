@@ -238,15 +238,25 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
     if sock is not None:
         dev_args += ["--daemon-sock", sock]
 
-    def run_bb(args, cap=None):
+    def run_bb(args, cap=None, env=None):
         t = max(60.0, t_end - time.monotonic())
         if cap is not None:
             t = min(t, cap)
         out = subprocess.run(args, capture_output=True, text=True,
-                             timeout=t)
+                             timeout=t, env=env)
         if out.returncode != 0:
             raise RuntimeError(f"bigbench failed: {out.stderr[-400:]}")
         return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # the host run must be GENUINELY relay-independent: the container's
+    # sitecustomize imports jax into every python process and the relay
+    # claim made at import time can hang minutes during a brownout
+    # (observed live: a --route host bigbench stuck at 3s CPU for 18
+    # min inside the import).  Stripping the hook's trigger makes the
+    # child a plain CPU process.
+    host_env = dict(os.environ)
+    host_env.pop("PALLAS_AXON_POOL_IPS", None)
+    host_env["MINIPROT_TPU_DISABLE"] = "1"
 
     result: dict = {}
     try:
@@ -254,7 +264,8 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
         # the device runs can never starve the record of its baseline.
         # (First run also pays the one-time workload gen + index build.)
         try:
-            hrec = run_bb(base + ["--route", "host"])
+            hrec = run_bb(base + ["--route", "host"], cap=900.0,
+                          env=host_env)
             result["e2e_n_proteins"] = hrec.get("n_proteins")
             result["proteins_per_sec_host"] = \
                 hrec.get("proteins_per_sec_wall")
