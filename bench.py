@@ -278,6 +278,13 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
             try:
                 rec = run_bb(dev_args, cap=max(
                     120.0, t_end - time.monotonic() - 180.0))
+                if not rec.get("use_tpu"):
+                    # the client could not reach a backend (relay
+                    # brownout) and ran the host path: recording its
+                    # wall as proteins_per_sec_chip would be a lie
+                    raise RuntimeError(
+                        "device run degraded to the host engine "
+                        "(no reachable backend in the client)")
                 result.update({
                     "e2e_n_proteins": rec.get("n_proteins"),
                     "e2e_map_wall_s": rec.get("map_wall_s"),
