@@ -257,6 +257,16 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
     host_env = dict(os.environ)
     host_env.pop("PALLAS_AXON_POOL_IPS", None)
     host_env["MINIPROT_TPU_DISABLE"] = "1"
+    # daemon-attached device clients never need an in-process backend
+    # either (batches ship over the socket), so strip the hook from
+    # them too: a brownout then cannot stall the client's own import,
+    # and the daemon — which holds a healthy long-lived claim — does
+    # all device work
+    dev_env = None
+    if sock is not None:
+        dev_env = dict(os.environ)
+        dev_env.pop("PALLAS_AXON_POOL_IPS", None)
+        dev_env["MINIPROT_TPU_DAEMON_SOCK"] = sock
 
     result: dict = {}
     try:
@@ -277,7 +287,8 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
         if t_end - time.monotonic() > 120:
             try:
                 rec = run_bb(dev_args, cap=max(
-                    120.0, t_end - time.monotonic() - 180.0))
+                    120.0, t_end - time.monotonic() - 180.0),
+                    env=dev_env)
                 if not rec.get("use_tpu"):
                     # the client could not reach a backend (relay
                     # brownout) and ran the host path: recording its
@@ -311,7 +322,8 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
         # this run is relay-light
         if t_end - time.monotonic() > 120:
             try:
-                arec = run_bb(dev_args + ["--route", "auto"])
+                arec = run_bb(dev_args + ["--route", "auto"],
+                              env=dev_env)
                 result["proteins_per_sec_default"] = \
                     arec.get("proteins_per_sec_wall")
                 result["e2e_route_choice"] = arec.get("route_choice")

@@ -137,14 +137,26 @@ _PROBE_WEDGED = False
 
 
 def tpu_live(timeout: float | None = None) -> bool:
-    """True when an actual TPU backend is usable (not CPU fallback).
+    """True when device mapping is available: a reachable warm daemon
+    (preferred — the client then never initializes a backend, so a
+    relay brownout in THIS process cannot block the device path), or a
+    usable in-process TPU backend.
 
-    Delegates to the package-wide guarded probe
+    The backend check delegates to the package-wide guarded probe
     (kernels.probe_backend_guarded): one bounded, cached backend-init
     attempt per process, so a wedged relay degrades the auto-TPU
     default to the host engine instead of hanging the run.
     MINIPROT_TPU_PROBE_TIMEOUT overrides the default 60 s (0 disables
     the timeout)."""
+    if os.environ.get("MINIPROT_TPU_DAEMON") != "0":
+        try:
+            from .daemon import DaemonClient
+            c = DaemonClient.maybe_connect()
+            if c is not None:
+                c.close()
+                return True
+        except Exception:
+            pass
     from .kernels import probe_backend_guarded
     return probe_backend_guarded(timeout)
 

@@ -149,13 +149,22 @@ def main() -> None:
     use_tpu = route != "host"
     rtt = 0.0
     if use_tpu:
+        # a daemon-attached client never initializes a local backend
+        # (batches ship over the socket, results come back decoded), so
+        # a reachable daemon keeps the device path available even when
+        # the local relay claim fails (brownout) — only a daemon-less
+        # run needs the in-process backend
         from miniprot_tpu.kernels import probe_backend_guarded
-        if not probe_backend_guarded():
-            print("bigbench: no live TPU backend; running host path",
-                  file=sys.stderr)
+        have_local = probe_backend_guarded()
+        if have_local:
+            rtt = measure_rtt()
+        elif daemon_probe is None:
+            print("bigbench: no live TPU backend and no daemon; "
+                  "running host path", file=sys.stderr)
             use_tpu = False
         else:
-            rtt = measure_rtt()
+            print("bigbench: local backend unavailable; device work "
+                  "runs daemon-side only", file=sys.stderr)
     rec["use_tpu"] = use_tpu
     rec["route"] = route
     rec["relay_rtt_s"] = round(rtt, 4)
