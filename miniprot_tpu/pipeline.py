@@ -118,7 +118,10 @@ def _probe_backend_guarded() -> None:
         raise TimeoutError("no usable TPU backend (probe failed or timed out)")
 
 
-ROUTE_PROBE_N = int(os.environ.get("MINIPROT_TPU_ROUTE_PROBE", "64"))
+# routing A/B: nonzero enables the measured engine probe in auto mode
+# (0 disables — auto then always keeps the device engine); the A/B
+# block size itself is min(512, len(batch)//3)
+ROUTE_PROBE_N = int(os.environ.get("MINIPROT_TPU_ROUTE_PROBE", "1"))
 ROUTE_MIN_BATCH = 512
 # a DECISIVE probe outcome (>= this rate ratio) is cached on disk and
 # reused for this long, so repeat runs on the same machine skip the
@@ -166,34 +169,49 @@ def _route_cache_store(t_dev: float, t_host: float, choice: str) -> None:
         pass
 
 
-def _route_probe(mi, opt, env, engine, probe, pool, id_counter, out):
-    """Measured-cost engine routing: map the probe queries on BOTH
-    engines, emit once (outputs are byte-identical by construction —
-    the device engine runs the same DPs bit-exactly), and return True
-    to keep the device engine only if it was actually faster here.
+def _route_probe(mi, opt, env, engine, part, block, pool, id_counter,
+                 out):
+    """Measured-cost engine routing by SPLIT A/B: map the first `block`
+    queries on the device engine and the next `block` on the host
+    engine — every query mapped exactly ONCE (outputs are byte-
+    identical by construction, so the split never shows in the output)
+    — then keep the faster engine for the rest of the run.
+
+    Why a block this large: a small probe cannot show the device's
+    steady-state rate — with only ~64 queries in flight its batches go
+    out with near-empty lane dimensions and per-wave relay latency
+    dominates (observed live: a 64-query device probe read 22/s while
+    the full-batch device run sustained 107/s).  512 queries is the
+    scale the run actually executes at.  The device block also absorbs
+    the one-time costs (daemon connection, traces) a long run
+    amortizes; that is honest — a short run pays them too.
 
     On a relay-attached chip the device path's per-wave latency can
     exceed its kernel advantage for host-cheap workloads; the default
     must be the fastest correct path on the machine the run lands on,
-    so the decision is measured, not assumed.  Cost: the slower
-    engine's pass over ROUTE_PROBE_N queries (~3% of a 2k-query run)."""
+    so the decision is measured, not assumed.  Probe cost: ZERO
+    duplicated work — only the timing of work the run needed anyway."""
     import time as _time
+    dev_part, host_part = part[:block], part[block:]
     t0 = _time.monotonic()
-    dev_results = map_batch_tpu(mi, opt, env, engine, probe, pool)
+    dev_results = map_batch_tpu(mi, opt, env, engine, dev_part, pool)
     t_dev = _time.monotonic() - t0
+    for rec, seq, regs in dev_results:
+        _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
     t0 = _time.monotonic()
     if pool is not None:
-        pool.map(_worker_map, [r.seq for r in probe],
-                 chunksize=max(1, len(probe) // 32))
+        host_results = pool.map(_worker_map, [r.seq for r in host_part],
+                                chunksize=max(1, len(host_part) // 32))
     else:
-        for rec in probe:
-            map_query(mi, np.frombuffer(rec.seq, np.uint8), opt, env=env)
+        host_results = [map_query(mi, np.frombuffer(rec.seq, np.uint8),
+                                  opt, env=env) for rec in host_part]
     t_host = _time.monotonic() - t0
-    for rec, seq, regs in dev_results:
+    for rec, regs in zip(host_part, host_results):
+        seq = np.frombuffer(rec.seq, dtype=np.uint8)
         _emit_query(mi, opt, rec.name, seq, regs, id_counter, out)
     keep = (not engine.broken) and t_dev <= t_host
     sys.stderr.write(
-        f"[route] probe over {len(probe)} queries: device "
+        f"[route] A/B over {block}+{len(host_part)} queries: device "
         f"{t_dev:.2f}s vs host {t_host:.2f}s -> "
         f"{'device' if keep else 'host'} engine for this run\n")
     return keep, t_dev, t_host
@@ -206,8 +224,9 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
 
     use_tpu: False = host engine; True = device engine (forced);
     "auto" = device engine, but the first mini-batch (when big enough)
-    starts with a measured routing probe — ROUTE_PROBE_N queries mapped
-    on both engines, the faster one keeps the run (_route_probe).
+    starts with a measured split A/B — one block of queries on each
+    engine, each mapped once, the faster engine keeps the run
+    (_route_probe; decisive outcomes cached 6h).
 
     ckpt: path of a mini-batch checkpoint journal (requires a seekable
     `out`).  Mini-batches are idempotent work units (the reference's
@@ -282,10 +301,11 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
                     if cached == "host":
                         engine = None
                 else:
-                    probe, batch = (batch[:ROUTE_PROBE_N],
-                                    batch[ROUTE_PROBE_N:])
+                    block = min(512, max(64, len(batch) // 3))
+                    part, batch = batch[:2 * block], batch[2 * block:]
                     keep, t_dev, t_host = _route_probe(
-                        mi, opt, env, engine, probe, pool, id_counter, out)
+                        mi, opt, env, engine, part, block, pool,
+                        id_counter, out)
                     _route_cache_store(t_dev, t_host,
                                        "device" if keep else "host")
                     if stats is not None:
@@ -293,7 +313,7 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
                                      route_probe_host_s=round(t_host, 3),
                                      route_choice="device" if keep
                                      else "host")
-                    n_mapped += len(probe)
+                    n_mapped += len(part)
                     if not keep:
                         engine = None
             if engine is not None:
