@@ -398,16 +398,20 @@ def map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
     chunk = PRE_CHUNK if PRE_CHUNK > 0 else max(1, len(batch))
 
     def producer() -> None:
-        for c0 in range(0, len(batch), chunk):
-            ch = batch[c0:c0 + chunk]
-            if pool is not None:
-                pre = pool.map(_worker_pre_align, [r.seq for r in ch],
-                               chunksize=max(1, len(ch) // 32))
-            else:
-                pre = [pre_align(mi, np.frombuffer(r.seq, np.uint8), opt)
-                       for r in ch]
-            ready.put((ch, pre))
-        ready.put(None)
+        try:
+            for c0 in range(0, len(batch), chunk):
+                ch = batch[c0:c0 + chunk]
+                if pool is not None:
+                    pre = pool.map(_worker_pre_align,
+                                   [r.seq for r in ch],
+                                   chunksize=max(1, len(ch) // 32))
+                else:
+                    pre = [pre_align(mi, np.frombuffer(r.seq, np.uint8),
+                                     opt) for r in ch]
+                ready.put((ch, pre))
+            ready.put(None)
+        except BaseException as e:   # surface in the pump, never hang it
+            ready.put(("error", e))
 
     threading.Thread(target=producer, daemon=True,
                      name="pre-align-producer").start()
@@ -442,6 +446,8 @@ def map_batch_tpu(mi: Index, opt: MapOpt, env: DpEnv, engine, batch,
             if item is None:
                 done_producing = True
                 break
+            if item[0] == "error":
+                raise item[1]
             prime(*item)
         if not active:
             if done_producing:
