@@ -123,17 +123,21 @@ def _daemon_client():
         return None
     try:
         from miniprot_tpu.daemon import DaemonClient
-        return DaemonClient.maybe_connect()
+        # bench only issues ping/bench RPCs (no collects): one conn
+        return DaemonClient.maybe_connect(probe_only=True)
     except Exception:
         return None
 
 
-def measure_ref_core() -> float:
-    """Measure the reference nasw kernel on one CPU core if available."""
+def measure_ref_core() -> tuple:
+    """Measure the reference nasw kernel on one CPU core if available.
+    Returns (gcups, source) with source "measured" or "fallback" so a
+    genuine measurement equal to the fallback constant is never
+    mislabeled and a silent build/run failure is visible."""
     try:
         if not os.path.exists("/tmp/refbuild/libminiprot.a"):
             if not os.path.isdir("/root/reference"):
-                return REF_CORE_GCUPS_FALLBACK
+                return REF_CORE_GCUPS_FALLBACK, "fallback"
             subprocess.run(
                 "mkdir -p /tmp/refbuild && cp -r /root/reference/* /tmp/refbuild/"
                 " && make -C /tmp/refbuild -j8 >/dev/null 2>&1",
@@ -177,9 +181,9 @@ int main() {
             shell=True, check=True, timeout=60)
         out = subprocess.run(["/tmp/_refgcups"], capture_output=True, text=True,
                              timeout=120, check=True)
-        return float(out.stdout.strip())
+        return float(out.stdout.strip()), "measured"
     except Exception:
-        return REF_CORE_GCUPS_FALLBACK
+        return REF_CORE_GCUPS_FALLBACK, "fallback"
 
 
 def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
@@ -208,7 +212,7 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
     daemon = None
     if os.environ.get("MINIPROT_TPU_DAEMON") != "0":
         from miniprot_tpu.daemon import DaemonClient
-        existing = DaemonClient.maybe_connect()
+        existing = DaemonClient.maybe_connect(probe_only=True)
         if existing is not None:
             sock = existing.path
             existing.close()
@@ -406,6 +410,17 @@ def main() -> None:
             client = None
             rec.set(bench_via_daemon=False)
     if gcups is None:
+        # reaching here after a daemon failure means the wedge guard
+        # above never ran for THIS process; a wedged relay would demote
+        # local jax to CPU and an interpret-mode rate must never be
+        # recorded as the chip's GCUPS — check before measuring locally
+        status = ensure_responsive_backend(
+            retries=max(1, min(10, int(remaining() * 0.3 // 90))),
+            retry_wait=90)
+        if status == "wedged":
+            raise SystemExit(
+                "bench: TPU relay wedged and no daemon; no honest "
+                "device measurement is possible")
         watchdog_s = float(os.environ.get("MINIPROT_TPU_BENCH_TIMEOUT",
                                           "420"))
         try:
@@ -431,8 +446,7 @@ def main() -> None:
 
     # ---- stage 2: reference-core baseline (CPU only, ~3 min cold) ----
     if remaining() > 240:
-        ref = measure_ref_core()
-        src = ("measured" if ref != REF_CORE_GCUPS_FALLBACK else "fallback")
+        ref, src = measure_ref_core()
         rec.update(vs_baseline=round(gcups / ref, 2),
                    ref_core_gcups=round(ref, 3), ref_core_source=src)
     else:

@@ -151,10 +151,16 @@ def tpu_live(timeout: float | None = None) -> bool:
     if os.environ.get("MINIPROT_TPU_DAEMON") != "0":
         try:
             from .daemon import DaemonClient
-            c = DaemonClient.maybe_connect()
+            c = DaemonClient.maybe_connect(probe_only=True)
             if c is not None:
+                # only a daemon that actually OWNS an accelerator
+                # counts: an interpret-mode daemon (serving without a
+                # TPU, "tests only") would swallow production batches
+                # ~10^4x slower than the host engine
+                plat = c.info.get("platform")
                 c.close()
-                return True
+                if plat in ("tpu", "axon"):
+                    return True
         except Exception:
             pass
     from .kernels import probe_backend_guarded

@@ -153,8 +153,12 @@ class DaemonClient:
 
     @classmethod
     def maybe_connect(cls, path: str | None = None,
-                      timeout: float = 3.0) -> "DaemonClient | None":
-        """Connect + ping, or None (missing socket, dead daemon...)."""
+                      timeout: float = 3.0,
+                      probe_only: bool = False) -> "DaemonClient | None":
+        """Connect + ping, or None (missing socket, dead daemon...).
+
+        probe_only skips the second (collect) connection for callers
+        that only need reachability/info and close immediately."""
         path = path or default_sock_path()
         if not os.path.exists(path):
             return None
@@ -162,10 +166,12 @@ class DaemonClient:
             conn, info = cls._open(path, timeout)
         except Exception:
             return None
-        try:
-            conn2, _ = cls._open(path, timeout)
-        except Exception:
-            conn2 = None   # old daemon or races: degrade to one conn
+        conn2 = None
+        if not probe_only:
+            try:
+                conn2, _ = cls._open(path, timeout)
+            except Exception:
+                conn2 = None   # old daemon or races: degrade to one conn
         return cls(path, conn, info, conn_collect=conn2)
 
     def _rpc(self, msg, collect_chan: bool = False):

@@ -306,8 +306,12 @@ def map_file(mi: Index, fn: str, opt: MapOpt, n_threads: int = 1,
                     keep, t_dev, t_host = _route_probe(
                         mi, opt, env, engine, part, block, pool,
                         id_counter, out)
-                    _route_cache_store(t_dev, t_host,
-                                       "device" if keep else "host")
+                    if not engine.broken:
+                        # a probe polluted by an engine failure (relay
+                        # wedge, daemon death) measured the failure,
+                        # not the machine — never pin it for 6h
+                        _route_cache_store(t_dev, t_host,
+                                           "device" if keep else "host")
                     if stats is not None:
                         stats.update(route_probe_device_s=round(t_dev, 3),
                                      route_probe_host_s=round(t_host, 3),

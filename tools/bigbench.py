@@ -126,13 +126,21 @@ def main() -> None:
 
     t0 = time.perf_counter()
     mpi = os.path.join(td, "g.mpi")
+    mi = None
     if args.keep_index and kept and os.path.exists(mpi):
-        mi = Index.restore(mpi)
-        rec["index_restored"] = True
-    else:
+        try:
+            mi = Index.restore(mpi)
+            rec["index_restored"] = True
+        except Exception as e:   # e.g. a truncated dump from a killed
+            print(f"bigbench: kept index unusable ({e!r}); rebuilding",
+                  file=sys.stderr)
+            os.unlink(mpi)
+    if mi is None:
         mi = Index.build(fa, IdxOpt())
         if args.keep_index and args.keep:
-            mi.dump(mpi)
+            # atomic: a run killed mid-dump must not poison the cache
+            mi.dump(mpi + ".tmp")
+            os.replace(mpi + ".tmp", mpi)
     rec["index_build_s"] = round(time.perf_counter() - t0, 2)
 
     daemon_probe = None
