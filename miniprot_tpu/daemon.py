@@ -105,8 +105,10 @@ def slim_for_wire(batch) -> None:
     RawCigarBatch inherits CigarBatch's nas/D/A allocations but its
     launch path rebuilds those tracks on device from `nt`; shipping
     ~40MB of zeros per batch would dominate the socket transfer."""
-    if type(batch).__name__ == "RawCigarBatch":
+    if type(batch).__name__ in ("RawCigarBatch", "RawScanCigarBatch"):
         batch.nas = batch.D = batch.A = None
+    if type(batch).__name__ == "RawScanCigarBatch":
+        batch.qpad = batch.endsel = None   # derived on device from alv
 
 
 # ---------------------------------------------------------------------------

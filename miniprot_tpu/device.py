@@ -28,6 +28,7 @@ import numpy as np
 
 from .align import DpEnv
 from .kernels import nasw_cigar_pallas as ck
+from .kernels import nasw_cigar_scan as csk
 from .kernels import nasw_pallas as nk
 from .native import DPF_CIGAR, DPF_EXT_LEFT, DPF_EXT_RIGHT
 from .options import MapOpt
@@ -477,6 +478,18 @@ class TpuExtEngine:
                 for i, r in zip(chunk, results):
                     ext_jobs[i].result = r
 
+    def _cig_classes(self):
+        """CIGAR batch implementations: the scan kernel (default, ~5x
+        the striped kernel, see kernels/nasw_cigar_scan.py) or the
+        striped-emulation kernel.  go==0 must use the striped kernel —
+        the scan/striped equivalence proof needs go >= 1 (the
+        reference's lazy-F break truncates at exact ties).
+        MINIPROT_TPU_CIG_IMPL=striped forces the old kernel."""
+        impl = _os.environ.get("MINIPROT_TPU_CIG_IMPL", "scan")
+        if impl == "scan" and self.scalars[0] >= 1:
+            return csk.RawScanCigarBatch, csk.ScanCigarBatch
+        return ck.RawCigarBatch, ck.CigarBatch
+
     def _cig_host(self, cig_jobs, i) -> None:
         job = cig_jobs[i]
         sc, _, _, c = self.env.dp(job.nsq, job.asq, DPF_CIGAR, ss=job.ss)
@@ -507,7 +520,16 @@ class TpuExtEngine:
                 self._cig_host(cig_jobs, k)
         else:
             for k, r in zip(o_idxs, results):
-                cig_jobs[k].result = r
+                if r is None:
+                    # scan-path run-walk hit its round cap for this lane
+                    # (adversarially fragmented path); redo on the host
+                    profiler.add_tpu_dp(-o_batch.nl * o_batch.al, -1,
+                                        kind="cig_small" if o_batch.al <= 32
+                                        else "cig")
+                    self.n_tpu -= 1
+                    self._cig_host(cig_jobs, k)
+                else:
+                    cig_jobs[k].result = r
 
     def _launch_cig(self, cig_jobs) -> tuple:
         """Bucket + launch the CIGAR batches; returns (pending,
@@ -548,6 +570,7 @@ class TpuExtEngine:
                 self._decode_cig_one(cig_jobs, o_idxs, o_batch, o_handles)
                 outstanding -= o_batch.tb_bytes()
 
+        raw_cls, prep_cls = self._cig_classes()
         for (slen, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), ck.B):
                 chunk = idxs[c0:c0 + ck.B]
@@ -557,7 +580,7 @@ class TpuExtEngine:
                     # no --spsc track: donor >= 0 by construction, so the
                     # folded donor stream cannot go negative and the raw
                     # nt upload + device prep path is always valid
-                    batch = ck.RawCigarBatch(
+                    batch = raw_cls(
                         slen * 8, nl_b, self.mat, self.scalars, sp=self.sp,
                         trans_code=tables._default_code)
                     for i in raw_idx:
@@ -566,7 +589,7 @@ class TpuExtEngine:
                                       io=self.opt.io)
                     launch(raw_idx, batch)
                 usable = []
-                batch = ck.CigarBatch(slen * 8, nl_b, self.mat, self.scalars)
+                batch = prep_cls(slen * 8, nl_b, self.mat, self.scalars)
                 for i in old_idx:
                     job = cig_jobs[i]
                     nas, aas, d, a = self._prep(job, False, self.opt.io)

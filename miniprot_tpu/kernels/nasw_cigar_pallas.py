@@ -418,10 +418,12 @@ _BT_DI = (3, 0, 3, 1, 1, 1, 1, 2, 1, 2, 0, 0, 0, 0, 0, 0)
 _BT_DJ = (1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0)
 
 
-def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps):
+def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps,
+                      pos_layout=False):
     """tb: (n_rows, W, B) int16; nlv0/alv/slen0: (B,) int32 per-lane
     dims.  Returns (states (max_steps, B) int8 with 15 = done,
-    i_final (B,), j_final (B,))."""
+    i_final (B,), j_final (B,)).  pos_layout=True reads a
+    position-ordered tb (the scan kernel) instead of the striped one."""
     lanes = jnp.arange(B, dtype=jnp.int32)
     i0 = nlv0 - 1
     j0 = alv - 1
@@ -439,7 +441,8 @@ def _device_backtrack(tb, nlv0, alv, slen0, n_rows, W, max_steps):
     def step(k, i, j, last, out):
         active = (i >= 2) & (j >= 0)
         ii = jnp.clip(i, 0, n_rows - 1)
-        col = jnp.clip((j % sl) * VL + j // sl, 0, W - 1)
+        col = (jnp.clip(j, 0, W - 1) if pos_layout
+               else jnp.clip((j % sl) * VL + j // sl, 0, W - 1))
         # per-dimension gather: a flattened index would overflow int32
         # (jax's default itemsize) at rows*W*B >= 2^31
         x = tb[ii, col, lanes].astype(jnp.int32)

@@ -1,0 +1,661 @@
+"""Pallas TPU kernel: scan-based full-CIGAR splice/frameshift DP.
+
+Drop-in replacement for the striped-emulation CIGAR kernel
+(nasw_cigar_pallas._cigar_kernel) producing BYTE-IDENTICAL tracebacks
+at ~10x the throughput.  The striped kernel emulates the reference's
+8-lane SSE evaluation order literally (nasw-sse.c:444-541) — a
+sequential stripe loop plus a lazy-F while-loop over (8, 128) tiles,
+which caps it at a few percent of VPU throughput.  This kernel uses the
+extension kernel's layout instead — problems across lanes (128), query
+positions along sublanes (AL) — and reconstructs the EXACT traceback
+words from closed-form scans.
+
+Why that is possible: per genome row, every candidate except I (match,
+D, A, B, C and the four frameshift transitions) depends only on
+previous-row values — order-independent.  The only order-dependent
+state is the within-row I chain, and the striped schedule gives each
+cell's word a closed form in terms of TWO prefix quantities:
+
+  base_q  = max of the non-I candidates at position q    (elementwise)
+  Iused_q = the pass-1 partial I = the I chain restricted to q's own
+            stripe sublane = positions [segstart, q) where segments
+            have per-problem length slen_p = ceil(al_p / 8)
+          = max( max_{p in [segstart,q)} clip(base_p - go) - (q-p)*ge,
+                 -32768 )                       [SEGMENTED max-scan]
+  Istar_q = the lazy-F fixpoint I = the same chain over ALL p < q
+                                                [full-row max-scan]
+
+(clip = saturating-int16; the per-step floor clip telescopes through
+the decay chain — max(clip(x-ge)-ge, F) == max(x-2ge, F) — and the
+ceiling clip can never engage on a non-increasing chain, so the scans
+reproduce the reference's saturating arithmetic bit-for-bit.  Opening
+from an I-valued cell is dominated because go >= 0, which is what
+closes the recurrence on base rather than h — the same argument as the
+extension kernel's I-scan.)
+
+The word bits then follow exactly:
+
+  state y  : the pass-1 argmax with the reference's strict-> priority
+             (match, I, D, A, B, C, fs1..fs4) evaluated with Iused
+  bit 4    : I-extend, compared at pass-1 time:
+             Iused_{q-1} > clip(max(base,Iused)_{q-1} - go)
+             (false at segment starts, where the stripe pass re-enters
+             with I = -inf)
+  bits 5-8 : D/A/B/C-extend — previous-row comparisons, order-free
+  bit 9    : lazy-F overwrote H with I.  Set iff some pass saw I > h,
+             i.e. iff final H > pass-1 h, i.e. Istar_q > max(base_q,
+             Iused_q).  The reference's early break cannot truncate a
+             bit-9 event WHEN go >= 1: a cell the pass just raised to
+             its I value fails the break test (I <= h - go - ge with
+             h = I needs go <= 0), so the break only fires where every
+             future I is dominated.  At go == 0 that margin is a tie
+             and the reference's truncation is real — the striped
+             schedule then computes LESS than the fixpoint (verified:
+             sim fuzz diverges exactly at go=0 and nowhere else in
+             1500 go>=1 cases) — so go==0 jobs MUST route to the
+             striped kernel (device.cig_scan_ok / the launch assert).
+  final H  : max(base_q, Istar_q) — feeds rows i+1..i+3
+
+Both scans are log-step Kogge-Stone rolls: the segmented scan masks
+each step with (q mod slen_p) >= d (max is idempotent, so overlapping
+ranges clipped at the per-lane segment start are exact) and needs only
+log2(AL/8) steps; the full scan is the ext kernel's.  Everything else
+is (AL, B) elementwise work — no stripe loop, no while-loop.
+
+Parity: the walk reads only cells on the traceback path; cells there
+get identical words (fuzz-asserted against the striped kernel, the
+host engine and the reference in tests/test_cigar_scan.py and the e2e
+suites).  Padded positions beyond a problem's al evolve harmlessly (the
+I chain only flows toward higher q, so pad garbage never reaches real
+cells).  The 32-bit library variant (Dp32Batch) keeps the striped
+kernel: its non-saturating arithmetic makes deep-negative boundary
+garbage decay-order-dependent, and it is not on the mapper's hot path.
+
+Reference pinning: nasw-sse.c:340-541 (ns_global_gs16b, NS_F_CIGAR),
+traceback decode mppriv.h / nasw-sse.c:15-22 candidate priority.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import tables as _tables
+from .nasw_cigar_pallas import (B, NEG, VL, CigarBatch, RawCigarBatch,
+                                _sadd16, _ssub16)
+from .nasw_pallas import (_opts_array, _pack_arrays, _pack_profile,
+                          _prep_seq_device, _unpack_device)
+
+NEGI = -(1 << 29)        # scan identity (below any clipped int16 value)
+
+
+def _row_chunk(al):
+    """Rows per grid step: multiple of 8 (sublane tile) and 4 (ring
+    period).  The tb + hint out blocks are (chunk, al, B) int16 each and
+    double-buffered by the pipeline, so the widest class drops to a
+    smaller chunk to stay inside VMEM."""
+    return 256 if al <= 128 else 64
+
+
+def _roll_down1(x, fill_mask, fill):
+    r = pltpu.roll(x, shift=1, axis=0)
+    return jnp.where(fill_mask, fill, r)
+
+
+def _scan_kernel(al, n_rows, ROW_CHUNK,
+                 nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref, am2_ref,
+                 nl_ref, opts_ref, prof_ref, qmod_ref, qpad_ref, endsel_ref,
+                 tb_ref, hint_ref, score_ref,
+                 Hst, Rst, Dst, Aa, Bb, Cc, Cnt0, CntD, CntABC, scorev):
+    """One grid step = ROW_CHUNK genome rows for all B problems.
+
+    Hst/Rst: 4-row H ring + pre-rolled copies (row i-1, i-2, i-3 reads).
+    Dst: 4-row D ring (period-4 like H so the row unroll stays static).
+    Cnt0/CntD: 4-row rings of the match-diagonal / D-chain run
+    counters; CntABC: the three intron-chain run counters (see the
+    run-length hints section of the module docstring).
+    """
+    chunk = pl.program_id(0)
+    go = opts_ref[0, :][None, :]
+    ge = opts_ref[1, :][None, :]
+    fs = opts_ref[2, :][None, :]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (al, B), 0)
+    qge = row_ids * ge
+    is_row0 = row_ids == 0
+    qmod = qmod_ref[:]
+    seg0 = qmod == 0
+    # hoisted scan-step masks: segmented steps stop at the max segment
+    # length (al/8); full steps cover the whole row
+    seg_masks, full_masks = [], []
+    d = 1
+    while d < max(al // VL, 1):
+        seg_masks.append((qmod >= d, d))
+        d <<= 1
+    d = 1
+    while d < al:
+        full_masks.append((row_ids >= d, d))
+        d <<= 1
+
+    @pl.when(chunk == 0)
+    def _init():
+        Hst[:] = jnp.full_like(Hst, NEG)
+        Rst[:] = jnp.full_like(Rst, NEG)
+        # [-1]-column boundary (nasw-sse.c:253-258): H(-1,-1)=0,
+        # H(0,-1)=H(1,-1)=-fs.  At the first computed row i=2 the ring
+        # slots are s3=3 (row -1), s2=0 (row 0), s1=1 (row 1).
+        Rst[3] = jnp.where(is_row0, 0, NEG)
+        Rst[0] = jnp.where(is_row0, -fs, NEG)
+        Rst[1] = jnp.where(is_row0, -fs, NEG)
+        Dst[:] = jnp.full_like(Dst, NEG)
+        Aa[:] = jnp.full_like(Aa, NEG)
+        Bb[:] = jnp.full_like(Bb, NEG)
+        Cc[:] = jnp.full_like(Cc, NEG)
+        Cnt0[:] = jnp.zeros_like(Cnt0)
+        CntD[:] = jnp.zeros_like(CntD)
+        CntABC[:] = jnp.zeros_like(CntABC)
+        scorev[:] = jnp.full_like(scorev, NEG)
+
+    nl_row = nl_ref[0, :][None, :]
+    nlmax = jnp.max(nl_ref[0, :])
+
+    def do_row(ii, cur, s1, s2, s3):
+        i = chunk * ROW_CHUNK + ii
+
+        @pl.when(i >= 2)
+        def _():
+            H3 = Hst[s3]
+            H1 = Hst[s1]
+            H2 = Hst[s2]
+            H3m1 = Rst[s3]
+            H1m1 = Rst[s1]
+            H2m1 = Rst[s2]
+            D3 = Dst[s3]
+
+            nas_i = nas_ref[ii, :][None, :]
+            dm1 = dm1_ref[ii, :][None, :]
+            d0 = d0_ref[ii, :][None, :]
+            dp1 = dp1_ref[ii, :][None, :]
+            a0 = a0_ref[ii, :][None, :]
+            am1 = am1_ref[ii, :][None, :]
+            am2 = am2_ref[ii, :][None, :]
+            gei = jnp.where(nas_i == 20, fs, ge)
+
+            # packed profile select (raw signed bytes, ext-kernel style)
+            grp = nas_i >> 2
+            shl = 24 - (nas_i & 3) * 8
+            P = prof_ref[0]
+            for g in range(1, 6):
+                P = jnp.where(grp == g, prof_ref[g], P)
+            S = (P << shl) >> 24
+            S = jnp.where(qpad_ref[:] != 0, NEG, S)
+
+            # order-independent candidates + their extend bits
+            match = _sadd16(H3m1, S)
+            ud = _ssub16(H3, go)
+            b5 = D3 > ud
+            Dn = _ssub16(jnp.maximum(ud, D3), gei)
+            Dst[cur] = Dn
+            ua = _ssub16(H1, dm1)
+            b6 = Aa[0] > ua
+            An = jnp.maximum(ua, Aa[0])
+            Aa[0] = An
+            cA = _ssub16(An, a0)
+            ub = _ssub16(H1m1, d0)
+            b7 = Bb[0] > ub
+            Bn = jnp.maximum(ub, Bb[0])
+            Bb[0] = Bn
+            cB = _ssub16(Bn, am2)
+            uc = _ssub16(H1m1, dp1)
+            b8 = Cc[0] > uc
+            Cn = jnp.maximum(uc, Cc[0])
+            Cc[0] = Cn
+            cC = _ssub16(Cn, am1)
+            f1 = _ssub16(H1, fs)
+            f2 = _ssub16(H2, fs)
+            f3 = _ssub16(H1m1, fs)
+            f4 = _ssub16(H2m1, fs)
+            base = jnp.maximum(
+                jnp.maximum(jnp.maximum(match, Dn), jnp.maximum(cA, cB)),
+                jnp.maximum(jnp.maximum(cC, f1),
+                            jnp.maximum(jnp.maximum(f2, f3), f4)))
+
+            # the two I scans (see module docstring)
+            u = _ssub16(base, go) + qge
+            M = u
+            for m, dd in seg_masks:
+                M = jnp.where(m, jnp.maximum(M, pltpu.roll(M, shift=dd,
+                                                           axis=0)), M)
+            Iused = jnp.maximum(_roll_down1(M, seg0, NEGI) - qge, NEG)
+            Mf = u
+            for m, dd in full_masks:
+                Mf = jnp.where(m, jnp.maximum(Mf, pltpu.roll(Mf, shift=dd,
+                                                             axis=0)), Mf)
+            Istar = jnp.maximum(_roll_down1(Mf, is_row0, NEGI) - qge, NEG)
+
+            hp1 = jnp.maximum(base, Iused)      # pass-1 h
+            Hfin = jnp.maximum(base, Istar)     # lazy-F fixpoint h
+            b9 = Istar > hp1
+            t4 = _ssub16(hp1, go)
+            b4 = (~seg0) & (_roll_down1(Iused, seg0, NEGI)
+                            > _roll_down1(t4, seg0, 0))
+
+            # pass-1 state nibble: strict-> priority chain
+            h = match
+            y = jnp.where(Iused > h, 1, 0)
+            h = jnp.maximum(h, Iused)
+            for cand, code in ((Dn, 2), (cA, 3), (cB, 4), (cC, 5),
+                               (f1, 6), (f2, 7), (f3, 8), (f4, 9)):
+                y = jnp.where(cand > h, code, y)
+                h = jnp.maximum(h, cand)
+
+            # final decoded state: the walk's bit-9 rewrite pre-resolved
+            # (ext for state 1 still reads bit 4, which is kept as-is —
+            # identical to the C decode's `1 | ((x>>4)<<4)` rewrite)
+            s0 = jnp.where(b9, 1, y)
+            word = (s0
+                    | jnp.where(b4, 1 << 4, 0) | jnp.where(b5, 1 << 5, 0)
+                    | jnp.where(b6, 1 << 6, 0) | jnp.where(b7, 1 << 7, 0)
+                    | jnp.where(b8, 1 << 8, 0) | jnp.where(b9, 1 << 9, 0))
+            tb_ref[ii] = word.astype(jnp.int16)
+
+            # --- run-length hints: for each cell, the number of EXTRA
+            # steps the walk will take beyond this cell if it decodes
+            # this cell fresh (last==0) — so a whole gap/match run
+            # collapses to one walk round.  Each chain counts the
+            # consecutive extension bits along its own step direction;
+            # the entry cell's final state selects which chain to store.
+            cnt1_lz = jnp.where(b4, -1, row_ids)         # I: along q
+            for m, dd in full_masks:
+                cnt1_lz = jnp.where(
+                    m, jnp.maximum(cnt1_lz, pltpu.roll(cnt1_lz, shift=dd,
+                                                       axis=0)), cnt1_lz)
+            cnt1 = row_ids - cnt1_lz
+            cntD_n = jnp.where(b5, CntD[s3] + 1, 0)      # D: i-3 chain
+            CntD[cur] = cntD_n
+            cntA_n = jnp.where(b6, CntABC[0] + 1, 0)     # A/B/C: i-1
+            CntABC[0] = cntA_n
+            cntB_n = jnp.where(b7, CntABC[1] + 1, 0)
+            CntABC[1] = cntB_n
+            cntC_n = jnp.where(b8, CntABC[2] + 1, 0)
+            CntABC[2] = cntC_n
+            fin0 = s0 == 0                               # match: diag
+            cnt0_n = jnp.where(fin0,
+                               _roll_down1(Cnt0[s3], is_row0, 0) + 1, 0)
+            Cnt0[cur] = cnt0_n
+            hint = jnp.where(fin0, cnt0_n - 1, 0)
+            hint = jnp.where(s0 == 1, cnt1, hint)
+            hint = jnp.where(s0 == 2, cntD_n, hint)
+            hint = jnp.where(s0 == 3, cntA_n, hint)
+            hint = jnp.where(s0 == 4, cntB_n, hint)
+            hint = jnp.where(s0 == 5, cntC_n, hint)
+            hint_ref[ii] = hint.astype(jnp.int16)
+
+            Hst[cur] = Hfin
+            Rst[cur] = _roll_down1(Hfin, is_row0, NEG)
+
+            at_last = i == nl_row - 1
+            endv = jnp.max(jnp.where(endsel_ref[:] != 0, Hfin, NEG),
+                           axis=0, keepdims=True)
+            scorev[0] = jnp.where(at_last, endv, scorev[0])
+
+            # the -fs boundary-column values are visible ONLY at i==2:
+            # from i=3 on the striped kernel's _shift_boundary overwrites
+            # every history row's [-1] column with shift(LastH) = NEG
+            # (LastH of the init rows was never written).  Clear them
+            # once row 2 has consumed them, or rows 3-4 would see -fs
+            # boundary paths the reference never offers.
+            if cur == 2:
+                @pl.when(i == 2)
+                def _clear_init_boundary():
+                    Rst[0] = jnp.where(is_row0, NEG, Rst[0])
+                    Rst[1] = jnp.where(is_row0, NEG, Rst[1])
+
+    def quad(t, _):
+        ii = t * 4
+        # ROW_CHUNK % 4 == 0 keeps the ring slots static per unroll slot
+        do_row(ii, 0, 3, 2, 1)
+        do_row(ii + 1, 1, 0, 3, 2)
+        do_row(ii + 2, 2, 1, 0, 3)
+        do_row(ii + 3, 3, 2, 1, 0)
+        return 0
+
+    # skip chunks wholly past every problem's last row (tb there is
+    # never read; scores were captured at each problem's own nl-1)
+    @pl.when(chunk * ROW_CHUNK <= nlmax - 1)
+    def _work():
+        jax.lax.fori_loop(0, ROW_CHUNK // 4, quad, 0)
+
+    score_ref[:] = scorev[0]
+
+
+def _make_scan_call(al, n_rows, interpret):
+    rc = _row_chunk(al)
+    n_chunks = (n_rows + rc - 1) // rc
+    kernel = functools.partial(_scan_kernel, al, n_rows, rc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[
+            *[pl.BlockSpec((rc, B), lambda g: (g, 0),
+                           memory_space=pltpu.VMEM) for _ in range(7)],
+            pl.BlockSpec((8, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # nlv
+            pl.BlockSpec((8, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # opts
+            pl.BlockSpec((6, al, B), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # prof
+            pl.BlockSpec((al, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # qmod
+            pl.BlockSpec((al, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # qpad
+            pl.BlockSpec((al, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # endsel
+        ],
+        out_specs=[
+            pl.BlockSpec((rc, al, B), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rc, al, B), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, al, B), jnp.int32),   # H ring
+            pltpu.VMEM((4, al, B), jnp.int32),   # rolled H ring
+            pltpu.VMEM((4, al, B), jnp.int32),   # D ring
+            pltpu.VMEM((1, al, B), jnp.int32),   # A
+            pltpu.VMEM((1, al, B), jnp.int32),   # B
+            pltpu.VMEM((1, al, B), jnp.int32),   # C
+            pltpu.VMEM((4, al, B), jnp.int32),   # match-run counter ring
+            pltpu.VMEM((4, al, B), jnp.int32),   # D-run counter ring
+            pltpu.VMEM((3, al, B), jnp.int32),   # A/B/C-run counters
+            pltpu.VMEM((1, 1, B), jnp.int32),    # score
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks * rc, al, B), jnp.int16),
+            jax.ShapeDtypeStruct((n_chunks * rc, al, B), jnp.int16),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Run-walk: the scan path's on-device traceback.  The step-walk
+# (nasw_cigar_pallas._device_backtrack) pays ~1.5us of tiny-op overhead
+# per PATH CELL (measured: gather, unroll and output writes are all
+# noise next to the serial XLA op chain), which at 8k-row rectangles is
+# ~20ms/batch — 2x the scan kernel itself.  Here every round lands on a
+# fresh cell (last==0), reads (word, hint) and emits the cell's WHOLE
+# run as one (state, count) pair: an intron of thousands of rows is one
+# round.  The host expands with np.repeat and feeds the same pinned C
+# decode (mx_cigar_from_states), so the expanded stream is byte-equal
+# to the step-walk's.
+# ---------------------------------------------------------------------------
+
+# per-state step deltas for a run of e emits (see nasw_cigar_pallas
+# _BT_DI/_BT_DJ): di = e*DIM[s] + DIC[s], dj = e*DJM[s] + DJC[s]
+_DIM = (3, 0, 3, 1, 1, 1, 0, 0, 0, 0)
+_DIC = (0, 0, 0, 0, 0, 0, 1, 2, 1, 2)
+_DJM = (1, 1, 0, 0, 0, 0, 0, 0, 0, 0)
+_DJC = (0, 0, 0, 0, 1, 1, 0, 0, 1, 1)
+
+
+def _rounds_cap() -> int:
+    """Walk-round budget (and the states/counts fetch size).  Every
+    round consumes a whole run, so real paths use O(#segments) rounds
+    (~10-300 measured even on random content); the cap only binds on
+    adversarial run-fragmented paths, whose lanes come back unfinished
+    ((i,j) still in range) and are redone by the host engine
+    (device._decode_cig_one), preserving byte-parity."""
+    return int(os.environ.get("MINIPROT_TPU_CIG_ROUNDS", "2048"))
+
+
+def _run_backtrack(tb, hints, nlv0, alv, n_rows, W, rounds_max):
+    """tb/hints: (n_rows, W, B) int16 position-ordered; returns
+    (states (rounds_max, B) int8 with 15 = pad, counts (rounds_max, B)
+    int16 (uint16 payload), i_final, j_final)."""
+    lanes = jnp.arange(B, dtype=jnp.int32)
+    i0 = nlv0 - 1
+    j0 = alv - 1
+    dim = jnp.asarray(_DIM, jnp.int32)
+    dic = jnp.asarray(_DIC, jnp.int32)
+    djm = jnp.asarray(_DJM, jnp.int32)
+    djc = jnp.asarray(_DJC, jnp.int32)
+    out_s0 = jnp.full((rounds_max, B), 15, jnp.int8)
+    out_c0 = jnp.zeros((rounds_max, B), jnp.int16)
+
+    def body(c):
+        k, i, j, out_s, out_c = c
+        active = (i >= 2) & (j >= 0)
+        ii = jnp.clip(i, 0, n_rows - 1)
+        col = jnp.clip(j, 0, W - 1)
+        x = tb[ii, col, lanes].astype(jnp.int32)
+        hv = hints[ii, col, lanes].astype(jnp.int32) & 0xFFFF
+        s = x & 0xF
+        e = hv + 1
+        out_s = jax.lax.dynamic_update_slice(
+            out_s, jnp.where(active, s, 15).astype(jnp.int8)[None, :],
+            (k, 0))
+        out_c = jax.lax.dynamic_update_slice(
+            out_c, jnp.where(active, e, 0).astype(jnp.int16)[None, :],
+            (k, 0))
+        di = e * jnp.take(dim, s) + jnp.take(dic, s)
+        dj = e * jnp.take(djm, s) + jnp.take(djc, s)
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        return k + 1, i, j, out_s, out_c
+
+    def cond(c):
+        k, i, j, out_s, out_c = c
+        return (k < rounds_max) & jnp.any((i >= 2) & (j >= 0))
+
+    k, fi, fj, out_s, out_c = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, out_s0, out_c0))
+    return out_s, out_c, fi, fj
+
+
+def _streams(D, A, n_rows):
+    """The six donor/acceptor shift streams from the two base tracks."""
+    D = D.astype(jnp.int32)
+    A = A.astype(jnp.int32)
+    z1 = jnp.zeros((1, B), jnp.int32)
+    z2 = jnp.zeros((2, B), jnp.int32)
+    return (jnp.concatenate([z1, D[:n_rows - 1]]), D[:n_rows],
+            D[1:n_rows + 1], A[:n_rows],
+            jnp.concatenate([z1, A[:n_rows - 1]]),
+            jnp.concatenate([z2, A[:n_rows - 2]]))
+
+
+def _geometry(al, slens, alv):
+    """qmod/qpad/endsel from the per-lane (slen_p, al_p) scalars."""
+    arows = jax.lax.broadcasted_iota(jnp.int32, (al, B), 0)
+    slen_row = jnp.maximum(slens[0, :][None, :].astype(jnp.int32), 1)
+    al_row = alv[0, :][None, :].astype(jnp.int32)
+    qmod = jax.lax.rem(arows, slen_row)
+    qpad = (arows >= al_row).astype(jnp.int32)
+    endsel = (arows == al_row - 1).astype(jnp.int32)
+    return qmod, qpad, endsel
+
+
+def _scan_dtb_eval(call, n_rows, al, max_steps,
+                   nas, dm1, d0, dp1, a0, am1, am2, nlv, slens, opts, prof,
+                   alv):
+    qmod, qpad, endsel = _geometry(al, slens, alv)
+    tb, hints, score = call(nas, dm1, d0, dp1, a0, am1, am2,
+                            nlv, opts, prof, qmod, qpad, endsel)
+    states, counts, fi, fj = _run_backtrack(
+        tb, hints, nlv[0].astype(jnp.int32), alv[0].astype(jnp.int32),
+        n_rows, al, max_steps)
+    return states, counts, fi, fj, score
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_scan_dtb(al, n_rows, rows_used, interpret):
+    call = _make_scan_call(al, n_rows, interpret)
+    max_steps = min(rows_used + al + 2, _rounds_cap())
+
+    def wrapped(nas, D, A, nlv, slens, opts, prof, alv):
+        dm1, d0, dp1, a0, am1, am2 = _streams(D, A, n_rows)
+        return _scan_dtb_eval(call, n_rows, al, max_steps,
+                              nas.astype(jnp.int32), dm1, d0, dp1, a0, am1,
+                              am2, nlv, slens, opts, prof, alv)
+
+    return jax.jit(wrapped)
+
+
+def _scan_raw_dtb_eval(call, sp, codon, n_rows, al, max_steps,
+                       nt8, iov, nlv1, nlv, slens, opts, prof, alv):
+    zero_left = jnp.zeros((1, B), jnp.int8)
+    nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
+                                 nlv1, sp=sp, codon=codon, n_rows=n_rows)
+    dm1, d0, dp1, a0, am1, am2 = _streams(D, A, n_rows)
+    return _scan_dtb_eval(call, n_rows, al, max_steps,
+                          nas, dm1, d0, dp1, a0, am1, am2,
+                          nlv, slens, opts, prof, alv)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_scan_raw_dtb(al, n_rows, rows_used, sp_key, trans_code,
+                           interpret):
+    call = _make_scan_call(al, n_rows, interpret)
+    max_steps = min(rows_used + al + 2, _rounds_cap())
+    sp = np.asarray(sp_key, np.int32)
+    codon = _tables.get_tables(trans_code).codon
+
+    def wrapped(nt8, iov, nlv1, nlv, slens, opts, prof, alv):
+        return _scan_raw_dtb_eval(call, sp, codon, n_rows, al, max_steps,
+                                  nt8, iov, nlv1, nlv, slens, opts, prof,
+                                  alv)
+
+    return jax.jit(wrapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_scan_raw_dtb_packed(al, n_rows, rows_used, sp_key, trans_code,
+                                  spec, interpret):
+    call = _make_scan_call(al, n_rows, interpret)
+    max_steps = min(rows_used + al + 2, _rounds_cap())
+    sp = np.asarray(sp_key, np.int32)
+    codon = _tables.get_tables(trans_code).codon
+
+    def wrapped(buf):
+        (nt8, iov, nlv1, nlv, slens, opts, prof, alv) = \
+            _unpack_device(buf, spec)
+        return _scan_raw_dtb_eval(call, sp, codon, n_rows, al, max_steps,
+                                  nt8, iov, nlv1, nlv, slens, opts, prof,
+                                  alv)
+
+    return jax.jit(wrapped)
+
+
+class _ScanQueryMixin:
+    """Position-order query packing shared by the scan batch classes.
+
+    slen_p still records each problem's ceil(al/8): it defines the
+    SEGMENT geometry of the pass-1 I scan (the striped semantics the
+    traceback bits pin), even though memory is position-ordered."""
+
+    def tb_bytes(self) -> int:
+        # tb + the run-length hint plane
+        return 2 * super().tb_bytes()
+
+    def collect(self, handles):
+        from .. import native
+        assert handles[0] == "rdtb", "scan batches only produce rdtb"
+        _, states, counts, fi, fj, score = handles
+        states, counts, fi, fj, score = jax.device_get(
+            (states, counts, fi, fj, score))
+        states = np.ascontiguousarray(states.T)          # (B, rounds)
+        counts = counts.view(np.uint16)                  # (rounds, B)
+        score = score[0]
+        out = []
+        for b in range(self.n):
+            if fi[b] >= 2 and fj[b] >= 0:
+                # walk hit the round cap with this lane unfinished
+                # (adversarially run-fragmented path): host redo
+                out.append(None)
+                continue
+            # expand (state, count) runs; pad rounds carry count 0 and
+            # vanish, so the stream is exactly the step-walk's
+            exp = np.repeat(states[b], counts[:, b]).astype(np.uint8)
+            out.append((int(score[b]),
+                        native.cigar_from_states(exp, int(fi[b]),
+                                                 int(fj[b]))))
+        return out
+
+    def _add_query(self, aas, b):
+        assert self.go >= 1, "go==0 breaks scan/striped equivalence; " \
+            "route to the striped kernel (see module docstring)"
+        al = len(aas)
+        slen_p = (al + VL - 1) // VL
+        assert slen_p <= self.slen
+        col = self.mat[:, aas].astype(np.int32) & 0xFF   # raw signed bytes
+        self.prof[:, :al, b] = _pack_profile(col)
+        self.slens[:, b] = slen_p
+        self.alv[0, b] = al
+
+    def _rows_used(self):
+        max_nl = max((nl for nl, _ in self.dims), default=self.nl)
+        rows_used = 2048
+        while rows_used < max_nl:
+            rows_used <<= 1
+        return min(self.nl, rows_used)
+
+
+class ScanCigarBatch(_ScanQueryMixin, CigarBatch):
+    """CigarBatch on the scan kernel (host-prep tracks, e.g. --spsc)."""
+
+    def launch(self, interpret=None):
+        if interpret is None:
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
+        from .nasw_pallas import _opts_array as _oa
+        opts = _oa(self.go, self.ge, self.fs, self.xdrop, self.end_bonus)
+        call = _compiled_scan_dtb(self.al, self.nl, self._rows_used(),
+                                  interpret)
+        return ("rdtb",) + tuple(call(
+            jnp.asarray(self.nas), jnp.asarray(self.D), jnp.asarray(self.A),
+            jnp.asarray(self.nlv), jnp.asarray(self.slens),
+            jnp.asarray(opts), jnp.asarray(self.prof),
+            jnp.asarray(self.alv)))
+
+
+class RawScanCigarBatch(_ScanQueryMixin, RawCigarBatch):
+    """RawCigarBatch on the scan kernel (raw nt upload, device prep)."""
+
+    def launch(self, interpret=None):
+        if interpret is None:
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
+        opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
+                           self.end_bonus)
+        rows_used = self._rows_used()
+        if os.environ.get("MINIPROT_TPU_PACKED") != "0":
+            buf, spec = _pack_arrays(
+                (self.nt, self.iov, self.nlv1, self.nlv, self.slens,
+                 opts, self.prof, self.alv))
+            call = _compiled_scan_raw_dtb_packed(
+                self.al, self.nl, rows_used, self.sp_key, self.trans_code,
+                spec, interpret)
+            return ("rdtb",) + tuple(call(jnp.asarray(buf)))
+        call = _compiled_scan_raw_dtb(self.al, self.nl, rows_used,
+                                      self.sp_key, self.trans_code,
+                                      interpret)
+        return ("rdtb",) + tuple(call(
+            jnp.asarray(self.nt), jnp.asarray(self.iov),
+            jnp.asarray(self.nlv1), jnp.asarray(self.nlv),
+            jnp.asarray(self.slens), jnp.asarray(opts),
+            jnp.asarray(self.prof), jnp.asarray(self.alv)))
