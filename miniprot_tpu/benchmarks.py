@@ -69,18 +69,58 @@ def measure_ext_gcups(detail: dict | None = None) -> float:
     return rates[len(rates) // 2]
 
 
+# documented op-mix constants for the derived VPU-utilization estimate
+# (DESIGN.md perf accounting): full-tile VPU lane-ops issued per DP cell
+# and the practical int32 VPU lane-op throughput the ext kernel's
+# measured plateau implies (38.5 GCUPS x 63 ops/cell ~= 2.4e12 = ~60%
+# of practical peak -> peak ~= 4.0e12 lane-ops/s on this chip)
+EXT_OPS_PER_CELL = 63
+CIG_SCAN_OPS_PER_CELL = 140
+VPU_PEAK_LANE_OPS = 4.0e12
+
+
+def _genic_nt(rng, NL, AL):
+    """A gap-patch-shaped problem: coding flanks matching the query
+    around one long GT..AG intron — the content class the alignment
+    stage's big CIGAR rectangles actually carry (align.c:62-80)."""
+    from . import tables
+    T = tables.get_tables(1)
+    n_aa = AL
+    half = (n_aa // 2) * 3
+    pre = rng.integers(0, 4, half).astype(np.uint8)
+    suf = rng.integers(0, 4, n_aa * 3 - half).astype(np.uint8)
+    ilen = NL - len(pre) - len(suf)
+    intron = rng.integers(0, 4, ilen).astype(np.uint8)
+    intron[0], intron[1] = 2, 3          # GT
+    intron[-2], intron[-1] = 0, 2        # AG
+    nt = np.concatenate([pre, intron, suf])
+    cod = pre.reshape(-1, 3)
+    aa1 = T.codon[(cod[:, 0] << 4) | (cod[:, 1] << 2) | cod[:, 2]]
+    cod = suf.reshape(-1, 3)
+    aa2 = T.codon[(cod[:, 0] << 4) | (cod[:, 1] << 2) | cod[:, 2]]
+    aa = np.concatenate([aa1, aa2]).astype(np.uint8)
+    aa[aa > 19] = 0                      # stops/X -> A (keep it coding)
+    return nt, aa
+
+
 def measure_cigar_gcups() -> dict:
-    """Device-time GCUPS of the full-traceback CIGAR kernel including
-    the on-device traceback walk (the dtb path the product uses): queue
-    K batches, bound with one small fetch of the LAST batch's outputs —
+    """Device-time GCUPS of the full-traceback CIGAR path (kernel +
+    on-device walk, exactly what the product launches): queue K
+    batches, bound with one small fetch of the LAST batch's outputs —
     per-batch relay latency excluded, so this is the chip's rate.
-    Measured at both production shape classes: the small anchored-gap
-    class (al<=32 x 2048 rows) and the large class (al<=128 x 8192)
-    that carries most CIGAR cells on whole-genome runs."""
+
+    Measured at both production shape classes (small anchored-gap
+    al<=32 x 2048 and large al<=128 x 8192) for BOTH implementations:
+    the scan kernel (the default route, kernels/nasw_cigar_scan.py)
+    and the striped-emulation kernel.  Random content is the
+    conservative number (it fragments the run-walk's runs); the
+    `_genic` figure uses intron-containing rectangles shaped like the
+    alignment stage's real gap-patch jobs."""
     import jax
 
     from . import tables
     from .kernels import nasw_cigar_pallas as ck
+    from .kernels import nasw_cigar_scan as csk
 
     on_tpu = jax.default_backend() == "tpu"
     mat = tables.BLOSUM62.copy()
@@ -88,29 +128,79 @@ def measure_cigar_gcups() -> dict:
     sp = tables.splice_model_scores(1)
     rng = np.random.default_rng(5)
 
-    def mk(AL, NL):
-        batch = ck.RawCigarBatch(AL, NL, mat, (11, 1, 23, 29, 100, 5, 0.5),
-                                 sp=sp, trans_code=1)
+    def mk(cls, AL, NL, genic=False):
+        batch = cls(AL, NL, mat, (11, 1, 23, 29, 100, 5, 0.5),
+                    sp=sp, trans_code=1)
         for _ in range(ck.B):
-            batch.add_raw(rng.integers(0, 4, NL).astype(np.uint8),
-                          rng.integers(0, 20, AL).astype(np.uint8), io=29)
+            if genic:
+                nt, aa = _genic_nt(rng, NL, AL)
+            else:
+                nt = rng.integers(0, 4, NL).astype(np.uint8)
+                aa = rng.integers(0, 20, AL).astype(np.uint8)
+            batch.add_raw(nt, aa, io=29)
         return batch
 
-    shapes = (((32, 2048, 6), (128, 8192, 4)) if on_tpu
-              else ((16, 256, 1),))
-    rates = []
-    for AL, NL, K in shapes:
-        b = mk(AL, NL)
-        h = b.launch(interpret=not on_tpu)
-        jax.device_get(h[1:])        # warm-up / compile
-        batches = [mk(AL, NL) for _ in range(K)]
+    def rate(cls, AL, NL, K, genic=False):
+        # ext-kernel methodology: inputs staged on device ONCE, then K
+        # back-to-back launches bounded by one small fetch — measures
+        # the chip's compute rate, not the attachment's upload
+        # bandwidth (which belongs to the e2e stage).  Reuses the
+        # batch's own packed-upload launch path.
+        from .kernels.nasw_pallas import _opts_array, _pack_arrays
+        b = mk(cls, AL, NL, genic)
+        opts = _opts_array(b.go, b.ge, b.fs, b.xdrop, b.end_bonus)
+        rows_used = b.nl
+        if hasattr(b, "_rows_used"):
+            rows_used = b._rows_used()
+            arrs = (b.nt, b.iov, b.nlv1, b.nlv, b.slens, opts, b.prof,
+                    b.alv)
+        else:
+            rows_used = 2048
+            while rows_used < b.nl:
+                rows_used <<= 1
+            rows_used = min(b.nl, rows_used)
+            arrs = (b.nt, b.iov, b.nlv1, b.nlv, b.slens, opts, b.prof,
+                    b.endsel.astype(np.int8), b.qpad, b.alv)
+        buf, spec = _pack_arrays(arrs)
+        if hasattr(b, "_rows_used"):
+            from .kernels.nasw_cigar_scan import \
+                _compiled_scan_raw_dtb_packed
+            call = _compiled_scan_raw_dtb_packed(
+                AL, b.nl, rows_used, b.sp_key, b.trans_code, spec,
+                not on_tpu)
+        else:
+            from .kernels.nasw_cigar_pallas import \
+                _compiled_cigar_raw_dtb_packed
+            call = _compiled_cigar_raw_dtb_packed(
+                b.slen, b.nl, rows_used, b.sp_key, b.trans_code, spec,
+                not on_tpu)
+        dbuf = jax.device_put(buf)
+        h = call(dbuf)
+        jax.device_get(h[-2])        # warm-up / compile
         t0 = time.perf_counter()
-        handles = [bt.launch(interpret=not on_tpu) for bt in batches]
-        jax.device_get(handles[-1][1:])
+        for _ in range(K):
+            h = call(dbuf)
+        jax.device_get(h[-2])
         dt = time.perf_counter() - t0
-        rates.append(round(NL * AL * ck.B * K / dt / 1e9, 2))
-    out = {"cigar_gcups_device_small": rates[0],
-           "cigar_gcups_device": rates[-1]}
+        return round(NL * AL * ck.B * K / dt / 1e9, 2)
+
+    out = {}
+    if on_tpu:
+        out["cigar_gcups_device_small"] = rate(csk.RawScanCigarBatch,
+                                               32, 2048, 20)
+        out["cigar_gcups_device"] = rate(csk.RawScanCigarBatch,
+                                         128, 8192, 12)
+        out["cigar_gcups_device_genic"] = rate(csk.RawScanCigarBatch,
+                                               128, 8192, 12, genic=True)
+        out["cigar_gcups_striped_small"] = rate(ck.RawCigarBatch,
+                                                32, 2048, 12)
+        out["cigar_gcups_striped"] = rate(ck.RawCigarBatch, 128, 8192, 4)
+        out["cigar_vpu_util"] = round(
+            out["cigar_gcups_device"] * 1e9 * CIG_SCAN_OPS_PER_CELL
+            / VPU_PEAK_LANE_OPS, 3)
+    else:
+        r = rate(csk.RawScanCigarBatch, 16, 256, 1)
+        out["cigar_gcups_device_small"] = out["cigar_gcups_device"] = r
     out.update(measure_cigar_host_gcups())
     return out
 
@@ -150,6 +240,8 @@ def run_bench_op(kind: str):
         detail: dict = {}
         v = measure_ext_gcups(detail)
         detail["value"] = v
+        detail["ext_vpu_util"] = round(
+            v * 1e9 * EXT_OPS_PER_CELL / VPU_PEAK_LANE_OPS, 3)
         return detail
     if kind == "cigar":
         return measure_cigar_gcups()

@@ -480,7 +480,7 @@ def warm_kernels(opt_dict: dict | None = None,
                       if s * 8 * n * ck.B * 2 <= dev.CIG_TB_CAP]
     else:
         ext_shapes = [(128, n) for n in (2112, 4224, 8448)]
-        cig_shapes = [(16, n) for n in (2048, 4096, 8192)]
+        cig_shapes = [(4, 2048), (16, 2048), (16, 4096), (16, 8192)]
     n = 0
 
     def _try(fn, label: str, retries: int = 2) -> bool:
@@ -516,17 +516,26 @@ def warm_kernels(opt_dict: dict | None = None,
         if shapes == "all":
             rows_variants = [r for r in (2048, 4096, 8192, 16384,
                                          32768, 65536) if r <= nl_b]
+        # warm the impl the engine will actually route to (the scan
+        # kernel by default; the striped kernel additionally under
+        # "all" — it still serves go==0 jobs and MINIPROT_TPU_CIG_IMPL)
+        from .kernels import nasw_cigar_scan as csk
+        classes = [csk.RawScanCigarBatch]
+        if shapes == "all":
+            classes.append(ck.RawCigarBatch)
         for rv in rows_variants:
-            def warm_cig(sc=sc, nl_b=nl_b, rv=rv):
-                b = ck.RawCigarBatch(sc * 8, nl_b, opt.mat, scalars,
-                                     sp=env.sp,
-                                     trans_code=tables._default_code)
-                b.add_raw(rng.integers(0, 4, size=rv - 8).astype(np.int8),
-                          rng.integers(0, 20,
-                                       size=min(sc * 8, 64)).astype(np.int8),
-                          io=opt.io)
-                b.collect(b.launch(None))
-            n += _try(warm_cig, f"cig {sc * 8}x{nl_b} rows<={rv}")
+            for cig_cls in classes:
+                def warm_cig(sc=sc, nl_b=nl_b, rv=rv, cig_cls=cig_cls):
+                    b = cig_cls(sc * 8, nl_b, opt.mat, scalars,
+                                sp=env.sp,
+                                trans_code=tables._default_code)
+                    b.add_raw(rng.integers(0, 4, size=rv - 8).astype(np.int8),
+                              rng.integers(0, 20,
+                                           size=min(sc * 8, 64)).astype(np.int8),
+                              io=opt.io)
+                    b.collect(b.launch(None))
+                n += _try(warm_cig,
+                          f"cig[{cig_cls.__name__}] {sc * 8}x{nl_b} rows<={rv}")
     return n
 
 
