@@ -98,7 +98,7 @@ def sharded_seed_count_step(mesh: Mesh):
             global max count (full reduction) - the communication skeleton
             of the distributed mapper.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -123,7 +123,7 @@ def sharded_seed_count_step(mesh: Mesh):
 def batched_dp_sharded(mesh: Mesh, dp_call):
     """Wrap a batched DP callable so its problem batch is sharded on the
     full mesh (both axes used as data parallelism for the DP stage)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -197,7 +197,7 @@ def sharded_anchor_gather_step(mesh: Mesh, a_cap: int):
       seed_of (Bq, n_g, a_cap) int32 seed index of each slot (-1 = pad)
       tot     (Bq, n_g)        int32 slots used by that shard
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -205,7 +205,8 @@ def sharded_anchor_gather_step(mesh: Mesh, a_cap: int):
         out_specs=(P("q", None, None), P("q", None, None), P("q", None)),
         # outputs ARE replicated over "g" (each shard holds the same
         # all_gathered assembly) but the static checker cannot infer it
-        check_rep=False,
+        # (check_vma is the stable-API name of the old check_rep)
+        check_vma=False,
     )
     def step(hashes, keep, ki_l, kb_l):
         ki = ki_l[0]

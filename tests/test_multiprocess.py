@@ -190,6 +190,53 @@ def test_multi_process_mapping_matches_single(tmp_path, n_proc, mode):
         assert f.read() == golden
 
 
+def test_eight_process_gff_two_phase_emit(tmp_path):
+    """8 coordinated processes, GFF mode, on a tandem-heavy workload
+    producing a multi-thousand-record stream: the two-phase deferred-id
+    emit (shards format with sentinel ids, proc 0 splices the running
+    MP%06d base) must be byte-identical to a single-process run at a
+    record volume where any id-splice off-by-one would surface."""
+    from miniprot_tpu.testgen import make_workload
+    from miniprot_tpu.index import Index
+    from miniprot_tpu.options import F_GFF, IdxOpt, MapOpt
+    from miniprot_tpu.pipeline import map_file
+    import io as _io
+
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=4_000_000, n_genes=210, seed=11,
+                  n_ctg=3, max_intron=4000, rev_frac=0.3, tandem_frac=0.7)
+    mi = Index.build(fa, IdxOpt())
+    buf = _io.StringIO()
+    opt = MapOpt()
+    opt.flag |= F_GFF
+    map_file(mi, faa, opt, 1, out=buf)
+    golden = buf.getvalue()
+    n_records = sum(1 for ln in golden.splitlines()
+                    if ln and not ln.startswith("##"))
+    assert n_records >= 2000, n_records   # the stream must be heavy
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out_path = str(tmp_path / "mp.gff")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    coord = f"127.0.0.1:{_free_port()}"
+    code = MAP_WORKER % {"repo": "/root/repo", "fa": fa, "faa": faa,
+                         "out": out_path, "spool": spool, "flag": F_GFF}
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord,
+                               "8"],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for i in range(8)]
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0 and f"MAP-OK-{i}" in out, (out, err[-2000:])
+    with open(out_path) as f:
+        assert f.read() == golden
+
+
 def test_cli_shards_match_single(tmp_path):
     """The CLI --shards/--shard-id/--spool-dir flags (independent
     processes over a shared spool dir, no jax.distributed) produce
