@@ -88,6 +88,37 @@ def test_fuzz_parity(ref_binary, tmp_path, seed, mode):
     assert buf.getvalue() == ref
 
 
+@pytest.mark.parametrize("seed,mode", [
+    (301, []), (302, ["-j", "0"]), (303, ["-j", "2"]),
+    (304, ["--gff", "-j", "1"]),
+])
+def test_noncanonical_splice_parity(ref_binary, tmp_path, seed, mode):
+    """Adversarial splice-site classes (VERDICT r04 #4): GC-AG and
+    AT-AC introns plus controlled poly-Y tails (splice model class
+    arithmetic at nasw-sse.c:106-155, tables nasw-tab.c:124-129) must
+    stay byte-identical under every splice model -j 0/1/2 — AND the
+    model must demonstrably decide something on this workload (the -j 0
+    output differs from -j 1's), so the parity is not vacuous."""
+    from miniprot_tpu.testgen import make_workload
+    fa, faa = str(tmp_path / "g.fa"), str(tmp_path / "q.faa")
+    make_workload(fa, faa, genome_len=400_000, n_genes=12, seed=seed,
+                  n_ctg=2, max_intron=3000, rev_frac=0.3,
+                  splice_classes=0.6)
+    ref = subprocess.run([ref_binary, "-t1", *mode, fa, faa],
+                         capture_output=True, text=True).stdout
+    import contextlib, io
+    from miniprot_tpu import cli
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main(["--no-tpu", *mode, fa, faa]) == 0
+    assert buf.getvalue() == ref
+    if seed == 301:
+        alt = subprocess.run([ref_binary, "-t1", "-j", "0", fa, faa],
+                             capture_output=True, text=True).stdout
+        assert alt != ref, "splice model made no difference: the " \
+            "non-canonical classes are not being exercised"
+
+
 @pytest.mark.parametrize("seed,mode", [(201, []), (202, ["--gff"])])
 def test_reverse_strand_parity(ref_binary, tmp_path, seed, mode):
     """Half the genes implanted on the reverse strand."""

@@ -93,6 +93,7 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
             mut_rate=float(rng.choice([0.0, 0.05, 0.15, 0.25])),
             rev_frac=float(rng.choice([0.0, 0.3, 1.0])),
             fs_frac=float(rng.choice([0.0, 0.15, 0.4])),
+            splice_classes=float(rng.choice([0.0, 0.3, 0.7])),
         )
     else:
         params = dict(
@@ -105,6 +106,7 @@ def run_one(seed: int, ref_bin: str, use_tpu: bool, keep_dir: str,
             mut_rate=float(rng.choice([0.0, 0.02, 0.08, 0.15])),
             rev_frac=float(rng.choice([0.0, 0.3, 1.0])),
             fs_frac=float(rng.choice([0.0, 0.15])),
+            splice_classes=float(rng.choice([0.0, 0.3, 0.7])),
         )
     mix = OPTION_MIXES[int(rng.integers(len(OPTION_MIXES)))]
     tmp = tempfile.mkdtemp(prefix="soak")
