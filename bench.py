@@ -272,23 +272,38 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
         dev_env.pop("PALLAS_AXON_POOL_IPS", None)
         dev_env["MINIPROT_TPU_DAEMON_SOCK"] = sock
 
+    def med(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
     result: dict = {}
     try:
         # host A/B FIRST: relay-independent, so a relay brownout during
         # the device runs can never starve the record of its baseline.
         # (First run also pays the one-time workload gen + index build.)
+        # Multi-rep (VERDICT r04 #5): the e2e stages get the kernel
+        # stages' discipline — >=3 reps, per-rep values + median in the
+        # record, so "relay weather" spread is visible.
+        host_reps = []
         try:
-            hrec = run_bb(base + ["--route", "host"], cap=900.0,
-                          env=host_env)
-            result["e2e_n_proteins"] = hrec.get("n_proteins")
-            result["proteins_per_sec_host"] = \
-                hrec.get("proteins_per_sec_wall")
-            result["e2e_host_map_wall_s"] = hrec.get("map_wall_s")
+            for rep in range(3):
+                hrec = run_bb(base + ["--route", "host"], cap=900.0,
+                              env=host_env)
+                host_reps.append(hrec.get("proteins_per_sec_wall"))
+                result["e2e_n_proteins"] = hrec.get("n_proteins")
+                result["e2e_host_map_wall_s"] = hrec.get("map_wall_s")
+                result["e2e_host_reps"] = host_reps
+                result["proteins_per_sec_host"] = med(host_reps)
+                if t_end - time.monotonic() < 420 and rep >= 0:
+                    break
         except Exception as ex:
             print(f"bench: host e2e failed ({ex!r})", file=sys.stderr)
-        # device-forced run: capped so a wedged relay leaves room for
-        # the auto-routed run below
-        if t_end - time.monotonic() > 120:
+        # device-forced runs: capped so a wedged relay leaves room for
+        # the auto-routed runs below
+        chip_reps = []
+        for rep in range(3):
+            if t_end - time.monotonic() < (400 if rep else 120):
+                break
             try:
                 rec = run_bb(dev_args, cap=max(
                     120.0, t_end - time.monotonic() - 180.0),
@@ -300,12 +315,13 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
                     raise RuntimeError(
                         "device run degraded to the host engine "
                         "(no reachable backend in the client)")
+                chip_reps.append(rec.get("proteins_per_sec_wall"))
                 result.update({
                     "e2e_n_proteins": rec.get("n_proteins"),
                     "e2e_map_wall_s": rec.get("map_wall_s"),
                     "e2e_daemon": rec.get("daemon", False),
-                    "proteins_per_sec_chip":
-                        rec.get("proteins_per_sec_wall"),
+                    "e2e_chip_reps": chip_reps,
+                    "proteins_per_sec_chip": med(chip_reps),
                     "proteins_per_sec_chip_projected":
                         rec.get("proteins_per_sec_chip_projected"),
                     "proteins_per_sec_chip_projected_max":
@@ -318,22 +334,35 @@ def measure_e2e_big(budget_s: float, ext_gcups: float = 0.0,
                     "e2e_relay_overhead_s": rec.get("relay_overhead_s"),
                     "e2e_daemon_duty_cycle": rec.get("daemon_duty_cycle"),
                     "dp_cells_device_fraction": rec.get("device_fraction"),
+                    # relay floor analysis (VERDICT r04 #3)
+                    "e2e_flush_rounds": rec.get("flush_rounds"),
+                    "e2e_n_waves": rec.get("n_waves"),
+                    "e2e_wave_cost_min_s": rec.get("wave_cost_min_s"),
+                    "e2e_wave_cost_med_s": rec.get("wave_cost_med_s"),
+                    "e2e_wave_cost_p90_s": rec.get("wave_cost_p90_s"),
+                    "e2e_relay_floor_s": rec.get("relay_floor_s"),
                 })
             except Exception as ex:
                 print(f"bench: device e2e failed ({ex!r})",
                       file=sys.stderr)
+                break
         # the default (auto-routed) path — with a cached host decision
         # this run is relay-light
-        if t_end - time.monotonic() > 120:
+        auto_reps = []
+        for rep in range(3):
+            if t_end - time.monotonic() < (240 if rep else 120):
+                break
             try:
                 arec = run_bb(dev_args + ["--route", "auto"],
                               env=dev_env)
-                result["proteins_per_sec_default"] = \
-                    arec.get("proteins_per_sec_wall")
+                auto_reps.append(arec.get("proteins_per_sec_wall"))
+                result["e2e_default_reps"] = auto_reps
+                result["proteins_per_sec_default"] = med(auto_reps)
                 result["e2e_route_choice"] = arec.get("route_choice")
             except Exception as ex:
                 print(f"bench: auto-route e2e failed ({ex!r})",
                       file=sys.stderr)
+                break
     finally:
         if daemon is not None:
             daemon.terminate()
@@ -494,6 +523,19 @@ def main() -> None:
             rec.skip("e2e", repr(ex))
     else:
         rec.skip("e2e", f"{remaining():.0f}s left")
+
+    # ---- stage 5: capstone record (tools/capstone.py, run offline —
+    # the GRCh38-shaped scale A/B takes an hour-plus, so bench merges
+    # its persisted record instead of running it) ----
+    cap_rec = os.path.expanduser(
+        "~/.cache/miniprot_tpu/capstone/record.json")
+    if os.path.exists(cap_rec):
+        try:
+            with open(cap_rec) as f:
+                rec.update(**json.load(f))
+        except Exception as ex:
+            print(f"bench: capstone record unreadable ({ex!r})",
+                  file=sys.stderr)
     rec.update(bench_elapsed_s=round(time.monotonic() - T0, 1))
 
 

@@ -615,6 +615,8 @@ class TpuExtEngine:
         this was measured and rejected — see pump_align_generators —
         but the split API remains the engine's structure)."""
         fl = _Flight()
+        from .sysutil import profiler
+        profiler.flush_rounds += 1
         fl.requests, self.requests = self.requests, []
         fl.ext_jobs, self.ext_jobs = self.ext_jobs, []
         fl.cig_jobs, self.cig_jobs = self.cig_jobs, []

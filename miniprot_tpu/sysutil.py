@@ -82,6 +82,12 @@ class Profiler:
         # only the residual join wait counts here (device_blocked_s keeps
         # the full wave seconds for the chip-time split)
         self.device_exposed_s = 0.0
+        # per-wave durations of OVERLAPPED collect waves + the count of
+        # engine flush rounds: the relay floor analysis (bench/bigbench)
+        # needs the wave-cost distribution and the minimum number of
+        # serialized waves the pipeline could possibly issue
+        self.wave_samples: list = []
+        self.flush_rounds = 0
         self._open: dict[str, float] = {}
 
     def start(self, stage: str) -> None:
@@ -121,6 +127,8 @@ class Profiler:
         self.device_blocked_s += dt
         self.device_round_trips += trips
         self.device_exposed_s += dt if exposed is None else exposed
+        if exposed == 0.0 and dt > 0.0 and len(self.wave_samples) < 100_000:
+            self.wave_samples.append(dt)
 
     def device_fraction(self) -> float:
         """Fraction of DP cells evaluated on the device (padded batch
