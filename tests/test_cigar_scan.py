@@ -62,6 +62,30 @@ def test_scan_cigar_matches_reference(al_pad, nl_pad, n, seed):
         assert np.array_equal(cig, rcig)
 
 
+def test_scan_cigar_wide_class_matches_reference():
+    """The al<=512 class runs the reduced ROW_CHUNK=64 grid (VMEM: two
+    (chunk, 512, 128) int16 out blocks, double-buffered)."""
+    from miniprot_tpu.kernels.nasw_cigar_scan import RawScanCigarBatch
+    T, mat, sp, kw = _setup()
+    rng = np.random.default_rng(77)
+    nl_pad = 512 if _interp() else 2048   # interpret mode is ~10^4x slower
+    batch = RawScanCigarBatch(al_pad=512, nl_pad=nl_pad, mat=mat,
+                              opt_scalars=OPT, sp=sp, trans_code=1)
+    cases = []
+    for _ in range(6):
+        nl = int(rng.integers(300, nl_pad))
+        al = int(rng.integers(120, 513))
+        ns = rng.choice(list(b"ACGTN"), nl,
+                        p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        batch.add_raw(T.nt4[ns], T.aa20[aa], io=29)
+    for (ns, aa), (sc, cig) in zip(cases, batch.run(interpret=_interp())):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert sc == rsc
+        assert np.array_equal(cig, rcig)
+
+
 def test_scan_cigar_raw_matches_reference():
     from miniprot_tpu.kernels.nasw_cigar_scan import RawScanCigarBatch
     T, mat, sp, kw = _setup()
