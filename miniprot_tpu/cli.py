@@ -80,7 +80,9 @@ Options:
                      routing probe keeps whichever engine is faster; set
                      MINIPROT_TPU_ROUTE_PROBE=0 to skip the probe)
     --no-tpu         host engine only (also: MINIPROT_TPU_DISABLE=1)
-    --tpu-sketch     index-build sketching on the accelerator
+    --tpu-sketch     index-build sketching on the accelerator (experimental;
+                     measured 37x slower than the host build through a relay
+                     attachment — docs/ROUND5_NOTES.md #7)
     --profile        per-stage timers + DP cell/GCUPS counters to stderr
     --profile-trace=DIR  write a jax profiler device trace to DIR
     -o FILE      write output to FILE instead of stdout
