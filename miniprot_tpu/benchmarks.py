@@ -131,7 +131,7 @@ def measure_cigar_gcups() -> dict:
     def mk(cls, AL, NL, genic=False):
         batch = cls(AL, NL, mat, (11, 1, 23, 29, 100, 5, 0.5),
                     sp=sp, trans_code=1)
-        for _ in range(ck.B):
+        for _ in range(getattr(cls, "CAPACITY", ck.B)):
             if genic:
                 nt, aa = _genic_nt(rng, NL, AL)
             else:
@@ -150,7 +150,11 @@ def measure_cigar_gcups() -> dict:
         b = mk(cls, AL, NL, genic)
         opts = _opts_array(b.go, b.ge, b.fs, b.xdrop, b.end_bonus)
         rows_used = b.nl
-        if hasattr(b, "_rows_used"):
+        if cls is csk.Raw4ScanCigarBatch:
+            rows_used = b._rows_used()
+            arrs = (b.nt, b.iov, b.nlv1, b.nlv8, b.slens8, opts, b.prof,
+                    b.alv8)
+        elif hasattr(b, "_rows_used"):
             rows_used = b._rows_used()
             arrs = (b.nt, b.iov, b.nlv1, b.nlv, b.slens, opts, b.prof,
                     b.alv)
@@ -162,7 +166,12 @@ def measure_cigar_gcups() -> dict:
             arrs = (b.nt, b.iov, b.nlv1, b.nlv, b.slens, opts, b.prof,
                     b.endsel.astype(np.int8), b.qpad, b.alv)
         buf, spec = _pack_arrays(arrs)
-        if hasattr(b, "_rows_used"):
+        if cls is csk.Raw4ScanCigarBatch:
+            from .kernels.nasw_cigar_scan import \
+                _compiled_scan_p4_raw_dtb_packed
+            call = _compiled_scan_p4_raw_dtb_packed(
+                b.nl, rows_used, b.sp_key, b.trans_code, spec, not on_tpu)
+        elif hasattr(b, "_rows_used"):
             from .kernels.nasw_cigar_scan import \
                 _compiled_scan_raw_dtb_packed
             call = _compiled_scan_raw_dtb_packed(
@@ -182,12 +191,15 @@ def measure_cigar_gcups() -> dict:
             h = call(dbuf)
         jax.device_get(h[-2])
         dt = time.perf_counter() - t0
-        return round(NL * AL * ck.B * K / dt / 1e9, 2)
+        V = getattr(cls, "CAPACITY", ck.B)
+        return round(NL * AL * V * K / dt / 1e9, 2)
 
     out = {}
     if on_tpu:
-        out["cigar_gcups_device_small"] = rate(csk.RawScanCigarBatch,
-                                               32, 2048, 20)
+        out["cigar_gcups_device_small"] = rate(csk.Raw4ScanCigarBatch,
+                                               32, 2048, 12)
+        out["cigar_gcups_device_small_unstacked"] = rate(
+            csk.RawScanCigarBatch, 32, 2048, 20)
         out["cigar_gcups_device"] = rate(csk.RawScanCigarBatch,
                                          128, 8192, 12)
         out["cigar_gcups_device_genic"] = rate(csk.RawScanCigarBatch,

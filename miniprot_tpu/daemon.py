@@ -520,7 +520,8 @@ def warm_kernels(opt_dict: dict | None = None,
         # kernel by default; the striped kernel additionally under
         # "all" — it still serves go==0 jobs and MINIPROT_TPU_CIG_IMPL)
         from .kernels import nasw_cigar_scan as csk
-        classes = [csk.RawScanCigarBatch]
+        classes = [csk.Raw4ScanCigarBatch if sc <= 4
+                   else csk.RawScanCigarBatch]
         if shapes == "all":
             classes.append(ck.RawCigarBatch)
         for rv in rows_variants:

@@ -572,22 +572,30 @@ class TpuExtEngine:
 
         raw_cls, prep_cls = self._cig_classes()
         for (slen, nl_b), idxs in buckets.items():
-            for c0 in range(0, len(idxs), ck.B):
-                chunk = idxs[c0:c0 + ck.B]
-                raw_idx = [i for i in chunk if cig_jobs[i].ss is None]
-                old_idx = [i for i in chunk if cig_jobs[i].ss is not None]
-                if raw_idx:
-                    # no --spsc track: donor >= 0 by construction, so the
-                    # folded donor stream cannot go negative and the raw
-                    # nt upload + device prep path is always valid
-                    batch = raw_cls(
-                        slen * 8, nl_b, self.mat, self.scalars, sp=self.sp,
-                        trans_code=tables._default_code)
-                    for i in raw_idx:
-                        job = cig_jobs[i]
-                        batch.add_raw(T.nt4[job.nsq], T.aa20[job.asq],
-                                      io=self.opt.io)
-                    launch(raw_idx, batch)
+            # the small class stacks 4 problems per lane column (512 per
+            # launch) on the scan kernel — 1.7x the device rate and 4x
+            # fewer launch round trips (docs/DESIGN.md accounting)
+            cls_here = raw_cls
+            if slen <= 4 and raw_cls is csk.RawScanCigarBatch:
+                cls_here = csk.Raw4ScanCigarBatch
+            cap = getattr(cls_here, "CAPACITY", ck.B)
+            raw_all = [i for i in idxs if cig_jobs[i].ss is None]
+            old_all = [i for i in idxs if cig_jobs[i].ss is not None]
+            for c0 in range(0, len(raw_all), cap):
+                raw_idx = raw_all[c0:c0 + cap]
+                # no --spsc track: donor >= 0 by construction, so the
+                # folded donor stream cannot go negative and the raw
+                # nt upload + device prep path is always valid
+                batch = cls_here(
+                    slen * 8, nl_b, self.mat, self.scalars, sp=self.sp,
+                    trans_code=tables._default_code)
+                for i in raw_idx:
+                    job = cig_jobs[i]
+                    batch.add_raw(T.nt4[job.nsq], T.aa20[job.asq],
+                                  io=self.opt.io)
+                launch(raw_idx, batch)
+            for c0 in range(0, len(old_all), ck.B):
+                old_idx = old_all[c0:c0 + ck.B]
                 usable = []
                 batch = prep_cls(slen * 8, nl_b, self.mat, self.scalars)
                 for i in old_idx:

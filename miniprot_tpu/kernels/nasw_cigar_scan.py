@@ -103,17 +103,30 @@ def _row_chunk(al):
     return 256 if al <= 128 else 64
 
 
-def _roll_down1(x, fill_mask, fill):
-    r = pltpu.roll(x, shift=1, axis=0)
+def _roll_down1(x, fill_mask, fill, stride=1):
+    r = pltpu.roll(x, shift=stride, axis=0)
     return jnp.where(fill_mask, fill, r)
 
 
-def _scan_kernel(al, n_rows, ROW_CHUNK,
+def _scan_kernel(al, n_rows, ROW_CHUNK, SUB,
                  nas_ref, dm1_ref, d0_ref, dp1_ref, a0_ref, am1_ref, am2_ref,
                  nl_ref, opts_ref, prof_ref, qmod_ref, qpad_ref, endsel_ref,
+                 nlmap_ref,
                  tb_ref, hint_ref, score_ref,
                  Hst, Rst, Dst, Aa, Bb, Cc, Cnt0, CntD, CntABC, scorev):
-    """One grid step = ROW_CHUNK genome rows for all B problems.
+    """One grid step = ROW_CHUNK genome rows for all SUB*B problems.
+
+    SUB > 1 STACKS that many problems per lane column along the
+    position axis, INTERLEAVED: problem sub owns positions q with
+    q %% SUB == sub (H = al/SUB rows each).  The small-al class runs
+    overhead-bound on (32, 128) tiles, so four 32-row problems share
+    one (128, 128) tile.  Interleaving is what makes the per-row
+    streams free: they arrive (SUB, B)-shaped and pltpu.repeat — which
+    is cyclic-tile semantics (measured ~55ns/op) — expands them so
+    position q reads exactly its owner problem's value.  Every
+    positional step becomes a stride-SUB roll and every boundary mask
+    gates on the per-problem local index, so the stacked problems are
+    exactly independent.
 
     Hst/Rst: 4-row H ring + pre-rolled copies (row i-1, i-2, i-3 reads).
     Dst: 4-row D ring (period-4 like H so the row unroll stays static).
@@ -121,25 +134,28 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
     counters; CntABC: the three intron-chain run counters (see the
     run-length hints section of the module docstring).
     """
+    H = al // SUB            # per-problem position rows
     chunk = pl.program_id(0)
     go = opts_ref[0, :][None, :]
     ge = opts_ref[1, :][None, :]
     fs = opts_ref[2, :][None, :]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (al, B), 0)
-    qge = row_ids * ge
-    is_row0 = row_ids == 0
+    q_local = row_ids // SUB if SUB > 1 else row_ids
+    qge = q_local * ge
+    is_row0 = q_local == 0           # per-problem position 0
     qmod = qmod_ref[:]
     seg0 = qmod == 0
-    # hoisted scan-step masks: segmented steps stop at the max segment
-    # length (al/8); full steps cover the whole row
+    # hoisted scan-step masks (all shifts stride-SUB in the interleaved
+    # layout): segmented steps stop at the max segment length (H/8);
+    # full steps cover one problem's rows
     seg_masks, full_masks = [], []
     d = 1
-    while d < max(al // VL, 1):
-        seg_masks.append((qmod >= d, d))
+    while d < max(H // VL, 1):
+        seg_masks.append((qmod >= d, d * SUB))
         d <<= 1
     d = 1
-    while d < al:
-        full_masks.append((row_ids >= d, d))
+    while d < H:
+        full_masks.append((q_local >= d, d * SUB))
         d <<= 1
 
     @pl.when(chunk == 0)
@@ -161,8 +177,7 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
         CntABC[:] = jnp.zeros_like(CntABC)
         scorev[:] = jnp.full_like(scorev, NEG)
 
-    nl_row = nl_ref[0, :][None, :]
-    nlmax = jnp.max(nl_ref[0, :])
+    nlmax = jnp.max(nl_ref[:, :])   # rows 0..SUB-1 hold per-sub nl
 
     def do_row(ii, cur, s1, s2, s3):
         i = chunk * ROW_CHUNK + ii
@@ -177,13 +192,19 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
             H2m1 = Rst[s2]
             D3 = Dst[s3]
 
-            nas_i = nas_ref[ii, :][None, :]
-            dm1 = dm1_ref[ii, :][None, :]
-            d0 = d0_ref[ii, :][None, :]
-            dp1 = dp1_ref[ii, :][None, :]
-            a0 = a0_ref[ii, :][None, :]
-            am1 = am1_ref[ii, :][None, :]
-            am2 = am2_ref[ii, :][None, :]
+            if SUB > 1:
+                def rd(ref):
+                    return pltpu.repeat(ref[ii], H, axis=0)
+            else:
+                def rd(ref):
+                    return ref[ii, :][None, :]
+            nas_i = rd(nas_ref)
+            dm1 = rd(dm1_ref)
+            d0 = rd(d0_ref)
+            dp1 = rd(dp1_ref)
+            a0 = rd(a0_ref)
+            am1 = rd(am1_ref)
+            am2 = rd(am2_ref)
             gei = jnp.where(nas_i == 20, fs, ge)
 
             # packed profile select (raw signed bytes, ext-kernel style)
@@ -231,19 +252,21 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
             for m, dd in seg_masks:
                 M = jnp.where(m, jnp.maximum(M, pltpu.roll(M, shift=dd,
                                                            axis=0)), M)
-            Iused = jnp.maximum(_roll_down1(M, seg0, NEGI) - qge, NEG)
+            Iused = jnp.maximum(_roll_down1(M, seg0, NEGI, SUB) - qge,
+                                NEG)
             Mf = u
             for m, dd in full_masks:
                 Mf = jnp.where(m, jnp.maximum(Mf, pltpu.roll(Mf, shift=dd,
                                                              axis=0)), Mf)
-            Istar = jnp.maximum(_roll_down1(Mf, is_row0, NEGI) - qge, NEG)
+            Istar = jnp.maximum(_roll_down1(Mf, is_row0, NEGI, SUB) - qge,
+                                NEG)
 
             hp1 = jnp.maximum(base, Iused)      # pass-1 h
             Hfin = jnp.maximum(base, Istar)     # lazy-F fixpoint h
             b9 = Istar > hp1
             t4 = _ssub16(hp1, go)
-            b4 = (~seg0) & (_roll_down1(Iused, seg0, NEGI)
-                            > _roll_down1(t4, seg0, 0))
+            b4 = (~seg0) & (_roll_down1(Iused, seg0, NEGI, SUB)
+                            > _roll_down1(t4, seg0, 0, SUB))
 
             # pass-1 state nibble: strict-> priority chain
             h = match
@@ -270,12 +293,12 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
             # collapses to one walk round.  Each chain counts the
             # consecutive extension bits along its own step direction;
             # the entry cell's final state selects which chain to store.
-            cnt1_lz = jnp.where(b4, -1, row_ids)         # I: along q
+            cnt1_lz = jnp.where(b4, -1, q_local)         # I: along q
             for m, dd in full_masks:
                 cnt1_lz = jnp.where(
                     m, jnp.maximum(cnt1_lz, pltpu.roll(cnt1_lz, shift=dd,
                                                        axis=0)), cnt1_lz)
-            cnt1 = row_ids - cnt1_lz
+            cnt1 = q_local - cnt1_lz
             cntD_n = jnp.where(b5, CntD[s3] + 1, 0)      # D: i-3 chain
             CntD[cur] = cntD_n
             cntA_n = jnp.where(b6, CntABC[0] + 1, 0)     # A/B/C: i-1
@@ -286,7 +309,8 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
             CntABC[2] = cntC_n
             fin0 = s0 == 0                               # match: diag
             cnt0_n = jnp.where(fin0,
-                               _roll_down1(Cnt0[s3], is_row0, 0) + 1, 0)
+                               _roll_down1(Cnt0[s3], is_row0, 0, SUB) + 1,
+                               0)
             Cnt0[cur] = cnt0_n
             hint = jnp.where(fin0, cnt0_n - 1, 0)
             hint = jnp.where(s0 == 1, cnt1, hint)
@@ -297,12 +321,11 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
             hint_ref[ii] = hint.astype(jnp.int16)
 
             Hst[cur] = Hfin
-            Rst[cur] = _roll_down1(Hfin, is_row0, NEG)
+            Rst[cur] = _roll_down1(Hfin, is_row0, NEG, SUB)
 
-            at_last = i == nl_row - 1
-            endv = jnp.max(jnp.where(endsel_ref[:] != 0, Hfin, NEG),
-                           axis=0, keepdims=True)
-            scorev[0] = jnp.where(at_last, endv, scorev[0])
+            at_last = i == nlmap_ref[:] - 1
+            scorev[0] = jnp.where(at_last & (endsel_ref[:] != 0), Hfin,
+                                  scorev[0])
 
             # the -fs boundary-column values are visible ONLY at i==2:
             # from i=3 on the striped kernel's _shift_boundary overwrites
@@ -334,16 +357,19 @@ def _scan_kernel(al, n_rows, ROW_CHUNK,
     score_ref[:] = scorev[0]
 
 
-def _make_scan_call(al, n_rows, interpret):
+def _make_scan_call(al, n_rows, interpret, sub=1):
     rc = _row_chunk(al)
     n_chunks = (n_rows + rc - 1) // rc
-    kernel = functools.partial(_scan_kernel, al, n_rows, rc)
+    kernel = functools.partial(_scan_kernel, al, n_rows, rc, sub)
+    stream_spec = (pl.BlockSpec((rc, B), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM) if sub == 1 else
+                   pl.BlockSpec((rc, sub, B), lambda g: (g, 0, 0),
+                                memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_chunks,),
         in_specs=[
-            *[pl.BlockSpec((rc, B), lambda g: (g, 0),
-                           memory_space=pltpu.VMEM) for _ in range(7)],
+            *[stream_spec for _ in range(7)],
             pl.BlockSpec((8, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),   # nlv
             pl.BlockSpec((8, B), lambda g: (0, 0),
@@ -356,13 +382,16 @@ def _make_scan_call(al, n_rows, interpret):
                          memory_space=pltpu.VMEM),   # qpad
             pl.BlockSpec((al, B), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),   # endsel
+            pl.BlockSpec((al, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),   # nlmap
         ],
         out_specs=[
             pl.BlockSpec((rc, al, B), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rc, al, B), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((al, B), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((4, al, B), jnp.int32),   # H ring
@@ -374,7 +403,7 @@ def _make_scan_call(al, n_rows, interpret):
             pltpu.VMEM((4, al, B), jnp.int32),   # match-run counter ring
             pltpu.VMEM((4, al, B), jnp.int32),   # D-run counter ring
             pltpu.VMEM((3, al, B), jnp.int32),   # A/B/C-run counters
-            pltpu.VMEM((1, 1, B), jnp.int32),    # score
+            pltpu.VMEM((1, al, B), jnp.int32),   # score plane
         ],
     )
     return pl.pallas_call(
@@ -383,7 +412,7 @@ def _make_scan_call(al, n_rows, interpret):
         out_shape=[
             jax.ShapeDtypeStruct((n_chunks * rc, al, B), jnp.int16),
             jax.ShapeDtypeStruct((n_chunks * rc, al, B), jnp.int16),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((al, B), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -423,25 +452,31 @@ def _rounds_cap() -> int:
     return int(os.environ.get("MINIPROT_TPU_CIG_ROUNDS", "2048"))
 
 
-def _run_backtrack(tb, hints, nlv0, alv, n_rows, W, rounds_max):
-    """tb/hints: (n_rows, W, B) int16 position-ordered; returns
-    (states (rounds_max, B) int8 with 15 = pad, counts (rounds_max, B)
+def _run_backtrack(tb, hints, nlv0, alv, n_rows, W, rounds_max, sub=1):
+    """tb/hints: (n_rows, W, B) int16 position-ordered; nlv0/alv are
+    (V,) per-problem vectors with V = sub*B virtual lanes (problem v
+    lives at physical lane v %% B, position block v // B).  Returns
+    (states (rounds_max, V) int8 with 15 = pad, counts (rounds_max, V)
     int16 (uint16 payload), i_final, j_final)."""
-    lanes = jnp.arange(B, dtype=jnp.int32)
+    V = sub * B
+    H = W // sub
+    vidx = jnp.arange(V, dtype=jnp.int32)
+    lanes = vidx % B
+    col0 = vidx // B            # interleaved: col = j*sub + sub_index
     i0 = nlv0 - 1
     j0 = alv - 1
     dim = jnp.asarray(_DIM, jnp.int32)
     dic = jnp.asarray(_DIC, jnp.int32)
     djm = jnp.asarray(_DJM, jnp.int32)
     djc = jnp.asarray(_DJC, jnp.int32)
-    out_s0 = jnp.full((rounds_max, B), 15, jnp.int8)
-    out_c0 = jnp.zeros((rounds_max, B), jnp.int16)
+    out_s0 = jnp.full((rounds_max, V), 15, jnp.int8)
+    out_c0 = jnp.zeros((rounds_max, V), jnp.int16)
 
     def body(c):
         k, i, j, out_s, out_c = c
         active = (i >= 2) & (j >= 0)
         ii = jnp.clip(i, 0, n_rows - 1)
-        col = jnp.clip(j, 0, W - 1)
+        col = col0 + jnp.clip(j, 0, H - 1) * sub
         x = tb[ii, col, lanes].astype(jnp.int32)
         hv = hints[ii, col, lanes].astype(jnp.int32) & 0xFFFF
         s = x & 0xF
@@ -468,38 +503,61 @@ def _run_backtrack(tb, hints, nlv0, alv, n_rows, W, rounds_max):
 
 
 def _streams(D, A, n_rows):
-    """The six donor/acceptor shift streams from the two base tracks."""
+    """The six donor/acceptor shift streams from the two base tracks
+    (width-generic: the stacked batch preps 512 problem columns)."""
     D = D.astype(jnp.int32)
     A = A.astype(jnp.int32)
-    z1 = jnp.zeros((1, B), jnp.int32)
-    z2 = jnp.zeros((2, B), jnp.int32)
+    z1 = jnp.zeros((1, D.shape[1]), jnp.int32)
+    z2 = jnp.zeros((2, D.shape[1]), jnp.int32)
     return (jnp.concatenate([z1, D[:n_rows - 1]]), D[:n_rows],
             D[1:n_rows + 1], A[:n_rows],
             jnp.concatenate([z1, A[:n_rows - 1]]),
             jnp.concatenate([z2, A[:n_rows - 2]]))
 
 
-def _geometry(al, slens, alv):
-    """qmod/qpad/endsel from the per-lane (slen_p, al_p) scalars."""
+def _geometry(al, slens, alv, nlv, sub=1):
+    """qmod/qpad/endsel/nlmap position maps from the per-problem
+    (slen_p, al_p, nl_p) scalars.  For sub > 1, rows 0..sub-1 of the
+    (8, B) arrays hold the stacked problems' values and each map entry
+    comes from the problem owning that position block."""
     arows = jax.lax.broadcasted_iota(jnp.int32, (al, B), 0)
-    slen_row = jnp.maximum(slens[0, :][None, :].astype(jnp.int32), 1)
-    al_row = alv[0, :][None, :].astype(jnp.int32)
-    qmod = jax.lax.rem(arows, slen_row)
-    qpad = (arows >= al_row).astype(jnp.int32)
-    endsel = (arows == al_row - 1).astype(jnp.int32)
-    return qmod, qpad, endsel
+    H = al // sub
+    q_local = arows // sub if sub > 1 else arows
+    if sub > 1:
+        sub_idx = arows % sub
+        sel = lambda a: jnp.take_along_axis(
+            a.astype(jnp.int32), sub_idx, axis=0)
+        slen_row = jnp.maximum(sel(slens), 1)
+        al_row = sel(alv)
+        nlmap = sel(nlv)
+    else:
+        slen_row = jnp.maximum(slens[0, :][None, :].astype(jnp.int32), 1)
+        al_row = alv[0, :][None, :].astype(jnp.int32)
+        nlmap = jnp.broadcast_to(nlv[0, :][None, :].astype(jnp.int32),
+                                 (al, B))
+    qmod = jax.lax.rem(q_local, slen_row)
+    qpad = (q_local >= al_row).astype(jnp.int32)
+    endsel = (q_local == al_row - 1).astype(jnp.int32)
+    return qmod, qpad, endsel, nlmap
 
 
 def _scan_dtb_eval(call, n_rows, al, max_steps,
                    nas, dm1, d0, dp1, a0, am1, am2, nlv, slens, opts, prof,
-                   alv):
-    qmod, qpad, endsel = _geometry(al, slens, alv)
-    tb, hints, score = call(nas, dm1, d0, dp1, a0, am1, am2,
-                            nlv, opts, prof, qmod, qpad, endsel)
+                   alv, sub=1):
+    qmod, qpad, endsel, nlmap = _geometry(al, slens, alv, nlv, sub)
+    tb, hints, plane = call(nas, dm1, d0, dp1, a0, am1, am2,
+                            nlv, opts, prof, qmod, qpad, endsel, nlmap)
+    V = sub * B
+    H = al // sub
+    vidx = jnp.arange(V, dtype=jnp.int32)
+    lane = vidx % B
+    sb = vidx // B
+    nl_v = nlv.astype(jnp.int32)[sb, lane]
+    al_v = alv.astype(jnp.int32)[jnp.minimum(sb, alv.shape[0] - 1), lane]
+    score_v = plane[jnp.clip((al_v - 1) * sub + sb, 0, al - 1), lane]
     states, counts, fi, fj = _run_backtrack(
-        tb, hints, nlv[0].astype(jnp.int32), alv[0].astype(jnp.int32),
-        n_rows, al, max_steps)
-    return states, counts, fi, fj, score
+        tb, hints, nl_v, al_v, n_rows, al, max_steps, sub)
+    return states, counts, fi, fj, score_v
 
 
 @functools.lru_cache(maxsize=64)
@@ -578,9 +636,9 @@ class _ScanQueryMixin:
         _, states, counts, fi, fj, score = handles
         states, counts, fi, fj, score = jax.device_get(
             (states, counts, fi, fj, score))
-        states = np.ascontiguousarray(states.T)          # (B, rounds)
-        counts = counts.view(np.uint16)                  # (rounds, B)
-        score = score[0]
+        states = np.ascontiguousarray(states.T)          # (V, rounds)
+        counts = counts.view(np.uint16)                  # (rounds, V)
+        score = np.asarray(score).reshape(-1)            # (V,)
         out = []
         for b in range(self.n):
             if fi[b] >= 2 and fj[b] >= 0:
@@ -659,3 +717,130 @@ class RawScanCigarBatch(_ScanQueryMixin, RawCigarBatch):
             jnp.asarray(self.nlv1), jnp.asarray(self.nlv),
             jnp.asarray(self.slens), jnp.asarray(opts),
             jnp.asarray(self.prof), jnp.asarray(self.alv)))
+
+
+# ---------------------------------------------------------------------------
+# Stacked small-class batch: SUB=4 problems (al <= 32 each) per lane
+# column -> (128, 128) tiles instead of overhead-bound (32, 128) ones,
+# 512 problems per launch.  Raw-upload path only (the rare --spsc small
+# jobs keep the unstacked host-prep ScanCigarBatch).
+# ---------------------------------------------------------------------------
+
+P4_SUB = 4
+P4_H = 32          # per-problem query rows (al <= 32)
+P4_AL = P4_SUB * P4_H
+
+
+def _scan_p4_raw_dtb_eval(call, sp, codon, n_rows, max_steps,
+                          nt8, iov, nlv1, nlv8, slens8, opts, prof, alv8):
+    # prep all SUB*B problems at once (width=512), then fold the
+    # problem axis into (rows, SUB, B) streams for the kernel
+    zero_left = jnp.zeros((1, P4_SUB * B), jnp.int8)
+    nas, D, A = _prep_seq_device(nt8, zero_left, iov.astype(jnp.int32),
+                                 nlv1, sp=sp, codon=codon, n_rows=n_rows,
+                                 width=P4_SUB * B)
+    streams = _streams(D, A, n_rows)
+    nas = nas.reshape(n_rows, P4_SUB, B)
+    streams = [x.reshape(n_rows, P4_SUB, B) for x in streams]
+    return _scan_dtb_eval(call, n_rows, P4_AL, max_steps,
+                          nas, *streams, nlv8, slens8, opts, prof, alv8,
+                          sub=P4_SUB)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_scan_p4_raw_dtb_packed(n_rows, rows_used, sp_key, trans_code,
+                                     spec, interpret):
+    call = _make_scan_call(P4_AL, n_rows, interpret, sub=P4_SUB)
+    max_steps = min(rows_used + P4_H + 2, _rounds_cap())
+    sp = np.asarray(sp_key, np.int32)
+    codon = _tables.get_tables(trans_code).codon
+
+    def wrapped(buf):
+        (nt8, iov, nlv1, nlv8, slens8, opts, prof, alv8) = \
+            _unpack_device(buf, spec)
+        return _scan_p4_raw_dtb_eval(call, sp, codon, n_rows, max_steps,
+                                     nt8, iov, nlv1, nlv8, slens8, opts,
+                                     prof, alv8)
+
+    return jax.jit(wrapped)
+
+
+class Raw4ScanCigarBatch:
+    """512-problem stacked small-class CIGAR batch (see module notes).
+
+    Problem v occupies physical lane v % 128, position block v // 128.
+    The prep width is 512: nt column v must therefore be ordered
+    sub-major (v = sub*128 + lane) to match the (rows, 4, 128) stream
+    reshape."""
+
+    CAPACITY = P4_SUB * B
+
+    def __init__(self, al_pad, nl_pad, mat, opt_scalars, *, sp,
+                 trans_code: int = 1):
+        assert al_pad <= P4_H
+        self.al = P4_H
+        self.nl = ((nl_pad + 255) // 256) * 256
+        (self.go, self.ge, self.fs, self.default_io, self.xdrop,
+         self.end_bonus, self.ie_coef) = opt_scalars
+        assert self.go >= 1, "go==0 routes to the striped kernel"
+        self.mat = mat.reshape(22, 22)
+        self.sp_key = tuple(int(v) for v in np.asarray(sp).reshape(-1))
+        self.trans_code = trans_code
+        V = self.CAPACITY
+        self.nt = np.zeros((self.nl + 8, V), np.int8)
+        self.iov = np.zeros((1, V), np.int32)
+        self.nlv1 = np.zeros((1, V), np.int32)
+        self.nlv8 = np.zeros((8, B), np.int32)
+        self.slens8 = np.ones((8, B), np.int32)
+        self.alv8 = np.ones((8, B), np.int32)
+        self.prof = np.zeros((6, P4_AL, B), np.int32)
+        self.dims = []
+        self.n = 0
+
+    def add_raw(self, nt4: np.ndarray, aas: np.ndarray, io=None):
+        v = self.n
+        io = self.default_io if io is None else io
+        nl, al = len(nt4), len(aas)
+        assert nl <= self.nl and al <= P4_H and v < self.CAPACITY
+        sub, lane = v // B, v % B
+        self.nt[:nl, v] = nt4
+        self.iov[0, v] = io
+        self.nlv1[0, v] = nl
+        self.nlv8[sub, lane] = nl
+        self.slens8[sub, lane] = (al + VL - 1) // VL
+        self.alv8[sub, lane] = al
+        col = self.mat[:, aas].astype(np.int32) & 0xFF
+        qpos = sub + P4_SUB * np.arange(al)     # interleaved positions
+        self.prof[:, qpos, lane] = _pack_profile(col)
+        self.dims.append((nl, al))
+        self.n += 1
+        return v
+
+    def tb_bytes(self) -> int:
+        return 2 * self.nl * P4_AL * B * 2     # tb + hint planes
+
+    def _rows_used(self):
+        max_nl = max((nl for nl, _ in self.dims), default=self.nl)
+        rows_used = 2048
+        while rows_used < max_nl:
+            rows_used <<= 1
+        return min(self.nl, rows_used)
+
+    def launch(self, interpret=None):
+        if interpret is None:
+            from . import on_tpu_backend
+            interpret = not on_tpu_backend()
+        opts = _opts_array(self.go, self.ge, self.fs, self.xdrop,
+                           self.end_bonus)
+        buf, spec = _pack_arrays(
+            (self.nt, self.iov, self.nlv1, self.nlv8, self.slens8, opts,
+             self.prof, self.alv8))
+        call = _compiled_scan_p4_raw_dtb_packed(
+            self.nl, self._rows_used(), self.sp_key, self.trans_code,
+            spec, interpret)
+        return ("rdtb",) + tuple(call(jnp.asarray(buf)))
+
+    collect = _ScanQueryMixin.collect
+
+    def run(self, interpret=None):
+        return self.collect(self.launch(interpret))

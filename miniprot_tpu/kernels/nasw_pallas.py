@@ -635,12 +635,15 @@ def _sp_sel(t, sp):
     return jnp.where(t < 0, 0, v)
 
 
-def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows):
+def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows,
+                     width=B_LANES):
     """Rebuild nas + folded donor/acceptor tracks from raw nt4 codes on
     device.
 
-    nt8: (n_rows+8, B) int8 nt4 codes (already reversed for left-
-    extension lanes); leftb/iov/nlv1: (1, B) per-lane scalars.
+    nt8: (n_rows+8, width) int8 nt4 codes (already reversed for left-
+    extension lanes); leftb/iov/nlv1: (1, width) per-lane scalars.
+    width defaults to one batch's 128 lanes; the stacked small-class
+    CIGAR batch preps 512 problems at once (width=512) and reshapes.
     Returns (nas[:n_rows], D, A) matching the host prep (prep_problem +
     *Batch.add) bit-for-bit; D/A cover rows [0, n_rows+8).
     """
@@ -648,7 +651,7 @@ def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows):
     nt = nt8.astype(jnp.int32)
     left = leftb.astype(jnp.int32) != 0          # (1,B) bool
     nl = nlv1.astype(jnp.int32)                  # (1,B)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R8, B_LANES), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R8, width), 0)
     ntm1 = _sd(nt, 1, 4)
     ntm2 = _sd(nt, 2, 4)
     ntp1 = _su(nt, 1, 4)
@@ -673,7 +676,7 @@ def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows):
     # --- forward donor (nasw-sse.c:120-127): donor[i] from nt[i..i+3]
     gt = (ntp1 == 2) & (ntp2 == 3)
     gtr = gt & ((ntp3 == 0) | (ntp3 == 2))
-    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.full((R8, width), 3, jnp.int32)
     t = jnp.where((ntp1 == 0) & (ntp2 == 3), 2, t)                 # AT.
     t = jnp.where((ntp1 == 2) & (ntp2 == 1) & (nt == 2), 1, t)     # GGC.
     t = jnp.where(gt & ~gtr, 0, t)
@@ -686,7 +689,7 @@ def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows):
     notY = jnp.where((nt != 1) & (nt != 3), sp5, 0)
     ag = (ntm1 == 0) & (nt == 2)
     yag = ag & (rows >= 2) & ((ntm2 == 1) | (ntm2 == 3))
-    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.full((R8, width), 3, jnp.int32)
     t = jnp.where((ntm1 == 0) & (nt == 1), 2, t)                   # .AC
     t = jnp.where(ag & ~yag, 0, t)
     t = jnp.where(yag, -1, t)
@@ -698,7 +701,7 @@ def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows):
     # --- reversed-sequence donor (acceptor role; nasw-sse.c:171-180)
     ga = (ntp1 == 2) & (ntp2 == 0)
     gay = ga & ((ntp3 == 1) | (ntp3 == 3))
-    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.full((R8, width), 3, jnp.int32)
     t = jnp.where((ntp1 == 1) & (ntp2 == 0), 2, t)                 # CA.
     t = jnp.where(ga & ~gay, 0, t)
     t = jnp.where(gay, -1, t)
@@ -713,7 +716,7 @@ def _prep_seq_device(nt8, leftb, iov, nlv1, *, sp, codon, n_rows):
     tg = (ntm1 == 3) & (nt == 2)
     tg_ok = tg & (rows >= 2) & ((ntm2 == 0) | (ntm2 == 2))
     in_p1 = rows + 1 < nl
-    t = jnp.full((R8, B_LANES), 3, jnp.int32)
+    t = jnp.full((R8, width), 3, jnp.int32)
     t = jnp.where((ntm1 == 3) & (nt == 0), 2, t)                   # .TA
     t = jnp.where((ntm1 == 1) & (nt == 2) & in_p1 & (ntp1 == 1), 1, t)
     t = jnp.where(tg & ~tg_ok, 0, t)

@@ -86,6 +86,35 @@ def test_scan_cigar_wide_class_matches_reference():
         assert np.array_equal(cig, rcig)
 
 
+def test_stacked_small_class_matches_reference():
+    """Raw4ScanCigarBatch: 4 interleaved problems per lane column, up
+    to 512 per launch.  Mixed shapes across all 4 sub-blocks must be
+    byte-identical to the reference DP."""
+    from miniprot_tpu.kernels.nasw_cigar_scan import Raw4ScanCigarBatch
+    T, mat, sp, kw = _setup()
+    rng = np.random.default_rng(56)
+    interp = _interp()
+    n = 140 if interp else 400      # spread into sub-blocks 1-3
+    nl_pad = 256 if interp else 1024
+    batch = Raw4ScanCigarBatch(32, nl_pad, mat, opt_scalars=OPT, sp=sp,
+                               trans_code=1)
+    cases = []
+    for _ in range(n):
+        nl = int(rng.integers(3, nl_pad - 24))
+        al = int(rng.integers(1, 33))
+        ns = rng.choice(list(b"ACGTN"), nl,
+                        p=[.24, .24, .24, .24, .04]).astype(np.uint8)
+        aa = rng.choice(list(b"ARNDCQEGHILKMFPSTWYVX*"), al).astype(np.uint8)
+        cases.append((ns, aa))
+        batch.add_raw(T.nt4[ns], T.aa20[aa], io=29)
+    for (ns, aa), r in zip(cases, batch.run(interpret=interp)):
+        rsc, _, _, rcig = native.dp16(ns, aa, flag=DPF_CIGAR, **kw)
+        assert r is not None
+        sc, cig = r
+        assert sc == rsc
+        assert np.array_equal(cig, rcig)
+
+
 def test_scan_cigar_raw_matches_reference():
     from miniprot_tpu.kernels.nasw_cigar_scan import RawScanCigarBatch
     T, mat, sp, kw = _setup()
