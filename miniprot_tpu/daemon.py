@@ -29,6 +29,10 @@ Protocol (8-byte big-endian length prefix + pickle, SOCK_STREAM):
   ("launch", batch)        -> ("ok", bid)          returns at enqueue:
                               the daemon's launcher thread does the
                               device upload off the client's path
+  ("launch_many", [batch..]) -> ("ok", [bid...])   grouped launches:
+                              one round trip for a whole flush's
+                              batches (single-core RPC overhead is the
+                              launch path's real cost; see the client)
   ("collect", [bid, ...])  -> ("ok", [results...]) one fetch wave;
                               launch errors surface here
   ("warm", opt_dict|None)  -> ("ok", n_shapes)     precompile hot shapes
@@ -192,6 +196,23 @@ class DaemonClient:
     def launch(self, batch) -> int:
         slim_for_wire(batch)
         return self._rpc(("launch", batch))
+
+    def launch_many(self, batches) -> list:
+        """One RPC for a whole group of launches: on a single-core host
+        the per-RPC reply wait + process switches dominate MB-scale
+        launch costs (measured ~11.5ms/launch uncontended, ~42ms under
+        e2e contention, vs 0.5ms of pickle), so grouping K launches
+        saves ~(K-1) round trips.  Falls back to per-batch launches on
+        daemons predating the op."""
+        batches = list(batches)
+        for b in batches:
+            slim_for_wire(b)
+        try:
+            return self._rpc(("launch_many", batches))
+        except RuntimeError as e:
+            if "unknown op" not in str(e):
+                raise
+            return [self._rpc(("launch", b)) for b in batches]
 
     def collect(self, bids: list) -> list:
         return self._rpc(("collect", list(bids)), collect_chan=True)
@@ -391,6 +412,9 @@ class _Server:
                         _send(conn, ("ok", self.op_ping()))
                     elif op == "launch":
                         _send(conn, ("ok", self.op_launch(*args)))
+                    elif op == "launch_many":
+                        _send(conn, ("ok", [self.op_launch(b)
+                                            for b in args[0]]))
                     elif op == "collect":
                         _send(conn, ("ok", self.op_collect(*args)))
                     elif op == "warm":

@@ -352,6 +352,35 @@ class TpuExtEngine:
         self.n_tpu += len(idxs)
         return True
 
+    def _launch_queued(self, pending: list, queue: list) -> tuple:
+        """Launch queued (idxs, batch) pairs — ONE daemon RPC for the
+        whole group when a daemon serves the engine (launch_many; the
+        per-RPC reply wait dominates MB-scale launches on a single
+        shared core).  Returns (ok_pairs, failed_idxs); a group failure
+        marks the engine broken like any launch failure would."""
+        if not queue:
+            return [], []
+        if self.client is None or self.broken:
+            ok, failed = [], []
+            for idxs, batch in queue:
+                if self._launch(pending, idxs, batch):
+                    ok.append((idxs, batch))
+                else:
+                    failed.extend(idxs)
+            return ok, failed
+        lt = float(_os.environ.get("MINIPROT_TPU_LAUNCH_TIMEOUT", "300"))
+        try:
+            bids = self._guarded(
+                lambda: self.client.launch_many([b for _, b in queue]),
+                timeout=lt)
+        except Exception as e:
+            self._device_failed(e)
+            return [], [i for idxs, _ in queue for i in idxs]
+        for (idxs, batch), bid in zip(queue, bids):
+            pending.append((idxs, batch, ("daemon", bid)))
+            self.n_tpu += len(idxs)
+        return list(queue), []
+
     # ---- request intake ----
 
     def submit(self, req) -> int:
@@ -406,6 +435,7 @@ class TpuExtEngine:
         from .sysutil import profiler
         T = tables.get_tables()
         pending: list = []
+        queue: list = []
         for (al_b, nl_b), idxs in buckets.items():
             for c0 in range(0, len(idxs), nk.B_LANES):
                 chunk = idxs[c0:c0 + nk.B_LANES]
@@ -424,22 +454,18 @@ class TpuExtEngine:
                             aas = aas[::-1]
                         batch.add_raw(nt4, aas, io=job.io,
                                       ext_left=job.ext_left)
-                    if self._launch(pending, raw_idx, batch):
-                        profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
-                                            batch.n)
-                    else:
-                        host_jobs.extend(raw_idx)
+                    queue.append((raw_idx, batch))
                 if old_idx:
                     batch = nk.ExtBatch(al_b, nl_b, self.mat, self.scalars)
                     for i in old_idx:
                         job = ext_jobs[i]
                         nas, aas, d, a = self._prep(job, job.ext_left, job.io)
                         batch.add(nas, aas, d, a, io=job.io)
-                    if self._launch(pending, old_idx, batch):
-                        profiler.add_tpu_dp(batch.nl * batch.al * batch.n,
-                                            batch.n)
-                    else:
-                        host_jobs.extend(old_idx)
+                    queue.append((old_idx, batch))
+        ok, failed = self._launch_queued(pending, queue)
+        for _, batch in ok:
+            profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n)
+        host_jobs.extend(failed)
         return pending, host_jobs
 
     def _ext_host(self, ext_jobs, i) -> None:
@@ -553,22 +579,36 @@ class TpuExtEngine:
         pending: list = []
         outstanding = 0
 
-        def launch(idxs, batch):
-            nonlocal outstanding
-            if not self._launch(pending, idxs, batch):
-                for k in idxs:
-                    self._cig_host(cig_jobs, k)
-                return
-            outstanding += batch.tb_bytes()
-            profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n,
-                                kind="cig_small" if batch.al <= 32
-                                else "cig")
+        queue: list = []
+        queued_tb = 0
+
+        def flush_queue():
+            nonlocal outstanding, queued_tb
+            ok, failed = self._launch_queued(pending, queue)
+            queue.clear()
+            queued_tb = 0
+            for k in failed:
+                self._cig_host(cig_jobs, k)
+            for _, batch in ok:
+                outstanding += batch.tb_bytes()
+                profiler.add_tpu_dp(batch.nl * batch.al * batch.n, batch.n,
+                                    kind="cig_small" if batch.al <= 32
+                                    else "cig")
             # drain the oldest launches once the uncollected traceback
             # buffers would crowd HBM
             while outstanding > PENDING_TB_CAP and len(pending) > 1:
                 o_idxs, o_batch, o_handles = pending.pop(0)
                 self._decode_cig_one(cig_jobs, o_idxs, o_batch, o_handles)
                 outstanding -= o_batch.tb_bytes()
+
+        def launch(idxs, batch):
+            nonlocal queued_tb
+            queue.append((idxs, batch))
+            queued_tb += batch.tb_bytes()
+            # group launches into one daemon RPC, but never let the
+            # queued + in-flight tracebacks overshoot the HBM cap
+            if outstanding + queued_tb > PENDING_TB_CAP // 2:
+                flush_queue()
 
         raw_cls, prep_cls = self._cig_classes()
         for (slen, nl_b), idxs in buckets.items():
@@ -611,6 +651,7 @@ class TpuExtEngine:
                     usable.append(i)
                 if usable:
                     launch(usable, batch)
+        flush_queue()
         return pending, host_jobs
 
     def flush_begin(self) -> "_Flight":
