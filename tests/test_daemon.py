@@ -74,6 +74,36 @@ def test_ping_and_protocol_roundtrip(daemon_proc):
     c.close()
 
 
+def test_launch_many_groups_and_falls_back(daemon_proc):
+    """launch_many ships a group in one RPC; against a daemon that
+    predates the op (simulated by an 'unknown op' error) the client
+    falls back to per-batch launches transparently."""
+    sock, _ = daemon_proc
+    c = _client(sock)
+    from daemon_fixtures import FakeBatch
+    bids = c.launch_many([FakeBatch([1, 2]), FakeBatch([5])])
+    r1, r2 = c.collect(bids)
+    assert r1 == [3, 5] and r2 == [11]
+    # old-daemon fallback: first _rpc (the launch_many) raises like the
+    # server's unknown-op reply; the retry path must go per-batch
+    orig = c._rpc
+    calls = []
+
+    def flaky(msg, collect_chan=False):
+        calls.append(msg[0])
+        if msg[0] == "launch_many":
+            raise RuntimeError("daemon error: unknown op 'launch_many'")
+        return orig(msg, collect_chan)
+
+    c._rpc = flaky
+    bids = c.launch_many([FakeBatch([7]), FakeBatch([8, 9])])
+    c._rpc = orig
+    assert calls == ["launch_many", "launch", "launch"]
+    r1, r2 = c.collect(bids)
+    assert r1 == [15] and r2 == [17, 19]
+    c.close()
+
+
 def test_error_propagates_and_daemon_survives(daemon_proc):
     sock, proc = daemon_proc
     c = _client(sock)
