@@ -160,6 +160,44 @@ def test_real_cigar_batch_through_daemon(daemon_proc):
     c.close()
 
 
+def test_stacked_batch_through_daemon(daemon_proc):
+    """The stacked small-class batch (Raw4ScanCigarBatch) survives the
+    wire and the daemon-side run + run-walk decode matches the host DP,
+    including problems landing in sub-blocks beyond the first."""
+    sock, _ = daemon_proc
+    from miniprot_tpu import tables
+    from miniprot_tpu.align import DpEnv
+    from miniprot_tpu.kernels import nasw_cigar_scan as csk
+    from miniprot_tpu.native import DPF_CIGAR
+    from miniprot_tpu.options import MapOpt
+
+    opt = MapOpt()
+    env = DpEnv(opt)
+    scalars = (opt.go, opt.ge, opt.fs, opt.io, opt.xdrop,
+               opt.end_bonus, opt.ie_coef)
+    rng = np.random.default_rng(8)
+    T = tables.get_tables()
+    nt = np.frombuffer(b"ACGT", np.uint8)
+    aa_pool = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    b = csk.Raw4ScanCigarBatch(32, 512, opt.mat, scalars, sp=env.sp,
+                               trans_code=tables._default_code)
+    jobs = []
+    # n=130 puts two problems into sub-block 1 (lane column sharing)
+    for k in range(130):
+        ns = nt[rng.integers(0, 4, 120 + 2 * k)]
+        aa = rng.choice(aa_pool, 6 + (k % 20)).astype(np.uint8)
+        jobs.append((ns, aa))
+        b.add_raw(T.nt4[ns], T.aa20[aa], io=opt.io)
+    c = _client(sock)
+    (remote,) = c.collect(c.launch_many([b]))
+    assert len(remote) == 130
+    for (ns, aa), (rs, rc) in zip(jobs, remote):
+        hsc, _, _, hcig = env.dp(ns, aa, DPF_CIGAR)
+        assert rs == hsc
+        np.testing.assert_array_equal(rc, hcig)
+    c.close()
+
+
 def test_engine_uses_daemon_for_cigar_jobs(daemon_proc, monkeypatch):
     """TpuExtEngine with a reachable daemon ships its device batches
     there and matches the host DP bit-for-bit."""
