@@ -293,8 +293,11 @@ def _scan_kernel(al, n_rows, ROW_CHUNK, SUB,
             # collapses to one walk round.  Each chain counts the
             # consecutive extension bits along its own step direction;
             # the entry cell's final state selects which chain to store.
-            cnt1_lz = jnp.where(b4, -1, q_local)         # I: along q
-            for m, dd in full_masks:
+            # I runs along q: b4 is False at every segment start, so an
+            # I-run never crosses a stripe segment — the SEGMENTED scan
+            # (log2(H/8) steps) finds the run's last zero exactly
+            cnt1_lz = jnp.where(b4, -1, q_local)
+            for m, dd in seg_masks:
                 cnt1_lz = jnp.where(
                     m, jnp.maximum(cnt1_lz, pltpu.roll(cnt1_lz, shift=dd,
                                                        axis=0)), cnt1_lz)
