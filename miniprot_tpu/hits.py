@@ -99,6 +99,9 @@ def reg_gen_from_block(mi, u: np.ndarray, a: np.ndarray) -> list[Region]:
     qpos = (a & np.uint64(0xFFFFFFFF)).astype(np.int64)
     ts_all = np.searchsorted(bo, blk[ks], side="right").astype(np.int64) - 1
     te_all = np.searchsorted(bo, blk[ies], side="right").astype(np.int64) - 1
+    # all chains scored in one native call (one ctypes trip per BLOCK
+    # instead of per region; ~250 regions/query on tandem-heavy runs)
+    ungap_all = native.chn_sc_ungap_approx_batch(ks, cnts, a, mi.opt.kmer)
     regs: list[Region] = []
     for ci in range(len(u)):
         n = int(cnts[ci])
@@ -130,7 +133,7 @@ def reg_gen_from_block(mi, u: np.ndarray, a: np.ndarray) -> list[Region]:
         sc = int(scs[ci])
         r.chn_sc = sc if ts == te else int(float(sc) * (ie - is_ + 1) / n + 0.499)
         r.a = a[k:k + n].copy()
-        r.chn_sc_ungap = native.chn_sc_ungap_approx(r.a, mi.opt.kmer)
+        r.chn_sc_ungap = int(ungap_all[ci])
         regs.append(r)
     return regs
 
@@ -153,7 +156,48 @@ def sort_reg(regs: list[Region]) -> list[Region]:
 def set_parent(mask_level: float, mask_len: int, regs: list[Region],
                sub_diff: int, hard_mask_level: int = 0) -> None:
     """Primary/secondary assignment by query overlap (mp_set_parent,
-    hit.c:128-187)."""
+    hit.c:128-187).  Tandem-heavy queries carry hundreds of regions and
+    the O(n*|w|) pure-Python scan was ~5% of capstone map time, so big
+    lists route to the native port; small lists stay in Python — the
+    14-array marshalling costs more than the loop below ~48 regions
+    (measured A/B on the capstone slice).  `_set_parent_py` is also the
+    differential oracle for the native port."""
+    n = len(regs)
+    if n < 48:
+        return _set_parent_py(mask_level, mask_len, regs, sub_diff,
+                              hard_mask_level)
+    for i, r in enumerate(regs):
+        r.id = i
+    qs = np.fromiter((r.qs for r in regs), np.int64, n)
+    qe = np.fromiter((r.qe for r in regs), np.int64, n)
+    vid = np.fromiter((r.vid for r in regs), np.int64, n)
+    vs = np.fromiter((r.vs for r in regs), np.int64, n)
+    ve = np.fromiter((r.ve for r in regs), np.int64, n)
+    cnt = np.fromiter((r.cnt for r in regs), np.int64, n)
+    chn_sc = np.fromiter((r.chn_sc for r in regs), np.int32, n)
+    has_p = np.fromiter((r.p is not None for r in regs), np.uint8, n)
+    p_dp_max = np.fromiter(
+        (r.p.dp_max if r.p is not None else 0 for r in regs), np.int32, n)
+    parent = np.fromiter((r.parent for r in regs), np.int32, n)
+    n_sub = np.fromiter((r.n_sub for r in regs), np.int32, n)
+    subsc = np.fromiter((r.subsc for r in regs), np.int32, n)
+    p_dp_max2 = np.fromiter(
+        (r.p.dp_max2 if r.p is not None else 0 for r in regs), np.int32, n)
+    native.set_parent_c(mask_level, mask_len, sub_diff, hard_mask_level,
+                        qs, qe, vid, vs, ve, cnt, chn_sc, has_p, p_dp_max,
+                        parent, n_sub, subsc, p_dp_max2)
+    for i, r in enumerate(regs):
+        r.parent = int(parent[i])
+        r.n_sub = int(n_sub[i])
+        r.subsc = int(subsc[i])
+        if r.p is not None:
+            r.p.dp_max2 = int(p_dp_max2[i])
+
+
+def _set_parent_py(mask_level: float, mask_len: int, regs: list[Region],
+                   sub_diff: int, hard_mask_level: int = 0) -> None:
+    """Pure-Python mp_set_parent — the differential oracle for the
+    native port (tests/test_properties.py)."""
     n = len(regs)
     if n <= 0:
         return

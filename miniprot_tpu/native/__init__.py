@@ -47,6 +47,14 @@ _chain_raw = ct.CFUNCTYPE(
 _chn_sc_ungap_approx_raw = ct.CFUNCTYPE(
     ct.c_int32, ct.c_int64, ct.c_void_p, ct.c_int32)(
         ct.cast(_lib.mx_chn_sc_ungap_approx, ct.c_void_p).value)
+_chn_sc_ungap_batch_raw = ct.CFUNCTYPE(
+    None, ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int32,
+    ct.c_void_p)(
+        ct.cast(_lib.mx_chn_sc_ungap_approx_batch, ct.c_void_p).value)
+_set_parent_raw = ct.CFUNCTYPE(
+    None, ct.c_int64, ct.c_float, ct.c_int32, ct.c_int32, ct.c_int32,
+    *([ct.c_void_p] * 15))(
+        ct.cast(_lib.mx_set_parent, ct.c_void_p).value)
 _lib.mx_dp16.argtypes = [
     _u8p, ct.c_int32, _u8p, ct.c_int32,            # nsq, nl, asq, al
     ct.c_void_p,                                    # ss (may be None)
@@ -117,6 +125,38 @@ def chn_sc_ungap(a: np.ndarray, kmer: int) -> int:
 def chn_sc_ungap_approx(a: np.ndarray, kmer: int) -> int:
     a = np.ascontiguousarray(a, dtype=np.uint64)
     return int(_chn_sc_ungap_approx_raw(len(a), a.ctypes.data, kmer))
+
+
+def chn_sc_ungap_approx_batch(ks: np.ndarray, cnts: np.ndarray,
+                              a: np.ndarray, kmer: int) -> np.ndarray:
+    """Score every chain of a block in one call (chain c covers
+    a[ks[c] : ks[c]+cnts[c]]); one ctypes round trip instead of one per
+    region."""
+    ks = np.ascontiguousarray(ks, dtype=np.int64)
+    cnts = np.ascontiguousarray(cnts, dtype=np.int64)
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    out = np.empty(len(ks), np.int32)
+    _chn_sc_ungap_batch_raw(len(ks), ks.ctypes.data, cnts.ctypes.data,
+                            a.ctypes.data, kmer, out.ctypes.data)
+    return out
+
+
+def set_parent_c(mask_level: float, mask_len: int, sub_diff: int,
+                 hard_mask_level: int, qs, qe, vid, vs, ve, cnt, chn_sc,
+                 has_p, p_dp_max, parent, n_sub, subsc, p_dp_max2) -> None:
+    """mp_set_parent (hit.c:128-187) over flattened region fields; the
+    parent/n_sub/subsc/p_dp_max2 arrays update in place."""
+    n = len(qs)
+    wbuf = np.empty(n, np.int64)
+    covbuf = np.empty(n, np.uint64)
+    _set_parent_raw(n, mask_level, mask_len, sub_diff, hard_mask_level,
+                    qs.ctypes.data, qe.ctypes.data, vid.ctypes.data,
+                    vs.ctypes.data, ve.ctypes.data, cnt.ctypes.data,
+                    chn_sc.ctypes.data, has_p.ctypes.data,
+                    p_dp_max.ctypes.data, parent.ctypes.data,
+                    n_sub.ctypes.data, subsc.ctypes.data,
+                    p_dp_max2.ctypes.data, wbuf.ctypes.data,
+                    covbuf.ctypes.data)
 
 
 def dp16(nsq: np.ndarray, asq: np.ndarray, *, mat: np.ndarray, nt4: np.ndarray,

@@ -425,6 +425,120 @@ MX_EXPORT int32_t mx_chn_sc_ungap_approx(int64_t n_a, const uint64_t *a, int32_t
 	return x;
 }
 
+/* [original] batch form over one block's chains: reg_gen scores ~250
+ * regions per query, and the per-call ctypes overhead of the scalar
+ * entry was measurable (~3.5us x 127k calls on the capstone profile) */
+MX_EXPORT void mx_chn_sc_ungap_approx_batch(int64_t n_chains,
+					    const int64_t *ks,
+					    const int64_t *cnts,
+					    const uint64_t *a, int32_t kmer,
+					    int32_t *out)
+{
+	int64_t c;
+	for (c = 0; c < n_chains; ++c)
+		out[c] = mx_chn_sc_ungap_approx(cnts[c], a + ks[c], kmer);
+}
+
+/*
+ * [pinned] primary/secondary assignment by query overlap
+ * (mp_set_parent, hit.c:128-187).  Ported from the byte-parity-tested
+ * Python (hits.set_parent — ~1s of pure-Python loop per 500 capstone
+ * queries); the overlap ratio is float arithmetic exactly as
+ * hit.c:168 (this file builds with -ffp-contract=off).  Region fields
+ * arrive flattened; has_p marks regions carrying an alignment (r->p),
+ * p_dp_max its dp_max.  parent/n_sub/subsc/p_dp_max2 are read-write
+ * (callers pass the regions' current values and copy back).  wbuf and
+ * covbuf are caller-provided scratch of n entries each.
+ */
+MX_EXPORT void mx_set_parent(int64_t n, float mask_level, int32_t mask_len,
+			     int32_t sub_diff, int32_t hard_mask_level,
+			     const int64_t *qs, const int64_t *qe,
+			     const int64_t *vid, const int64_t *vs,
+			     const int64_t *ve, const int64_t *cnt,
+			     const int32_t *chn_sc, const uint8_t *has_p,
+			     const int32_t *p_dp_max,
+			     int32_t *parent, int32_t *n_sub,
+			     int32_t *subsc, int32_t *p_dp_max2,
+			     int64_t *wbuf, uint64_t *covbuf)
+{
+	int64_t i, nw = 0, k;
+	if (n <= 0) return;
+	parent[0] = 0;
+	wbuf[nw++] = 0;
+	for (i = 1; i < n; ++i) {
+		int64_t si = qs[i], ei = qe[i];
+		int64_t uncov_len = 0;
+		int placed = 0;
+		if (!hard_mask_level) {
+			int64_t nc = 0, x;
+			for (k = 0; k < nw; ++k) {
+				int64_t j = wbuf[k];
+				int64_t sj = qs[j], ej = qe[j];
+				uint64_t cs, ce;
+				if (ej <= si || sj >= ei) continue;
+				cs = (uint64_t)(sj > si ? sj : si);
+				ce = (uint64_t)(ej < ei ? ej : ei);
+				covbuf[nc++] = (cs << 32) | ce;
+			}
+			if (nc == 0) {
+				parent[i] = (int32_t)i;
+				n_sub[i] = 0;
+				wbuf[nw++] = i;
+				continue;
+			}
+			for (k = 1; k < nc; ++k) {	/* tiny: insertion sort */
+				uint64_t v = covbuf[k];
+				int64_t m = k - 1;
+				while (m >= 0 && covbuf[m] > v)
+					covbuf[m + 1] = covbuf[m], --m;
+				covbuf[m + 1] = v;
+			}
+			x = si;
+			for (k = 0; k < nc; ++k) {
+				int64_t cs = (int64_t)(covbuf[k] >> 32);
+				int64_t ce = (int64_t)(covbuf[k] & 0xFFFFFFFFu);
+				if (cs > x) uncov_len += cs - x;
+				if (ce > x) x = ce;
+			}
+			if (ei > x) uncov_len += ei - x;
+		}
+		for (k = 0; k < nw; ++k) {
+			int64_t j = wbuf[k];
+			int64_t sj = qs[j], ej = qe[j];
+			int64_t mn, mx, ol;
+			float ovl;
+			if (ej <= si || sj >= ei) continue;
+			mn = (ej - sj) < (ei - si) ? (ej - sj) : (ei - si);
+			mx = (ej - sj) > (ei - si) ? (ej - sj) : (ei - si);
+			if (si < sj) ol = ei < sj ? 0 : (ei < ej ? ei - sj : ej - sj);
+			else ol = ej < si ? 0 : (ej < ei ? ej - si : ei - si);
+			ovl = (float)ol / mn - (float)uncov_len / mx;
+			if (ovl > mask_level && uncov_len <= mask_len) {
+				int32_t cnt_sub = 0, sci = chn_sc[i];
+				parent[i] = parent[j];
+				if (sci > subsc[j]) subsc[j] = sci;
+				if (cnt[i] >= cnt[j]) cnt_sub = 1;
+				if (has_p[j] && has_p[i]
+				    && (vid[j] != vid[i] || vs[j] != vs[i]
+					|| ve[j] != ve[i] || ol != mn)) {
+					sci = p_dp_max[i];
+					if (sci > p_dp_max2[j]) p_dp_max2[j] = sci;
+					if (p_dp_max[j] - p_dp_max[i] <= sub_diff)
+						cnt_sub = 1;
+				}
+				if (cnt_sub) ++n_sub[j];
+				placed = 1;
+				break;
+			}
+		}
+		if (!placed) {
+			parent[i] = (int32_t)i;
+			n_sub[i] = 0;
+			wbuf[nw++] = i;
+		}
+	}
+}
+
 /**********************************************
  * Splice/frameshift-aware striped DP ("nasw") *
  **********************************************/

@@ -70,3 +70,59 @@ def test_cigar_consumes_exact_spans(tmp_path, seed):
                 f"{rec.name}: CIGAR consumes {al} aa, region spans "
                 f"{r.qe - r.qs}")
     assert n_regions >= 8, "workload failed to produce enough alignments"
+
+
+def test_set_parent_native_matches_python():
+    """The native mp_set_parent port must match the pure-Python oracle
+    field-for-field on randomized region lists (overlap geometry,
+    p-carrying regions, hard-mask mode, float mask levels)."""
+    import copy
+
+    import numpy as np
+
+    from miniprot_tpu.hits import Extra, Region, _set_parent_py, set_parent
+
+    rng = np.random.default_rng(606)
+    for trial in range(200):
+        n = int(rng.integers(1, 40))
+        regs = []
+        for _ in range(n):
+            qs = int(rng.integers(0, 300))
+            qe = qs + int(rng.integers(1, 200))
+            r = Region(vid=int(rng.integers(0, 3)), qs=qs, qe=qe,
+                       vs=int(rng.integers(0, 10000)),
+                       ve=int(rng.integers(10000, 20000)),
+                       chn_sc=int(rng.integers(0, 500)),
+                       a=np.zeros(int(rng.integers(1, 30)), np.uint64))
+            if rng.random() < 0.5:
+                r.p = Extra(dp_max=int(rng.integers(-50, 800)),
+                            dp_max2=int(rng.integers(-50, 400)))
+            regs.append(r)
+        mask_level = float(rng.choice([0.5, 0.8, 1.0]))
+        mask_len = int(rng.choice([0, 50, 2**30]))
+        sub_diff = int(rng.choice([0, 6, 50]))
+        hard = int(rng.random() < 0.3)
+        regs_py = copy.deepcopy(regs)
+        set_parent(mask_level, mask_len, regs, sub_diff, hard)
+        _set_parent_py(mask_level, mask_len, regs_py, sub_diff, hard)
+        for i, (rc, rp) in enumerate(zip(regs, regs_py)):
+            assert (rc.parent, rc.n_sub, rc.subsc) == \
+                (rp.parent, rp.n_sub, rp.subsc), (trial, i)
+            if rc.p is not None:
+                assert rc.p.dp_max2 == rp.p.dp_max2, (trial, i)
+
+
+def test_chn_sc_ungap_batch_matches_scalar():
+    import numpy as np
+
+    from miniprot_tpu import native
+
+    rng = np.random.default_rng(607)
+    cnts = rng.integers(1, 50, 30).astype(np.int64)
+    ks = np.zeros(30, np.int64)
+    np.cumsum(cnts[:-1], out=ks[1:])
+    a = rng.integers(0, 2**63, int(cnts.sum()), dtype=np.uint64)
+    out = native.chn_sc_ungap_approx_batch(ks, cnts, a, 6)
+    for c in range(30):
+        want = native.chn_sc_ungap_approx(a[ks[c]:ks[c] + cnts[c]], 6)
+        assert int(out[c]) == want, c
