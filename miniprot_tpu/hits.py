@@ -132,7 +132,11 @@ def reg_gen_from_block(mi, u: np.ndarray, a: np.ndarray) -> list[Region]:
         r.qe = int(qpos[ie])
         sc = int(scs[ci])
         r.chn_sc = sc if ts == te else int(float(sc) * (ie - is_ + 1) / n + 0.499)
-        r.a = a[k:k + n].copy()
+        # a view, not a copy: regions never mutate their anchors in
+        # place (refine REPLACES r.a wholesale), `a` is per-query
+        # transient anyway, and the 127k copies/500 queries showed up
+        # on the capstone profile
+        r.a = a[k:k + n]
         r.chn_sc_ungap = int(ungap_all[ci])
         regs.append(r)
     return regs
@@ -295,7 +299,37 @@ def sync_regs(regs: list[Region]) -> None:
 
 def select_sub(pri_ratio: float, min_diff: int, best_n: int,
                regs: list[Region]) -> list[Region]:
-    """Drop weak/duplicate secondaries (mp_select_sub, hit.c:212-236)."""
+    """Drop weak/duplicate secondaries (mp_select_sub, hit.c:212-236).
+    Big lists route to the native port (same threshold rationale as
+    set_parent); `_select_sub_py` is the differential oracle."""
+    if pri_ratio <= 0.0 or not regs:
+        return regs
+    n = len(regs)
+    if n < 48:
+        return _select_sub_py(pri_ratio, min_diff, best_n, regs)
+    qs = np.fromiter((r.qs for r in regs), np.int64, n)
+    qe = np.fromiter((r.qe for r in regs), np.int64, n)
+    vid = np.fromiter((r.vid for r in regs), np.int64, n)
+    vs = np.fromiter((r.vs for r in regs), np.int64, n)
+    ve = np.fromiter((r.ve for r in regs), np.int64, n)
+    parent = np.fromiter((r.parent for r in regs), np.int32, n)
+    has_p = np.fromiter((r.p is not None for r in regs), np.uint8, n)
+    p_dp_max = np.fromiter(
+        (r.p.dp_max if r.p is not None else 0 for r in regs), np.int32, n)
+    chn_sc = np.fromiter((r.chn_sc for r in regs), np.int32, n)
+    ungap = np.fromiter((r.chn_sc_ungap for r in regs), np.int32, n)
+    keep = native.select_sub_c(pri_ratio, min_diff, best_n, qs, qe, vid,
+                               vs, ve, parent, has_p, p_dp_max, chn_sc,
+                               ungap)
+    out = [r for r, k in zip(regs, keep) if k]
+    if len(out) != len(regs):
+        sync_regs(out)
+    return out
+
+
+def _select_sub_py(pri_ratio: float, min_diff: int, best_n: int,
+                   regs: list[Region]) -> list[Region]:
+    """Pure-Python mp_select_sub — the differential oracle."""
     if pri_ratio <= 0.0 or not regs:
         return regs
     chn_sc_ungap = max((r.chn_sc_ungap for r in regs), default=-1)

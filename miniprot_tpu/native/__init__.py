@@ -55,6 +55,10 @@ _set_parent_raw = ct.CFUNCTYPE(
     None, ct.c_int64, ct.c_float, ct.c_int32, ct.c_int32, ct.c_int32,
     *([ct.c_void_p] * 15))(
         ct.cast(_lib.mx_set_parent, ct.c_void_p).value)
+_select_sub_raw = ct.CFUNCTYPE(
+    None, ct.c_int64, ct.c_float, ct.c_int32, ct.c_int32,
+    *([ct.c_void_p] * 11))(
+        ct.cast(_lib.mx_select_sub, ct.c_void_p).value)
 _lib.mx_dp16.argtypes = [
     _u8p, ct.c_int32, _u8p, ct.c_int32,            # nsq, nl, asq, al
     ct.c_void_p,                                    # ss (may be None)
@@ -139,6 +143,22 @@ def chn_sc_ungap_approx_batch(ks: np.ndarray, cnts: np.ndarray,
     _chn_sc_ungap_batch_raw(len(ks), ks.ctypes.data, cnts.ctypes.data,
                             a.ctypes.data, kmer, out.ctypes.data)
     return out
+
+
+def select_sub_c(pri_ratio: float, min_diff: int, best_n: int,
+                 qs, qe, vid, vs, ve, parent, has_p, p_dp_max, chn_sc,
+                 chn_sc_ungap) -> np.ndarray:
+    """mp_select_sub (hit.c:212-236) keep-flags over flattened region
+    fields."""
+    n = len(qs)
+    keep = np.zeros(n, np.uint8)
+    _select_sub_raw(n, pri_ratio, min_diff, best_n,
+                    qs.ctypes.data, qe.ctypes.data, vid.ctypes.data,
+                    vs.ctypes.data, ve.ctypes.data, parent.ctypes.data,
+                    has_p.ctypes.data, p_dp_max.ctypes.data,
+                    chn_sc.ctypes.data, chn_sc_ungap.ctypes.data,
+                    keep.ctypes.data)
+    return keep
 
 
 def set_parent_c(mask_level: float, mask_len: int, sub_diff: int,

@@ -450,6 +450,51 @@ MX_EXPORT void mx_chn_sc_ungap_approx_batch(int64_t n_chains,
  * (callers pass the regions' current values and copy back).  wbuf and
  * covbuf are caller-provided scratch of n entries each.
  */
+/* [pinned] drop weak/duplicate secondaries (mp_select_sub,
+ * hit.c:212-236); float ratio tests exactly as the reference with
+ * -ffp-contract=off.  keep[i]=1 marks survivors; the caller filters
+ * and re-syncs parents. */
+MX_EXPORT void mx_select_sub(int64_t n, float pri_ratio, int32_t min_diff,
+			     int32_t best_n,
+			     const int64_t *qs, const int64_t *qe,
+			     const int64_t *vid, const int64_t *vs,
+			     const int64_t *ve,
+			     const int32_t *parent, const uint8_t *has_p,
+			     const int32_t *p_dp_max, const int32_t *chn_sc,
+			     const int32_t *chn_sc_ungap, uint8_t *keep)
+{
+	int32_t best_ungap = -1, n_2nd = 0;
+	int64_t i;
+	for (i = 0; i < n; ++i)
+		if (chn_sc_ungap[i] > best_ungap) best_ungap = chn_sc_ungap[i];
+	for (i = 0; i < n; ++i) {
+		int64_t p = parent[i];
+		int32_t sci = has_p[i] ? p_dp_max[i] : chn_sc[i];
+		int32_t scp = has_p[p] ? p_dp_max[p] : chn_sc[p];
+		keep[i] = 0;
+		if (p == i) { keep[i] = 1; continue; }
+		if (((float)sci >= (float)scp * pri_ratio
+		     || sci + min_diff >= scp) && n_2nd < best_n) {
+			if (!(qs[i] == qs[p] && qe[i] == qe[p]
+			      && vid[i] == vid[p] && vs[i] == vs[p]
+			      && ve[i] == ve[p])) {
+				keep[i] = 1;
+				++n_2nd;
+			}
+		} else if (!has_p[i] && !has_p[p] && best_ungap > 0
+			   && (float)chn_sc_ungap[i]
+			      >= (float)best_ungap * pri_ratio
+			   && n_2nd < best_n) {
+			if (!(qs[i] == qs[p] && qe[i] == qe[p]
+			      && vid[i] == vid[p] && vs[i] == vs[p]
+			      && ve[i] == ve[p])) {
+				keep[i] = 1;
+				++n_2nd;
+			}
+		}
+	}
+}
+
 MX_EXPORT void mx_set_parent(int64_t n, float mask_level, int32_t mask_len,
 			     int32_t sub_diff, int32_t hard_mask_level,
 			     const int64_t *qs, const int64_t *qe,

@@ -112,6 +112,44 @@ def test_set_parent_native_matches_python():
                 assert rc.p.dp_max2 == rp.p.dp_max2, (trial, i)
 
 
+def test_select_sub_native_matches_python():
+    """The native mp_select_sub port must return the same surviving
+    region lists as the Python oracle, including the n_2nd budget and
+    duplicate suppression."""
+    import copy
+
+    import numpy as np
+
+    from miniprot_tpu.hits import (Extra, Region, _select_sub_py,
+                                   select_sub, set_parent)
+
+    rng = np.random.default_rng(608)
+    for trial in range(200):
+        n = int(rng.integers(1, 80))
+        regs = []
+        for _ in range(n):
+            qs = int(rng.integers(0, 200))
+            qe = qs + int(rng.integers(1, 150))
+            r = Region(vid=int(rng.integers(0, 2)), qs=qs, qe=qe,
+                       vs=int(rng.integers(0, 5000)),
+                       ve=int(rng.integers(5000, 9000)),
+                       chn_sc=int(rng.integers(0, 400)),
+                       chn_sc_ungap=int(rng.integers(-10, 300)),
+                       a=np.zeros(int(rng.integers(1, 10)), np.uint64))
+            if rng.random() < 0.5:
+                r.p = Extra(dp_max=int(rng.integers(-50, 700)))
+            regs.append(r)
+        set_parent(0.5, 2**30, regs, 6, 0)   # realistic parent links
+        pri_ratio = float(rng.choice([0.5, 0.8, 0.97]))
+        min_diff = int(rng.choice([0, 10]))
+        best_n = int(rng.choice([1, 5, 100]))
+        got = select_sub(pri_ratio, min_diff, best_n, copy.deepcopy(regs))
+        want = _select_sub_py(pri_ratio, min_diff, best_n,
+                              copy.deepcopy(regs))
+        assert [(r.qs, r.qe, r.vs, r.parent, r.id) for r in got] == \
+            [(r.qs, r.qe, r.vs, r.parent, r.id) for r in want], trial
+
+
 def test_chn_sc_ungap_batch_matches_scalar():
     import numpy as np
 
